@@ -1,0 +1,266 @@
+"""URL canonicalization, uniqueKey, host extraction — the engine's "distinct" key.
+
+Reference behavior pins (see SURVEY.md §2.3):
+- ``packages/core/src/request.ts:361-375`` — uniqueKey = normalizeUrl(url,
+  keepUrlFragment) with fallback to the raw url.
+- ``request.ts:400-401`` — documented example:
+  ``HTTP://www.EXAMPLE.com/something/`` → ``http://www.example.com/something``
+  (lowercase scheme+host, trailing slash stripped).
+- ``test/core/request_list.test.ts:48-67`` — ``https://example.com/1`` and
+  ``https://example.com/1#same`` share one uniqueKey (fragment stripped).
+- BASELINE.json canonicalization: lowercase host, sorted query params,
+  fragment strip; key hashed with xxhash64.
+
+Normalization rules implemented (identically in three places — Spark columns
+here, pure Python below for the reference simulator, and DuckDB SQL in
+``plans/queries.py`` for the oracle):
+
+1. trim whitespace
+2. URL must have a ``scheme://`` prefix, else canonical form is NULL
+   (callers treat NULL as "unresolvable, drop" — memory-storage pins http(s)
+   at ``request-queue.ts:21``)
+3. fragment stripped (kept verbatim when ``keep_fragment``)
+4. scheme lowercased; userinfo dropped; host lowercased
+5. default port dropped (http:80 / https:443), other ports kept
+6. trailing slashes stripped from the path (``/x/`` → ``/x``, ``/`` → empty)
+7. query params: empty tokens and ``utm_*`` keys dropped, remainder sorted
+   lexicographically (sorted-params pin), rebuilt with ``&``
+
+Everything is a Spark SQL column expression — whole-stage codegen, no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin  # used by the (cold-path) resolver UDF
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Multi-label public suffixes we special-case for registrable-domain (eTLD+1)
+# extraction. The reference uses the full tldts public-suffix list; a compact
+# embedded subset keeps this JVM-side (no per-row Python). Extend as needed.
+MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
+    "com.sg", "com.tr", "com.ar",
+]
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+
+
+def _strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(F.trim(url), r"#.*$", "")
+
+
+def canonicalize(url: Column, keep_fragment: bool = False) -> Column:
+    """Canonical URL as a Spark column (NULL when there is no scheme://)."""
+    trimmed = F.trim(url)
+    base = _strip_fragment(url)
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    rest = F.regexp_replace(base, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(authority) + F.lit(1), F.lit(2**30))
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+
+    host_port = F.regexp_replace(authority, r"^.*@", "")
+    host = F.lower(F.regexp_extract(host_port, r"^([^:]*)", 1))
+    port = F.regexp_extract(host_port, r":([0-9]+)$", 1)
+    port_part = (
+        F.when(port == "", F.lit(""))
+        .when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+
+    norm_path = F.regexp_replace(path, r"/+$", "")
+
+    tokens = F.filter(
+        F.split(query, "&"),
+        lambda t: (t != "") & (~F.lower(t).startswith("utm_")),
+    )
+    sorted_q = F.concat_ws("&", F.array_sort(tokens))
+    query_part = F.when(sorted_q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_q)
+    )
+
+    canonical = F.concat(scheme, F.lit("://"), host, port_part, norm_path, query_part)
+    if keep_fragment:
+        frag = F.regexp_extract(trimmed, r"#(.*)$", 1)
+        canonical = F.when(frag == "", canonical).otherwise(
+            F.concat(canonical, F.lit("#"), frag)
+        )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canonical)
+
+
+def unique_key(url: Column, explicit: Column | None = None, keep_fragment: bool = False) -> Column:
+    """uniqueKey column: explicit override > canonical > raw url.
+
+    Mirrors ``request.ts:361-375`` (computeUniqueKey falls back to the raw
+    url when normalization fails).
+    """
+    canon = F.coalesce(canonicalize(url, keep_fragment), F.trim(url))
+    if explicit is not None:
+        return F.coalesce(explicit, canon)
+    return canon
+
+
+def url_hash(key: Column) -> Column:
+    """64-bit frontier key: xxhash64(uniqueKey) per BASELINE.json north_rule.
+
+    (The reference uses base64(sha256(uniqueKey))[:15] as a *string* id,
+    ``packages/core/src/storages/utils.ts:105-113``; a 64-bit key feeds the
+    Bloom/cuckoo URL-seen shards and is far cheaper to shuffle.)
+    """
+    return F.xxhash64(key)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased hostname (no port, no userinfo); NULL without scheme://."""
+    base = _strip_fragment(url)
+    scheme = F.regexp_extract(base, _SCHEME_RE, 1)
+    rest = F.regexp_replace(base, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host_port = F.regexp_replace(authority, r"^.*@", "")
+    h = F.lower(F.regexp_extract(host_port, r"^([^:]*)", 1))
+    return F.when((h == "") | (scheme == ""), F.lit(None).cast("string")).otherwise(h)
+
+
+def host_hash(host: Column, num_buckets: int) -> Column:
+    """Frontier partition key: bucket(N, xxhash64(host)). Non-negative."""
+    return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 (tldts ``getDomain`` analog) as a JVM-side expression.
+
+    Uses the embedded multi-label suffix subset; defaults to last-2-labels.
+    Reference consumer: same-domain enqueue strategy
+    (``enqueue_links.ts:177-209``) and sameDomainDelaySecs keying
+    (``basic-crawler.ts:1111-1138``).
+    """
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    suffixes = F.array(*[F.lit(s) for s in MULTI_LABEL_SUFFIXES])
+    return (
+        F.when(n <= 2, host)
+        .when(F.array_contains(suffixes, last2) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def origin_of(url: Column) -> Column:
+    """scheme://host[:port] of the canonical form (same-origin strategy)."""
+    canon = canonicalize(url)
+    return F.regexp_extract(canon, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)", 1)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirrors (reference simulator + datagen use these; they MUST
+# produce byte-identical results to the Spark expressions — pinned by
+# tests/test_urls.py parity tests).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_SCHEME_PAT = _re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
+
+
+def canonicalize_py(url: str, keep_fragment: bool = False) -> str | None:
+    trimmed = url.strip()
+    hash_idx = trimmed.find("#")
+    frag = trimmed[hash_idx + 1 :] if hash_idx >= 0 else ""
+    base = trimmed[:hash_idx] if hash_idx >= 0 else trimmed
+    m = _SCHEME_PAT.match(base)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    rest = base[m.end() :]
+    sep = len(rest)
+    for ch in "/?":
+        i = rest.find(ch)
+        if i >= 0:
+            sep = min(sep, i)
+    authority, tail = rest[:sep], rest[sep:]
+    q_idx = tail.find("?")
+    path = tail[:q_idx] if q_idx >= 0 else tail
+    query = tail[q_idx + 1 :] if q_idx >= 0 else ""
+
+    host_port = authority.rsplit("@", 1)[-1]
+    pm = _re.search(r":([0-9]+)$", host_port)
+    port = pm.group(1) if pm else ""
+    host = (host_port[: pm.start()] if pm else host_port).lower()
+    if (scheme == "http" and port == "80") or (scheme == "https" and port == "443"):
+        port = ""
+    port_part = f":{port}" if port else ""
+
+    norm_path = _re.sub(r"/+$", "", path)
+
+    tokens = [t for t in query.split("&") if t and not t.lower().startswith("utm_")]
+    sorted_q = "&".join(sorted(tokens))
+    query_part = f"?{sorted_q}" if sorted_q else ""
+
+    canonical = f"{scheme}://{host}{port_part}{norm_path}{query_part}"
+    if keep_fragment and frag:
+        canonical = f"{canonical}#{frag}"
+    return canonical
+
+
+def unique_key_py(url: str, explicit: str | None = None, keep_fragment: bool = False) -> str:
+    if explicit:
+        return explicit
+    return canonicalize_py(url, keep_fragment) or url.strip()
+
+
+def host_of_py(url: str) -> str | None:
+    trimmed = url.strip()
+    base = trimmed.split("#", 1)[0]
+    m = _SCHEME_PAT.match(base)
+    if not m:
+        return None
+    rest = base[m.end() :]
+    sep = len(rest)
+    for ch in "/?":
+        i = rest.find(ch)
+        if i >= 0:
+            sep = min(sep, i)
+    authority = rest[:sep]
+    host_port = authority.rsplit("@", 1)[-1]
+    host = _re.sub(r":[0-9]+$", "", host_port).lower()
+    return host or None
+
+
+def registrable_domain_py(host: str) -> str:
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    last2 = ".".join(parts[-2:])
+    if last2 in MULTI_LABEL_SUFFIXES:
+        return ".".join(parts[-3:])
+    return last2
+
+
+def resolve_href_py(base_url: str, href: str) -> str | None:
+    """Absolutize an extracted href against its page/base URL.
+
+    Mirrors ``createRequestOptions`` URL-validity filtering
+    (``enqueue_links/shared.ts:211-241``): non-http(s) results (mailto:,
+    javascript:) and unresolvable hrefs return None.
+    """
+    href = (href or "").strip()
+    if not href:
+        return None
+    try:
+        absolute = urljoin(base_url, href)
+    except ValueError:
+        return None
+    if not absolute.lower().startswith(("http://", "https://")):
+        return None
+    m = _SCHEME_PAT.match(absolute)
+    if not m:
+        return None
+    return absolute

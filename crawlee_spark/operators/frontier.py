@@ -1,0 +1,318 @@
+"""Frontier table: the priority queue at the heart of the engine.
+
+Reference semantics being reproduced (SURVEY.md §1.5, §2.4):
+
+- pending rows carry a signed ``order_no``; ``forefront`` rows are negative
+  and sort first, LIFO among themselves (more-negative = newer = first);
+  normal rows are positive, FIFO (``memory-storage
+  resource-clients/request-queue.ts:554-560``, head sort at ``:178``).
+- handled rows have ``order_no = NULL`` + ``handled_step`` set
+  (``markRequestHandled``, ``request_provider.ts:377-404``).
+- add is a primary-key MERGE on ``url_hash``: already-present keys are
+  reported, not updated (``request-queue.ts:287-337``).
+- reclaim bumps ``retry_count`` and re-inserts with a fresh ``order_no``
+  (``request_provider.ts:412-449``).
+
+Determinism: the reference uses wall-clock ``Date.now()`` which makes
+concurrent ordering nondeterministic; this engine replaces it with a logical
+clock — ``order_no = sign * ((step + 1) << 32)`` and a canonical compound
+sort ``ORDER_COLS = (order_no asc, depth asc, url_hash asc)`` used by every
+head selection. No per-batch sequence numbers are assigned, so enqueue needs
+no global window (which would shuffle the batch to one partition — the
+single-partition WindowExec anti-pattern). The pure Python simulator
+(crawlee_spark/simulator.py) defines the same total order, so crawl ordering
+is reproducible bit-for-bit.
+
+Scale: every transform here is bucket-local — batches are keyed by
+``bucket = pmod(xxhash64(host), N)`` before the merge, so the anti-join
+shuffles only the (small) new batch, never the full frontier; the frontier
+side arrives bucket-pruned from SnapshotTable.read(buckets=touched).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions import urls
+from crawlee_spark.store import SnapshotTable
+
+STEP_SHIFT = 32  # order_no = sign * ((step + 1) << 32)
+
+# Canonical total order for head selection — every ORDER BY in the engine
+# (and the simulator) uses exactly this.
+ORDER_COLS = ("order_no", "depth", "url_hash")
+
+
+def order_no_expr(step: int, forefront_col: Column | None = None):
+    """order_no for rows enqueued at ``step``; negative when forefront
+    (sign encoding per ``request-queue.ts:554-560``; LIFO among forefront
+    falls out of two's-complement: newer step = more negative = first)."""
+    base = F.lit((step + 1) << STEP_SHIFT).cast("long")
+    if forefront_col is None:
+        return base
+    return F.when(forefront_col, -base).otherwise(base)
+
+FRONTIER_SCHEMA = (
+    "url string, unique_key string, url_hash long, host string, bucket int, "
+    "order_no long, depth int, forefront boolean, retry_count int, "
+    "no_retry boolean, handled_step int, enqueued_step int, "
+    "label string, error string"
+)
+
+FRONTIER_COLS = [f.split(" ")[0] for f in FRONTIER_SCHEMA.split(", ")]
+
+
+def normalize_requests(
+    raw: DataFrame,
+    step: int,
+    num_buckets: int,
+    keep_fragment: bool = False,
+) -> DataFrame:
+    """Normalize a raw URL batch into frontier rows (no dedup yet).
+
+    ``raw`` needs a ``url`` column; optional: ``unique_key`` (explicit
+    override, ``request.ts:361-375``), ``forefront``, ``depth``, ``label``,
+    ``no_retry``. Rows with no resolvable host are dropped (the reference
+    rejects them at validation, ``memory-storage request-queue.ts:21``).
+    """
+    cols = raw.columns
+    df = raw
+    if "unique_key" not in cols:
+        df = df.withColumn("unique_key", F.lit(None).cast("string"))
+    if "forefront" not in cols:
+        df = df.withColumn("forefront", F.lit(False))
+    if "depth" not in cols:
+        df = df.withColumn("depth", F.lit(0))
+    if "label" not in cols:
+        df = df.withColumn("label", F.lit(None).cast("string"))
+    if "no_retry" not in cols:
+        df = df.withColumn("no_retry", F.lit(False))
+
+    df = (
+        df.withColumn(
+            "unique_key",
+            urls.unique_key(F.col("url"), F.col("unique_key"), keep_fragment),
+        )
+        .withColumn("url_hash", urls.url_hash(F.col("unique_key")))
+        .withColumn("host", urls.host_of(F.col("url")))
+        .filter(F.col("host").isNotNull())
+        .withColumn("bucket", urls.host_hash(F.col("host"), num_buckets))
+    )
+
+    df = df.withColumn(
+        "order_no", order_no_expr(step, F.col("forefront")).cast("long")
+    )
+
+    return df.select(
+        "url",
+        "unique_key",
+        "url_hash",
+        "host",
+        "bucket",
+        "order_no",
+        F.col("depth").cast("int").alias("depth"),
+        F.coalesce(F.col("forefront"), F.lit(False)).alias("forefront"),
+        F.lit(0).cast("int").alias("retry_count"),
+        F.coalesce(F.col("no_retry"), F.lit(False)).alias("no_retry"),
+        F.lit(None).cast("int").alias("handled_step"),
+        F.lit(step).cast("int").alias("enqueued_step"),
+        "label",
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def dedup_batch(batch: DataFrame) -> DataFrame:
+    """Batch-internal dedup: first occurrence per key in deterministic order
+    (``request_provider.ts:212-231`` keeps the first occurrence within one
+    addRequests call). Partitioned by url_hash — parallel, no global window.
+    """
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("depth").asc(), F.col("forefront").desc(), F.col("url").asc()
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def make_requests(
+    raw: DataFrame, step: int, num_buckets: int, keep_fragment: bool = False
+) -> DataFrame:
+    """normalize + batch-dedup in one go."""
+    return dedup_batch(normalize_requests(raw, step, num_buckets, keep_fragment))
+
+
+def merge_new_requests(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """MERGE-NOT-MATCHED-INSERT: rows of ``batch`` whose url_hash is absent
+    from ``existing``. The caller unions this with ``existing`` for the
+    touched buckets and commits.
+
+    Equivalent Iceberg: ``MERGE INTO frontier USING batch ON url_hash WHEN
+    NOT MATCHED THEN INSERT`` (replaces the per-request PK check at
+    ``request-queue.ts:299-311`` and the 1M-entry LRU dedup cache at
+    ``request_provider.ts:46-47`` — the URL-seen set IS the frontier key set
+    under snapshot isolation).
+    """
+    return batch.join(
+        existing.select("bucket", "url_hash"), on=["bucket", "url_hash"], how="left_anti"
+    )
+
+
+def apply_handled(existing: DataFrame, handled_keys: DataFrame, step: int) -> DataFrame:
+    """markRequestHandled for every url_hash in ``handled_keys``:
+    ``order_no = NULL``, ``handled_step = step``
+    (``request_provider.ts:377-404``)."""
+    hk = handled_keys.select("url_hash").withColumn("_h", F.lit(True))
+    return (
+        existing.join(hk, on="url_hash", how="left")
+        .withColumn(
+            "handled_step",
+            F.when(F.col("_h"), F.lit(step)).otherwise(F.col("handled_step")),
+        )
+        .withColumn(
+            "order_no",
+            F.when(F.col("_h"), F.lit(None).cast("long")).otherwise(F.col("order_no")),
+        )
+        .drop("_h")
+    )
+
+
+def apply_reclaim(
+    existing: DataFrame,
+    reclaim_keys: DataFrame,
+    step: int,
+    forefront: bool = False,
+) -> DataFrame:
+    """reclaimRequest: retry_count += 1, fresh order_no at the current step
+    (forefront flips the sign) — ``request_provider.ts:412-449``.
+
+    ``reclaim_keys`` needs ``url_hash`` and may carry ``error``.
+    """
+    has_error = "error" in reclaim_keys.columns
+    rk = reclaim_keys.select(
+        "url_hash",
+        *( [F.col("error").alias("_err")] if has_error else [] ),
+    ).withColumn("_r", F.lit(True))
+    out = existing.join(rk, on="url_hash", how="left")
+    new_order = order_no_expr(step, F.lit(forefront)).cast("long")
+    out = (
+        out.withColumn(
+            "retry_count",
+            F.when(F.col("_r"), F.col("retry_count") + 1).otherwise(F.col("retry_count")),
+        )
+        .withColumn(
+            "order_no", F.when(F.col("_r"), new_order).otherwise(F.col("order_no"))
+        )
+        .withColumn(
+            "forefront",
+            F.when(F.col("_r"), F.lit(forefront)).otherwise(F.col("forefront")),
+        )
+    )
+    if has_error:
+        out = out.withColumn(
+            "error", F.when(F.col("_r"), F.col("_err")).otherwise(F.col("error"))
+        ).drop("_err")
+    return out.drop("_r")
+
+
+def apply_dead(existing: DataFrame, dead_keys: DataFrame, step: int) -> DataFrame:
+    """Terminal failure: mark handled with an error (dead-letter semantics of
+    the failedRequestHandler path, ``basic-crawler.ts:1334-1385``)."""
+    has_error = "error" in dead_keys.columns
+    dk = dead_keys.select(
+        "url_hash", *([F.col("error").alias("_err")] if has_error else [])
+    ).withColumn("_d", F.lit(True))
+    out = (
+        existing.join(dk, on="url_hash", how="left")
+        .withColumn(
+            "handled_step",
+            F.when(F.col("_d"), F.lit(step)).otherwise(F.col("handled_step")),
+        )
+        .withColumn(
+            "order_no",
+            F.when(F.col("_d"), F.lit(None).cast("long")).otherwise(F.col("order_no")),
+        )
+    )
+    if has_error:
+        out = out.withColumn(
+            "error", F.when(F.col("_d"), F.col("_err")).otherwise(F.col("error"))
+        ).drop("_err")
+    return out.drop("_d")
+
+
+class FrontierTable:
+    """SnapshotTable-backed frontier with queue-operator methods.
+
+    One snapshot per mutation (or one per superstep when the engine batches
+    mutations) = the persistence/resume the reference gets from
+    file-per-request JSON + PERSIST_STATE events (§2.9).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
+        self.spark = spark
+        self.table = SnapshotTable(spark, root)
+        self.num_buckets = num_buckets
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, num_buckets: int = 32
+    ) -> "FrontierTable":
+        t = cls(spark, root, num_buckets)
+        empty = spark.createDataFrame([], FRONTIER_SCHEMA)
+        SnapshotTable.create(spark, root, empty, num_buckets=num_buckets)
+        return t
+
+    def exists(self) -> bool:
+        return self.table.exists()
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        return self.table.read(buckets=buckets)
+
+    def pending(self) -> DataFrame:
+        return self.read().filter(F.col("order_no").isNotNull())
+
+    def add_requests(
+        self, raw: DataFrame, step: int, keep_fragment: bool = False
+    ) -> dict[str, Any]:
+        """Canonicalize + dedup + MERGE a batch of raw URLs. Returns counts
+        {'added': n, 'already_present': m} (wasAlreadyPresent analog —
+        batch-internal duplicates count as already_present, matching the
+        per-item results of ``request_provider.ts:171-262``)."""
+        normalized = normalize_requests(raw, step, self.num_buckets, keep_fragment)
+        normalized = normalized.persist()
+        try:
+            batch_n = normalized.count()
+            batch = dedup_batch(normalized)
+            touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+            if not touched:
+                return {"added": 0, "already_present": 0}
+            existing = self.read(buckets=touched)
+            fresh = merge_new_requests(existing, batch)
+            new_content = existing.unionByName(fresh)
+            self.table.commit_buckets(
+                new_content, "add_requests", {"step": step, "batch": batch_n}
+            )
+            added = (
+                self.read(buckets=touched).filter(F.col("enqueued_step") == step).count()
+            )
+            return {"added": added, "already_present": batch_n - added}
+        finally:
+            normalized.unpersist()
+
+    def counters(self) -> dict[str, int]:
+        """getInfo analog (``request_provider.ts:87-89, 529-561``)."""
+        agg = self.read().agg(
+            F.count("*").alias("total"),
+            F.count(F.col("handled_step")).alias("handled"),
+            F.count(F.when(F.col("order_no").isNotNull(), 1)).alias("pending"),
+        ).first()
+        return {"total": agg["total"], "handled": agg["handled"], "pending": agg["pending"]}
+
+    def is_finished(self) -> bool:
+        """isFinished under snapshot isolation: exact, no consistency loop
+        (replaces ``request_queue.ts:284-295``)."""
+        return self.pending().isEmpty()

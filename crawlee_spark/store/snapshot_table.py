@@ -1,0 +1,256 @@
+"""Copy-on-write snapshot tables over parquet (Iceberg stand-in).
+
+Replaces the reference's file-per-request JSON storage
+(``packages/memory-storage/src/fs/request-queue/fs.ts:13-84``: one JSON file
+per request, per-file locks, background metadata writes) with set-based
+atomic commits:
+
+- data lives under ``<root>/data/snap-<n>/bucket=<b>/*.parquet``;
+- a manifest ``<root>/manifests/snap-<n>.json`` maps every bucket to the
+  snapshot that last rewrote it (per-partition lineage) plus summary stats;
+- ``<root>/_CURRENT`` names the live snapshot; it is flipped atomically via
+  ``os.replace`` — a crash mid-commit leaves the previous snapshot intact
+  (the reference needs per-file locks + consistency sleeps for this,
+  ``storages/utils.ts:126-142``; snapshot isolation makes them unnecessary).
+
+Scale notes (100 TB / 1000 executors): a commit touches only the buckets the
+superstep wrote; untouched buckets are inherited by reference, so commit cost
+is O(changed data), not O(table). Reads prune to requested buckets before
+parquet listing. Real Iceberg adds file-level pruning and a catalog; the
+engine's call sites are MERGE-shaped so the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class SnapshotTable:
+    """Bucketed copy-on-write table with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, root: str, bucket_col: str = "bucket"):
+        self.spark = spark
+        self.root = root
+        self.bucket_col = bucket_col
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifests")
+        self.current_path = os.path.join(root, "_CURRENT")
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        bucket_col: str = "bucket",
+        num_buckets: int = 32,
+        summary: dict[str, Any] | None = None,
+    ) -> "SnapshotTable":
+        """Create the table from an initial DataFrame (must carry bucket_col)."""
+        t = cls(spark, root, bucket_col)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        t._commit_full(df, num_buckets, operation="create", summary=summary or {})
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(self.current_path)
+
+    def current_snapshot_id(self) -> int:
+        with open(self.current_path) as f:
+            return int(f.read().strip())
+
+    def manifest(self, snapshot_id: int | None = None) -> dict[str, Any]:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        with open(os.path.join(self.manifest_dir, f"snap-{sid}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Lineage chain, oldest first."""
+        out = []
+        sid: int | None = self.current_snapshot_id()
+        while sid is not None and sid >= 0:
+            m = self.manifest(sid)
+            out.append(m)
+            sid = m.get("parent")
+        return list(reversed(out))
+
+    # -- read ---------------------------------------------------------------
+
+    def read(
+        self, snapshot_id: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Read the (current or time-travel) snapshot, optionally bucket-pruned.
+
+        Bucket pruning happens at path level — a politeness/scheduling scan
+        over a few host buckets never lists the rest of the table.
+        """
+        m = self.manifest(snapshot_id)
+        owners: dict[str, list[str]] = {}
+        for b, owner in m["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            owners.setdefault(owner, []).append(b)
+        df: DataFrame | None = None
+        for owner, bs in sorted(owners.items()):
+            base = os.path.join(self.data_dir, owner)
+            paths = [os.path.join(base, f"{self.bucket_col}={b}") for b in sorted(bs, key=int)]
+            part = self.spark.read.option("basePath", base).parquet(*paths)
+            df = part if df is None else df.unionByName(part)
+        if df is None:
+            # empty table: synthesize from stored schema
+            return self.spark.createDataFrame([], m["schema_ddl"])
+        # partition-dir inference may type the bucket col as int — normalize
+        return df.withColumn(self.bucket_col, F.col(self.bucket_col).cast("int"))
+
+    # -- write --------------------------------------------------------------
+
+    def _next_id(self) -> int:
+        return (self.current_snapshot_id() + 1) if self.exists() else 0
+
+    def _write_buckets(self, df: DataFrame, snap_name: str) -> list[int]:
+        out = os.path.join(self.data_dir, snap_name)
+        df.write.partitionBy(self.bucket_col).mode("overwrite").parquet(out)
+        written = []
+        for entry in os.listdir(out):
+            if entry.startswith(f"{self.bucket_col}="):
+                written.append(int(entry.split("=", 1)[1]))
+        return written
+
+    def _finish(
+        self,
+        sid: int,
+        parent: int | None,
+        buckets: dict[str, str],
+        operation: str,
+        summary: dict[str, Any],
+        schema_ddl: str,
+    ) -> int:
+        manifest = {
+            "id": sid,
+            "parent": parent,
+            "operation": operation,
+            "committed_at": time.time(),
+            "buckets": buckets,
+            "schema_ddl": schema_ddl,
+            "summary": summary,
+        }
+        _atomic_write(
+            os.path.join(self.manifest_dir, f"snap-{sid}.json"), json.dumps(manifest)
+        )
+        _atomic_write(self.current_path, str(sid))
+        return sid
+
+    def _commit_full(
+        self, df: DataFrame, num_buckets: int, operation: str, summary: dict[str, Any]
+    ) -> int:
+        sid = self._next_id()
+        parent = self.current_snapshot_id() if self.exists() else None
+        snap_name = f"snap-{sid}"
+        written = self._write_buckets(df, snap_name)
+        buckets = {str(b): snap_name for b in written}
+        # buckets with no rows simply have no files; record only written ones
+        return self._finish(sid, parent, buckets, operation, summary, _schema_ddl(df))
+
+    def commit_buckets(
+        self, df: DataFrame, operation: str, summary: dict[str, Any] | None = None
+    ) -> int:
+        """Copy-on-write commit: ``df`` holds the NEW full content of the
+        buckets it contains; all other buckets are inherited from the parent.
+        """
+        sid = self._next_id()
+        parent = self.current_snapshot_id()
+        snap_name = f"snap-{sid}"
+        written = self._write_buckets(df, snap_name)
+        buckets = dict(self.manifest()["buckets"])
+        for b in written:
+            buckets[str(b)] = snap_name
+        schema_ddl = self.manifest()["schema_ddl"]
+        return self._finish(sid, parent, buckets, operation, summary or {}, schema_ddl)
+
+    def compact(self) -> int:
+        """Rewrite the whole table into one snapshot (maintenance)."""
+        df = self.read()
+        return self._commit_full(df, 0, "compact", {})
+
+    def expire_snapshots(self, keep_last: int = 3) -> None:
+        """Drop data dirs unreachable from the last ``keep_last`` snapshots."""
+        keep_ids = set()
+        sid = self.current_snapshot_id()
+        chain = self.history()
+        for m in chain[-keep_last:]:
+            keep_ids.update(m["buckets"].values())
+        for entry in os.listdir(self.data_dir):
+            if entry not in keep_ids:
+                shutil.rmtree(os.path.join(self.data_dir, entry), ignore_errors=True)
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+class AppendTable:
+    """Append-only segment log (fetch log / results / metrics tables)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifests")
+        self.current_path = os.path.join(root, "_CURRENT")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.current_path)
+
+    def current_snapshot_id(self) -> int:
+        with open(self.current_path) as f:
+            return int(f.read().strip())
+
+    def manifest(self, snapshot_id: int | None = None) -> dict[str, Any]:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        with open(os.path.join(self.manifest_dir, f"snap-{sid}.json")) as f:
+            return json.load(f)
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        sid = (self.current_snapshot_id() + 1) if self.exists() else 0
+        seg = f"seg-{sid}"
+        df.write.mode("overwrite").parquet(os.path.join(self.data_dir, seg))
+        segments = (self.manifest()["segments"] if self.exists() else []) + [seg]
+        manifest = {
+            "id": sid,
+            "parent": sid - 1 if sid > 0 else None,
+            "committed_at": time.time(),
+            "segments": segments,
+            "schema_ddl": _schema_ddl(df),
+            "summary": summary or {},
+        }
+        _atomic_write(os.path.join(self.manifest_dir, f"snap-{sid}.json"), json.dumps(manifest))
+        _atomic_write(self.current_path, str(sid))
+        return sid
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        if not self.exists():
+            raise FileNotFoundError(f"AppendTable at {self.root} is empty")
+        m = self.manifest(snapshot_id)
+        paths = [os.path.join(self.data_dir, s) for s in m["segments"]]
+        return self.spark.read.parquet(*paths)

@@ -1,0 +1,116 @@
+"""Frontier queue operator tests.
+
+Protocol pins mirrored from the reference suite
+(test/core/storages/request_queue.test.ts:33-191, 277-336):
+add → fetch-order → reclaim(forefront) → handled invariants, dedup on add.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlee_spark.operators import frontier as fr
+
+
+@pytest.fixture
+def ft(spark, tmp_path):
+    return fr.FrontierTable.create(spark, str(tmp_path / "frontier"), num_buckets=8)
+
+
+def _urls(spark, urls, **kw):
+    rows = []
+    for u in urls:
+        rows.append((u, kw.get("forefront", False), kw.get("depth", 0)))
+    return spark.createDataFrame(rows, "url string, forefront boolean, depth int")
+
+
+def test_add_dedups_on_canonical_key(spark, ft):
+    batch = _urls(
+        spark,
+        [
+            "https://example.com/1",
+            "https://example.com/1#same",  # same uniqueKey (fragment strip)
+            "HTTP://EXAMPLE.com/2/",
+            "http://example.com/2",
+            "https://other.net/a?b=2&a=1",
+            "https://other.net/a?a=1&b=2",  # same after param sort
+        ],
+    )
+    stats = ft.add_requests(batch, step=0)
+    assert stats == {"added": 3, "already_present": 3}
+
+    # re-adding is a no-op (wasAlreadyPresent)
+    stats2 = ft.add_requests(batch, step=1)
+    assert stats2 == {"added": 0, "already_present": 6}  # per input item
+    assert ft.counters() == {"total": 3, "handled": 0, "pending": 3}
+
+
+def test_order_no_priority_and_forefront(spark, ft):
+    ft.add_requests(_urls(spark, ["https://a.com/1", "https://a.com/2"]), step=0)
+    ft.add_requests(_urls(spark, ["https://a.com/3"]), step=1)
+    ft.add_requests(_urls(spark, ["https://a.com/ff"], forefront=True), step=2)
+    ft.add_requests(_urls(spark, ["https://a.com/ff2"], forefront=True), step=3)
+
+    got = [
+        r["unique_key"]
+        for r in ft.pending().orderBy(*fr.ORDER_COLS).select("unique_key").collect()
+    ]
+    # forefront first, LIFO among themselves (request-queue.ts:554-560, :178)
+    assert got[0] == "https://a.com/ff2"
+    assert got[1] == "https://a.com/ff"
+    # then FIFO by step; /1 and /2 share a step -> url_hash tie-break
+    from crawlee_spark.functions.hashing import xxhash64_str
+
+    step0 = sorted(["https://a.com/1", "https://a.com/2"], key=xxhash64_str)
+    assert got[2:] == step0 + ["https://a.com/3"]
+
+
+def test_mark_handled_and_reclaim(spark, ft):
+    ft.add_requests(_urls(spark, ["https://a.com/1", "https://a.com/2"]), step=0)
+    df = ft.read()
+    h1 = df.filter(F.col("unique_key") == "https://a.com/1").select("url_hash")
+
+    updated = fr.apply_handled(df, h1, step=1)
+    row = updated.filter(F.col("unique_key") == "https://a.com/1").first()
+    assert row["handled_step"] == 1 and row["order_no"] is None
+    other = updated.filter(F.col("unique_key") == "https://a.com/2").first()
+    assert other["handled_step"] is None and other["order_no"] is not None
+
+    # reclaim the other with forefront: retry_count bumps, order_no negative
+    r2 = updated.filter(F.col("unique_key") == "https://a.com/2").select("url_hash")
+    reclaimed = fr.apply_reclaim(updated, r2, step=2, forefront=True)
+    row2 = reclaimed.filter(F.col("unique_key") == "https://a.com/2").first()
+    assert row2["retry_count"] == 1
+    assert row2["order_no"] < 0
+
+    ft.table.commit_buckets(reclaimed, "test")
+    assert ft.counters() == {"total": 2, "handled": 1, "pending": 1}
+
+
+def test_apply_dead(spark, ft):
+    ft.add_requests(_urls(spark, ["https://a.com/x"]), step=0)
+    df = ft.read()
+    dead = df.select("url_hash").withColumn("error", F.lit("boom"))
+    out = fr.apply_dead(df, dead, step=3)
+    row = out.first()
+    assert row["handled_step"] == 3 and row["order_no"] is None and row["error"] == "boom"
+
+
+def test_explicit_unique_key_and_keep_dupes(spark, ft):
+    rows = [("https://a.com/x", "k1"), ("https://a.com/x", "k2")]
+    batch = spark.createDataFrame(rows, "url string, unique_key string")
+    stats = ft.add_requests(batch, step=0)
+    assert stats["added"] == 2  # distinct explicit keys -> both kept
+
+
+def test_deterministic_order_within_batch(spark, ft):
+    # depth breaks ties first, then url_hash — stable across runs
+    rows = [("https://a.com/d2", 2), ("https://a.com/d0", 0), ("https://a.com/d1", 1)]
+    batch = spark.createDataFrame(rows, "url string, depth int")
+    ft.add_requests(batch, step=0)
+    got = [
+        r["depth"]
+        for r in ft.pending().orderBy(*fr.ORDER_COLS).select("depth").collect()
+    ]
+    assert got == [0, 1, 2]
