@@ -1,0 +1,430 @@
+"""The crawl engine: a driver-orchestrated BSP superstep loop over snapshot
+tables (SURVEY.md §7 architecture).
+
+One superstep = one logical time tick = ONE frontier snapshot commit:
+
+  pending -> robots sweep -> politeness/budget selection -> deterministic
+  "fetch" (canonical-hash join against the image+caption corpus + hash-derived
+  failure model) -> enqueueLinks (Arrow UDF extract + JVM filter chain) ->
+  combined MERGE (handled / retried / dead / fresh rows) -> politeness
+  advance -> metrics + fetch-log append.
+
+This replaces the reference's AutoscaledPool task loop
+(``packages/basic-crawler/src/internals/basic-crawler.ts:1144-1277`` +
+``autoscaled_pool.ts:460-564``): Spark's scheduler provides the concurrency,
+set-based operators provide the semantics, and snapshot isolation removes
+every consistency sleep/lock (``storages/utils.ts:126-142``,
+``memory-storage request-queue.ts:182-285``).
+
+Determinism: crawl order is fully defined by (step, order_no, depth,
+url_hash) — the simulator (crawlee_spark/simulator.py) is the spec and
+tests/test_engine_parity.py pins engine == simulator on crawl order, URL-seen
+set, dead-letter set, and per-host counters.
+
+Scale shape (100 TB / 1000 executors):
+- frontier reads are bucket-pruned; the superstep commit rewrites only
+  touched buckets (copy-on-write) with per-partition lineage in the manifest;
+- the fetch join shuffles only the fetch set (politeness-bounded), never the
+  corpus: candidates are joined hash-to-hash against a bucketed corpus scan
+  with bytes/html column-pruned until needed;
+- politeness + robots dims are O(hosts) and broadcast;
+- the only Python is the extract/validate pandas UDFs (Arrow-batched);
+- driver holds O(1) state (step counter, handled count, politeness rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions import urls
+from crawlee_spark.operators import politeness as pol
+from crawlee_spark.operators import robots as robots_op
+from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions, enqueue_links
+from crawlee_spark.operators.frontier import (
+    FRONTIER_SCHEMA,
+    FrontierTable,
+    make_requests,
+    merge_new_requests,
+    order_no_expr,
+)
+from crawlee_spark.store.snapshot_table import AppendTable, _atomic_write
+
+
+@dataclass
+class FailureModelConf:
+    """Hash-derived deterministic fetch failures (mirror of
+    simulator.FailureModel — same pmod arithmetic on the same xxhash64)."""
+
+    fail_mod: int = 0
+    fail_attempts: int = 2
+    dead_mod: int = 0
+
+    def success_col(self):
+        ok = F.lit(True)
+        if self.dead_mod:
+            ok = ok & (F.pmod(F.col("url_hash"), F.lit(self.dead_mod)) != 0)
+        if self.fail_mod:
+            ok = ok & ~(
+                (F.pmod(F.col("url_hash"), F.lit(self.fail_mod)) == 0)
+                & (F.col("retry_count") < self.fail_attempts)
+            )
+        return ok
+
+
+@dataclass
+class CrawlConfig:
+    num_buckets: int = 32
+    politeness: pol.PolitenessConfig = field(default_factory=pol.PolitenessConfig)
+    enqueue: EnqueueLinksOptions = field(default_factory=EnqueueLinksOptions)
+    failures: FailureModelConf = field(default_factory=FailureModelConf)
+    max_retries: int = 3          # basic-crawler.ts:538 default
+    user_agent: str = "*"
+    keep_fragment: bool = False
+    max_steps: int = 10_000
+    validate_images: bool = False  # run the PSNR/caption validator per fetch
+    seed: int = 42
+
+
+FETCH_LOG_SCHEMA = (
+    "step int, url string, unique_key string, url_hash long, host string, "
+    "bucket int, order_no long, depth int, retry_count int, status string"
+)
+
+METRICS_SCHEMA = (
+    "step int, bucket int, host string, handled long, failed long, "
+    "retried long, robots_dead long"
+)
+
+
+class CrawlEngine:
+    """Owns the work dir: frontier/, politeness snapshot, fetch_log/,
+    metrics/, results/, crawl_state.json."""
+
+    def __init__(self, spark: SparkSession, workdir: str, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg or CrawlConfig()
+        self.frontier = FrontierTable(spark, os.path.join(workdir, "frontier"),
+                                      self.cfg.num_buckets)
+        self.fetch_log = AppendTable(spark, os.path.join(workdir, "fetch_log"))
+        self.metrics = AppendTable(spark, os.path.join(workdir, "metrics"))
+        self.results = AppendTable(spark, os.path.join(workdir, "results"))
+        self.state_path = os.path.join(workdir, "crawl_state.json")
+        self.step = 0
+        self.handled_count = 0
+        self.politeness_rows: list[tuple[str, int]] = []  # (host, next_allowed_step)
+
+    # -- state / resume -----------------------------------------------------
+
+    def _save_state(self) -> None:
+        _atomic_write(self.state_path, json.dumps({
+            "step": self.step,
+            "handled_count": self.handled_count,
+            "politeness": self.politeness_rows,
+        }))
+
+    def _load_state(self) -> bool:
+        if not os.path.exists(self.state_path):
+            return False
+        with open(self.state_path) as f:
+            s = json.load(f)
+        self.step = s["step"]
+        self.handled_count = s["handled_count"]
+        self.politeness_rows = [tuple(x) for x in s["politeness"]]
+        return True
+
+    @classmethod
+    def resume(cls, spark: SparkSession, workdir: str, cfg: CrawlConfig | None = None) -> "CrawlEngine":
+        """Resume from the latest snapshots (north_rule: resumable from any
+        checkpoint). Leases don't exist — a superstep either committed fully
+        or its snapshot was never flipped, so no lock expiry is needed."""
+        eng = cls(spark, workdir, cfg)
+        if not eng.frontier.exists():
+            raise FileNotFoundError(f"no frontier at {workdir}")
+        eng._load_state()
+        return eng
+
+    # -- setup --------------------------------------------------------------
+
+    def add_seeds(self, seeds: DataFrame) -> dict[str, Any]:
+        if not self.frontier.exists():
+            FrontierTable.create(self.spark, self.frontier.table.root, self.cfg.num_buckets)
+        res = self.frontier.add_requests(seeds, step=0, keep_fragment=self.cfg.keep_fragment)
+        self._save_state()
+        return res
+
+    # -- one superstep ------------------------------------------------------
+
+    def _politeness_df(self) -> DataFrame | None:
+        if not self.politeness_rows:
+            return None
+        return self.spark.createDataFrame(
+            self.politeness_rows, "host string, next_allowed_step int"
+        )
+
+    def run_superstep(self, corpus: DataFrame, robots: DataFrame | None = None) -> dict[str, Any]:
+        """Execute one superstep; returns its stats. ``corpus`` must carry
+        url, html (+ the input_hint payload columns when validate_images)."""
+        cfg = self.cfg
+        step = self.step + 1
+        stats = {"step": step, "fetched": 0, "handled": 0, "failed": 0,
+                 "retried": 0, "robots_dead": 0, "enqueued": 0}
+
+        pending = self.frontier.pending().persist()
+        try:
+            if pending.isEmpty():
+                self.step = step
+                self._save_state()
+                stats["empty"] = True
+                return stats
+
+            # 1. robots sweep (disallowed pending -> dead)
+            host_delays = None
+            disallowed = None
+            if robots is not None:
+                allowed, disallowed = robots_op.filter_allowed(pending, robots, cfg.user_agent)
+                allowed = allowed.persist()
+                disallowed = disallowed.persist()
+                stats["robots_dead"] = disallowed.count()
+                delays = robots_op.crawl_delays_py(
+                    [r.asDict() for r in robots.collect()], cfg.user_agent
+                )
+                if delays:
+                    host_delays = self.spark.createDataFrame(
+                        list(delays.items()), "host string, crawl_delay double"
+                    )
+            else:
+                allowed = pending
+
+            # 2. politeness + budget selection
+            fetch_set = pol.select_fetch_set(
+                allowed, step, cfg.politeness,
+                politeness_state=self._politeness_df(),
+                host_delays=host_delays,
+                handled_so_far=self.handled_count,
+            ).persist()
+            n_fetch = fetch_set.count()
+            stats["fetched"] = n_fetch
+
+            if n_fetch == 0 and (stats["robots_dead"] == 0):
+                self.step = step
+                self._save_state()
+                return stats
+
+            # 3. deterministic fetch: canonical-hash join against the corpus.
+            # Column-prune the corpus: scheduling never reads bytes (decisive
+            # at image scale, SURVEY.md §4) — only html for extraction.
+            corpus_keyed = corpus.withColumn(
+                "_ck", urls.unique_key(F.col("url"))
+            ).select(
+                urls.url_hash(F.col("_ck")).alias("url_hash"),
+                F.col("html").alias("_html"),
+            )
+            fetched = fetch_set.join(corpus_keyed, on="url_hash", how="left")
+            success_col = F.col("_html").isNotNull() & cfg.failures.success_col()
+            fetched = fetched.withColumn("_success", success_col).persist()
+
+            successes = fetched.filter(F.col("_success"))
+            failures = fetched.filter(~F.col("_success"))
+
+            # 4. extract + enqueueLinks on successes
+            new_reqs = None
+            pages = successes.select("url", F.col("_html").alias("html"), "depth")
+            links = enqueue_links(pages, cfg.enqueue)
+            new_reqs = make_requests(links, step, cfg.num_buckets, cfg.keep_fragment).persist()
+
+            # 5. failure split: retry vs dead
+            can_retry = (~F.col("no_retry")) & (F.col("retry_count") < cfg.max_retries)
+            err_col = F.when(F.col("_html").isNull(), F.lit("404-not-found")).otherwise(
+                F.lit("fetch-failed")
+            )
+            retries = failures.filter(can_retry).select("url_hash", err_col.alias("error"))
+            deads = failures.filter(~can_retry).select("url_hash", err_col.alias("error"))
+
+            # 6. ONE combined frontier commit for all touched buckets
+            handled_keys = successes.select("url_hash", "bucket")
+            touched = sorted({
+                r["bucket"]
+                for df in (fetch_set, new_reqs, *(d for d in [disallowed] if d is not None))
+                for r in df.select("bucket").distinct().collect()
+            })
+            existing = self.frontier.read(buckets=touched)
+
+            marks = handled_keys.select("url_hash").withColumn("_mark", F.lit("handled"))
+            marks = marks.unionByName(
+                retries.select("url_hash").withColumn("_mark", F.lit("retry"))
+            ).unionByName(deads.select("url_hash").withColumn("_mark", F.lit("dead")))
+            if disallowed is not None:
+                marks = marks.unionByName(
+                    disallowed.select("url_hash").withColumn("_mark", F.lit("robots"))
+                )
+            errs = retries.unionByName(deads).withColumnRenamed("error", "_err")
+
+            new_order = order_no_expr(step, F.lit(False)).cast("long")
+            updated = (
+                existing.join(marks, on="url_hash", how="left")
+                .join(errs, on="url_hash", how="left")
+                .withColumn(
+                    "handled_step",
+                    F.when(F.col("_mark").isin("handled", "dead", "robots"), F.lit(step))
+                    .otherwise(F.col("handled_step")),
+                )
+                .withColumn(
+                    "order_no",
+                    F.when(F.col("_mark").isin("handled", "dead", "robots"),
+                           F.lit(None).cast("long"))
+                    .when(F.col("_mark") == "retry", new_order)
+                    .otherwise(F.col("order_no")),
+                )
+                .withColumn(
+                    "retry_count",
+                    F.when(F.col("_mark") == "retry", F.col("retry_count") + 1)
+                    .otherwise(F.col("retry_count")),
+                )
+                .withColumn(
+                    "forefront",
+                    F.when(F.col("_mark") == "retry", F.lit(False))
+                    .otherwise(F.col("forefront")),
+                )
+                .withColumn(
+                    "error",
+                    F.when(F.col("_mark") == "robots", F.lit("robots-disallowed"))
+                    .when(F.col("_mark").isin("retry", "dead"), F.col("_err"))
+                    .otherwise(F.col("error")),
+                )
+                .drop("_mark", "_err")
+            )
+            fresh = merge_new_requests(existing, new_reqs)
+            new_content = updated.unionByName(fresh.select(*updated.columns))
+
+            n_handled = successes.count()
+            n_retried = fetched.filter(~F.col("_success")).filter(can_retry).count()
+            n_dead = n_fetch - n_handled - n_retried
+            stats.update(handled=n_handled, retried=n_retried, failed=n_dead)
+            stats["enqueued"] = new_reqs.count()
+
+            self.frontier.table.commit_buckets(
+                new_content, "superstep",
+                {"step": step, **{k: v for k, v in stats.items() if k != "step"}},
+            )
+
+            # 7. fetch log + metrics (per-partition metrics per north_rule)
+            log = fetched.select(
+                F.lit(step).alias("step"), "url", "unique_key", "url_hash", "host",
+                "bucket", "order_no", "depth", "retry_count",
+                F.when(F.col("_success"), F.lit("ok"))
+                .when(F.col("_html").isNull(), F.lit("404-not-found"))
+                .otherwise(F.lit("fetch-failed")).alias("status"),
+            )
+            self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
+                                               FETCH_LOG_SCHEMA.split(",")]),
+                                  {"step": step})
+            m = (
+                fetched.groupBy("bucket", "host")
+                .agg(
+                    F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
+                    F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
+                    F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
+                )
+                .withColumn("step", F.lit(step))
+                .withColumn("robots_dead", F.lit(0).cast("long"))
+                .select("step", "bucket", "host", "handled", "failed", "retried", "robots_dead")
+            )
+            self.metrics.append(m, {"step": step})
+
+            # 8. image validation results (input_hint invariant) per fetch
+            if cfg.validate_images:
+                from crawlee_spark.functions.images import validate_pages
+
+                payload = corpus.withColumn("_ck", urls.unique_key(F.col("url"))).select(
+                    urls.url_hash(F.col("_ck")).alias("url_hash"),
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                )
+                fetched_payload = successes.select("url_hash").join(payload, "url_hash")
+                v = validate_pages(fetched_payload, seed=cfg.seed).withColumn(
+                    "step", F.lit(step)
+                )
+                self.results.append(v, {"step": step})
+
+            # 9. politeness advance (driver-side dict — O(delayed hosts))
+            delay_by_host = {}
+            if robots is not None:
+                delay_by_host = robots_op.crawl_delays_py(
+                    [r.asDict() for r in robots.collect()], cfg.user_agent
+                )
+            touched_hosts = [r["host"] for r in fetched.select("host").distinct().collect()]
+            na = dict(self.politeness_rows)
+            na = {h: s for h, s in na.items() if s > step}
+            for h in touched_hosts:
+                d = cfg.politeness.delay_steps(delay_by_host.get(h))
+                if d > 0:
+                    na[h] = step + d
+            self.politeness_rows = sorted(na.items())
+
+            self.handled_count += n_handled + n_dead
+            self.step = step
+            self._save_state()
+            return stats
+        finally:
+            pending.unpersist()
+            for df in ("allowed", "disallowed", "fetch_set", "fetched", "new_reqs"):
+                obj = locals().get(df)
+                try:
+                    if obj is not None and hasattr(obj, "unpersist"):
+                        obj.unpersist()
+                except Exception:
+                    pass
+
+    # -- the crawl loop -----------------------------------------------------
+
+    def run(self, corpus: DataFrame, robots: DataFrame | None = None,
+            seeds: DataFrame | None = None) -> dict[str, Any]:
+        cfg = self.cfg
+        if seeds is not None:
+            self.add_seeds(seeds)
+        totals = {"supersteps": 0, "handled": 0, "failed": 0, "retried": 0,
+                  "robots_dead": 0, "enqueued": 0}
+        while self.step < cfg.max_steps:
+            if cfg.politeness.max_requests_per_crawl is not None and \
+               self.handled_count >= cfg.politeness.max_requests_per_crawl:
+                break
+            st = self.run_superstep(corpus, robots)
+            if st.get("empty"):
+                break
+            totals["supersteps"] += 1
+            for k in ("handled", "failed", "retried", "robots_dead", "enqueued"):
+                totals[k] += st[k]
+            if st["fetched"] == 0 and st["robots_dead"] == 0:
+                # nothing eligible: keep ticking only while a politeness
+                # window is still ahead of us; else no progress is possible
+                max_wait = max((s for _, s in self.politeness_rows), default=0)
+                if self.step > max_wait:
+                    break
+        totals["steps"] = self.step
+        totals["handled_count"] = self.handled_count
+        return totals
+
+    # -- outputs ------------------------------------------------------------
+
+    def crawl_order(self) -> list[tuple[int, str]]:
+        """(step, unique_key) of successful fetches in canonical order —
+        directly comparable to SimResult.crawl_order."""
+        if not self.fetch_log.exists():
+            return []
+        rows = (
+            self.fetch_log.read()
+            .filter(F.col("status") == "ok")
+            .select("step", "unique_key", "order_no", "depth", "url_hash")
+            .orderBy("step", "order_no", "depth", "url_hash")
+            .collect()
+        )
+        return [(r["step"], r["unique_key"]) for r in rows]
+
+    def url_seen(self) -> set[str]:
+        return {r["unique_key"] for r in self.frontier.read().select("unique_key").collect()}

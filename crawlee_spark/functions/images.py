@@ -1,0 +1,224 @@
+"""Image decode / validation as vectorized Arrow UDFs (input_hint contract).
+
+`BASELINE.json` `input_hint`: payload table columns
+``(image_id, bytes:binary, w, h, fmt, caption, phash:long)``; per-row
+invariant vs the reference pixels = decoded-pixel allclose, PSNR >= 40 dB for
+lossy formats, caption equality; all through vectorized pandas/Arrow UDFs —
+no per-row Python objects crossing the JVM boundary.
+
+The reference repo (Crawlee) has no image pipeline — this is the north_rule
+addition (SURVEY.md §2.8 last row). The *Spark* side here is fully real:
+binary columns in Arrow batches, `mapInPandas` decode, vectorized PSNR.
+
+DETERMINISTIC STAND-IN CODEC — CLEARLY MARKED: PIL/libjpeg/libpng are not
+installed in this container, so the byte formats are stand-ins with the same
+*shape* as real codecs:
+
+- ``fmt='png'``  -> ``b'FPNG' + zlib(raw RGB bytes)``          (lossless)
+- ``fmt='jpeg'`` -> ``b'FJPG' + zlib(quantized RGB bytes)``    (lossy)
+
+The jpeg path quantizes each channel to steps of 4 (max abs error 3,
+MSE <= ~4.1, PSNR ~= 42-47 dB — always above the 40 dB bound, and genuinely
+lossy so the PSNR branch is exercised). Swapping real codecs in = replacing
+``encode_image`` / ``decode_image`` bodies; every Spark call site stays.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+_MAGIC_PNG = b"FPNG"
+_MAGIC_JPG = b"FJPG"
+_JPEG_Q = 4  # quantization step of the lossy stand-in
+
+
+class ImageFormatError(ValueError):
+    pass
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array with the stand-in codec."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ImageFormatError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
+    if fmt == "png":
+        return _MAGIC_PNG + zlib.compress(pixels.tobytes(), 6)
+    if fmt == "jpeg":
+        q = (pixels.astype(np.int16) // _JPEG_Q * _JPEG_Q + _JPEG_Q // 2).clip(0, 255)
+        return _MAGIC_JPG + zlib.compress(q.astype(np.uint8).tobytes(), 6)
+    raise ImageFormatError(f"unsupported fmt {fmt!r}")
+
+
+def decode_image(blob: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode stand-in bytes back to (h, w, 3) uint8. Raises on corrupt input."""
+    magic = _MAGIC_PNG if fmt == "png" else _MAGIC_JPG if fmt == "jpeg" else None
+    if magic is None:
+        raise ImageFormatError(f"unsupported fmt {fmt!r}")
+    if not blob.startswith(magic):
+        raise ImageFormatError(f"bad magic for fmt {fmt!r}")
+    raw = zlib.decompress(blob[len(magic):])
+    if len(raw) != w * h * 3:
+        raise ImageFormatError(f"size mismatch: {len(raw)} != {w}*{h}*3")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """10*log10(MAX^2 / MSE); inf when identical."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash_pixels(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit perceptual-hash-style digest: mean-threshold over an 8x8
+    block-downsampled grayscale (stable function of decoded pixels; signed
+    int64 so it round-trips through a Spark ``long`` column)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    cells = np.empty((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            cells[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Spark-side validators (mapInPandas over Arrow batches)
+# ---------------------------------------------------------------------------
+
+VALIDATE_SCHEMA = (
+    "image_id string, ok boolean, psnr_db double, phash_match boolean, "
+    "caption_match boolean, error string"
+)
+
+
+def make_validator(seed: int = 42, psnr_min: float = 40.0):
+    """Build a mapInPandas function validating fetched pages against the
+    reference pixel generator (input_hint invariant).
+
+    Input batches need columns: image_id, bytes, w, h, fmt, caption, phash.
+    The reference pixels are re-derived from (seed, page index) — parsed from
+    ``image_id`` = ``img-{i:012d}`` — so the validator is self-contained on
+    executors (no driver data, no shuffle).
+    """
+    from crawlee_spark.datagen import gen_caption, gen_page_pixels
+
+    def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "ok", "psnr_db", "phash_match", "caption_match", "error")}
+            for image_id, blob, w, h, fmt, caption, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"], pdf["caption"], pdf["phash"],
+            ):
+                err = None
+                p_db = float("nan")
+                ph_ok = cap_ok = ok = False
+                try:
+                    i = int(image_id.split("-")[1])
+                    decoded = decode_image(bytes(blob), fmt, int(w), int(h))
+                    ref = gen_page_pixels(seed, i, int(w), int(h))
+                    p_db = psnr(decoded, ref)
+                    if fmt == "png":
+                        pix_ok = bool(np.array_equal(decoded, ref))
+                    else:
+                        pix_ok = p_db >= psnr_min
+                    ph_ok = phash_pixels(decoded) == int(ph)
+                    cap_ok = caption == gen_caption(seed, i)
+                    ok = pix_ok and ph_ok and cap_ok
+                except Exception as e:  # corrupt blob -> row-level error, not task death
+                    err = f"{type(e).__name__}: {e}"
+                out["image_id"].append(image_id)
+                out["ok"].append(ok)
+                out["psnr_db"].append(p_db)
+                out["phash_match"].append(ph_ok)
+                out["caption_match"].append(cap_ok)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return validate
+
+
+def validate_pages(df, seed: int = 42, psnr_min: float = 40.0):
+    """df(image_id, bytes, w, h, fmt, caption, phash, ...) -> validation df.
+
+    Column-prunes before the UDF so only needed columns cross the Arrow
+    boundary (decisive when the frame also carries html or other payloads).
+    """
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return df.select(*cols).mapInPandas(make_validator(seed, psnr_min), VALIDATE_SCHEMA)
+
+
+FEATURE_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "luma_std double, phash long"
+)
+
+
+def extract_features(df, feature_grid: int = 8):
+    """Vectorized image feature extraction (decode -> channel means, luma std,
+    phash) via mapInPandas — the 'feature-extract' stage of a training-data
+    pipeline. Real deep-feature extractors slot into the same UDF shape."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "mean_r", "mean_g", "mean_b", "luma_std", "phash")}
+            for image_id, blob, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_image(bytes(blob), fmt, int(w), int(h)).astype(np.float64)
+                except Exception:
+                    out["image_id"].append(image_id)
+                    for k in ("mean_r", "mean_g", "mean_b", "luma_std"):
+                        out[k].append(float("nan"))
+                    out["phash"].append(0)
+                    continue
+                out["image_id"].append(image_id)
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["luma_std"].append(float(px.mean(axis=2).std()))
+                out["phash"].append(phash_pixels(px.astype(np.uint8), feature_grid))
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def resize_images(df, out_w: int, out_h: int):
+    """Nearest-neighbor resize as a mapInPandas stage (decode→resize→re-encode).
+
+    Demonstrates the multimodal transform plumbing: binary in, binary out,
+    schema ``image_id string, bytes binary, w int, h int, fmt string``.
+    """
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            for image_id, blob, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = decode_image(bytes(blob), fmt, int(w), int(h))
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = px[yi][:, xi]
+                out["image_id"].append(image_id)
+                out["bytes"].append(encode_image(resized, "png"))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append("png")
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(do_resize, schema)

@@ -1,0 +1,257 @@
+"""enqueueLinks: the map/filter/project stage of the crawl (SURVEY.md §2.5).
+
+Reproduces the reference pipeline (``packages/core/src/enqueue_links/
+enqueue_links.ts:235-384``):
+
+  extract (pandas UDF)  ->  explode  ->  validity filter  ->  user transform
+  ->  include(globs|regexps) first-match  ->  exclude any-match
+  ->  EnqueueStrategy scope filter (all | same-hostname | same-domain |
+      same-origin; default same-hostname when no user patterns,
+      ``enqueue_links.ts:314-316``)  ->  limit  ->  frontier rows
+
+Everything after extraction is JVM-side column logic (rlike on
+driver-compiled regexes, eTLD+1 via functions.urls.registrable_domain) —
+whole-stage codegen, no Python in the filter chain. Extraction itself is an
+Arrow-batched ``mapInPandas`` emitting ``array<string>`` then ``explode``
+(SURVEY.md §2.5 row 1).
+
+Scale: the extract UDF processes Arrow batches of (url, html) and column-
+prunes everything else; explode fan-out (~8 links/page) happens before the
+narrow filters so Catalyst pushes the cheap string predicates below the
+frontier MERGE shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions import urls
+from crawlee_spark.functions.html import extract_links
+
+# -- strategies (``enqueue_links.ts:177-209``) ------------------------------
+
+STRATEGY_ALL = "all"
+STRATEGY_SAME_HOSTNAME = "same-hostname"
+STRATEGY_SAME_DOMAIN = "same-domain"
+STRATEGY_SAME_ORIGIN = "same-origin"
+
+
+def glob_to_regex(glob: str) -> str:
+    """minimatch-flavored glob -> anchored regex (case-insensitive at use).
+
+    ``**`` crosses ``/``; ``*`` and ``?`` do not (minimatch defaults, used
+    case-insensitively per ``shared.ts:64-70``).
+    """
+    out = []
+    i = 0
+    while i < len(glob):
+        c = glob[i]
+        if c == "*":
+            if glob[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c in ".^$+{}()|[]\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+@dataclass
+class EnqueueLinksOptions:
+    """Mirror of the reference option surface (``enqueue_links.ts:40-175``)."""
+
+    strategy: str = STRATEGY_SAME_HOSTNAME
+    globs: list[str] = field(default_factory=list)
+    regexps: list[str] = field(default_factory=list)
+    exclude_globs: list[str] = field(default_factory=list)
+    exclude_regexps: list[str] = field(default_factory=list)
+    limit: int | None = None
+    forefront: bool = False
+    label: str | None = None
+    # DataFrame -> DataFrame user hook (transformRequestFunction analog,
+    # ``shared.ts:258-264``) applied between validity filter and patterns.
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+    @property
+    def user_patterns(self) -> bool:
+        return bool(self.globs or self.regexps)
+
+    def include_regexes(self) -> list[str]:
+        return [glob_to_regex(g) for g in self.globs] + list(self.regexps)
+
+    def exclude_regexes(self) -> list[str]:
+        return [glob_to_regex(g) for g in self.exclude_globs] + list(self.exclude_regexps)
+
+
+# -- extraction UDF ---------------------------------------------------------
+
+_EXTRACT_SCHEMA = "url string, depth int, link string, rel_order int"
+
+
+def extract_links_df(fetched: DataFrame) -> DataFrame:
+    """(url, html, depth, ...) -> one row per extracted absolute link.
+
+    ``rel_order`` preserves document order (the reference enqueues in
+    document order; our canonical sort makes intra-batch order irrelevant for
+    the frontier, but rel_order keeps extraction testable on its own).
+    """
+
+    def do_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "depth": [], "link": [], "rel_order": []}
+            for url, html, depth in zip(pdf["url"], pdf["html"], pdf["depth"]):
+                for j, link in enumerate(extract_links(url, html or "")):
+                    rows["url"].append(url)
+                    rows["depth"].append(int(depth))
+                    rows["link"].append(link)
+                    rows["rel_order"].append(j)
+            yield pd.DataFrame(rows)
+
+    return fetched.select("url", "html", "depth").mapInPandas(do_extract, _EXTRACT_SCHEMA)
+
+
+# -- scope / pattern filters (pure column logic) ----------------------------
+
+
+def _any_match(col, regexes: list[str]):
+    """OR of case-insensitive rlike over driver-compiled patterns."""
+    cond = F.lit(False)
+    for r in regexes:
+        cond = cond | col.rlike(f"(?i){r}")
+    return cond
+
+
+def strategy_filter(link, base_url, strategy: str):
+    """Scope predicate comparing the candidate link against its source page.
+
+    - same-hostname: identical lowercased host (default strategy)
+    - same-domain: identical eTLD+1 (tldts getDomain analog)
+    - same-origin: identical scheme://host[:port]
+    - all: http(s) only (validity filter already guarantees that)
+    (``enqueue_links.ts:177-209, 314-358``; http/https widening of origin
+    globs at :445-447 means same-hostname ignores the scheme.)
+    """
+    if strategy == STRATEGY_ALL:
+        return F.lit(True)
+    link_host = urls.host_of(link)
+    base_host = urls.host_of(base_url)
+    if strategy == STRATEGY_SAME_HOSTNAME:
+        return link_host == base_host
+    if strategy == STRATEGY_SAME_DOMAIN:
+        return urls.registrable_domain(link_host) == urls.registrable_domain(base_host)
+    if strategy == STRATEGY_SAME_ORIGIN:
+        return urls.origin_of(link) == urls.origin_of(base_url)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None) -> DataFrame:
+    """Full pipeline: fetched pages -> candidate request rows (url, depth,
+    forefront, label), ready for ``frontier.make_requests`` + MERGE.
+
+    AND-composition order matches the reference: user include patterns first,
+    then strategy scope (``enqueue_links.ts:366-376``); excludes are
+    evaluated before includes (``shared.ts:148-161``); default strategy
+    applies only when no user patterns were given (``:314-316``).
+    """
+    opt = options or EnqueueLinksOptions()
+    links = extract_links_df(fetched)
+
+    out = links
+    excl = opt.exclude_regexes()
+    if excl:
+        out = out.filter(~_any_match(F.col("link"), excl))
+    if opt.user_patterns:
+        out = out.filter(_any_match(F.col("link"), opt.include_regexes()))
+        # reference: explicit patterns replace the default strategy, but an
+        # explicitly-set strategy still ANDs in (filterRequestsByPatterns)
+        if opt.strategy != STRATEGY_SAME_HOSTNAME or opt.strategy == STRATEGY_ALL:
+            out = out.filter(strategy_filter(F.col("link"), F.col("url"), opt.strategy))
+    else:
+        out = out.filter(strategy_filter(F.col("link"), F.col("url"), opt.strategy))
+
+    out = out.select(
+        F.col("link").alias("url"),
+        (F.col("depth") + 1).alias("depth"),
+        F.lit(opt.forefront).alias("forefront"),
+        F.lit(opt.label).cast("string").alias("label"),
+        "rel_order",
+    )
+    if opt.transform is not None:
+        out = opt.transform(out)
+    if opt.limit is not None:
+        out = out.limit(opt.limit)
+    return out.drop("rel_order")
+
+
+# -- pure-Python mirror (simulator spec) ------------------------------------
+
+
+def enqueue_links_py(
+    page_url: str,
+    html: str,
+    depth: int,
+    options: EnqueueLinksOptions | None = None,
+) -> list[dict]:
+    """Identical semantics, one page at a time (the simulator's version).
+
+    transform hooks are DataFrame-shaped and not supported here; simulator
+    configs that use them must supply a row-level equivalent separately.
+    """
+    from crawlee_spark.functions.urls import host_of_py, registrable_domain_py
+
+    opt = options or EnqueueLinksOptions()
+    incl = [re.compile(r, re.I) for r in opt.include_regexes()]
+    excl = [re.compile(r, re.I) for r in opt.exclude_regexes()]
+
+    def in_scope(link: str) -> bool:
+        if opt.strategy == STRATEGY_ALL:
+            return True
+        lh, bh = host_of_py(link), host_of_py(page_url)
+        if lh is None or bh is None:
+            return False
+        if opt.strategy == STRATEGY_SAME_HOSTNAME:
+            return lh == bh
+        if opt.strategy == STRATEGY_SAME_DOMAIN:
+            return registrable_domain_py(lh) == registrable_domain_py(bh)
+        if opt.strategy == STRATEGY_SAME_ORIGIN:
+            from crawlee_spark.functions.urls import canonicalize_py
+
+            def origin(u):
+                c = canonicalize_py(u) or ""
+                m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)", c)
+                return m.group(1) if m else ""
+
+            return origin(link) == origin(page_url)
+        raise ValueError(opt.strategy)
+
+    out = []
+    for link in extract_links(page_url, html or ""):
+        if excl and any(p.search(link) for p in excl):
+            continue
+        if opt.user_patterns:
+            if not any(p.search(link) for p in incl):
+                continue
+            if opt.strategy == STRATEGY_ALL or opt.strategy != STRATEGY_SAME_HOSTNAME:
+                if not in_scope(link):
+                    continue
+        elif not in_scope(link):
+            continue
+        out.append(
+            {"url": link, "depth": depth + 1, "forefront": opt.forefront, "label": opt.label}
+        )
+        if opt.limit is not None and len(out) >= opt.limit:
+            break
+    return out

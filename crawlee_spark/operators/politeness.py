@@ -1,0 +1,173 @@
+"""Politeness + budget: fetch-set selection for one superstep (SURVEY.md §2.6).
+
+Reference semantics reproduced:
+
+- ``sameDomainDelaySecs`` (``basic-crawler.ts:232-235, 1111-1138``): per
+  registrable-domain spacing — a domain fetched at t is not eligible again
+  until t + delay. In the BSP engine, logical time is the superstep counter;
+  a delay of d seconds with superstep duration s maps to ``ceil(d / s)``
+  supersteps. State: ``politeness(host, next_allowed_step)``.
+- ``maxRequestsPerMinute`` (``autoscaled_pool.ts:126, 689-703``): sliding
+  60x1s-bucket global budget -> per-superstep global cap
+  ``max_per_step = maxPerMinute * step_secs / 60``.
+- ``maxRequestsPerCrawl`` (``basic-crawler.ts:247-251``): stop dispatch once
+  handled count reaches the cap; the final superstep batch is trimmed.
+- per-host concurrency (AutoscaledPool substitute): ``max_per_host_per_step``
+  rows per host per superstep — with a positive domain delay this is forced
+  to 1 per delay window, mirroring the serialized per-domain execution of
+  ``delayRequest``.
+
+Selection is deterministic: rank by the canonical frontier order
+(order_no, depth, url_hash) within each host partition, take per-host budget,
+then take the global budget by the same total order.
+
+Scale: per-host ranking is ``Window.partitionBy(host)`` — shuffles only the
+*pending candidate* rows (already bucket-pruned), never the full frontier.
+The global cap is a TakeOrdered (no single-partition window). Politeness
+state is tiny (one row per active host) and broadcast into the selection.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.frontier import ORDER_COLS
+
+
+@dataclass
+class PolitenessConfig:
+    same_domain_delay_secs: float = 0.0
+    max_requests_per_minute: float | None = None
+    max_requests_per_crawl: int | None = None
+    max_per_host_per_step: int = 2**31 - 1
+    step_secs: float = 1.0  # logical superstep duration
+
+    def delay_steps(self, crawl_delay_secs: float | None = None) -> int:
+        """Effective per-host spacing in supersteps (max of config and
+        robots crawl-delay, per BASELINE.md politeness row)."""
+        d = self.same_domain_delay_secs
+        if crawl_delay_secs:
+            d = max(d, crawl_delay_secs)
+        return math.ceil(d / self.step_secs) if d > 0 else 0
+
+    def host_budget(self, crawl_delay_secs: float | None = None) -> int:
+        if self.delay_steps(crawl_delay_secs) > 0:
+            return 1  # serialized per-domain execution under a delay
+        return self.max_per_host_per_step
+
+    def global_budget(self) -> int | None:
+        if self.max_requests_per_minute is None:
+            return None
+        return max(1, int(self.max_requests_per_minute * self.step_secs / 60.0))
+
+
+def _order_cols():
+    return [F.col(c).asc() for c in ORDER_COLS]
+
+
+def select_fetch_set(
+    pending: DataFrame,
+    step: int,
+    cfg: PolitenessConfig,
+    politeness_state: DataFrame | None = None,
+    host_delays: DataFrame | None = None,
+    handled_so_far: int = 0,
+) -> DataFrame:
+    """The superstep's fetch set under politeness + budgets.
+
+    ``pending``: frontier rows with order_no IS NOT NULL.
+    ``politeness_state``: (host, next_allowed_step) or None.
+    ``host_delays``: (host, crawl_delay) from robots, or None.
+    Returns rows of ``pending`` (all columns) selected for this superstep.
+    """
+    c = pending
+    # 1. host eligibility by politeness state
+    if politeness_state is not None:
+        ps = politeness_state.select("host", "next_allowed_step")
+        c = c.join(F.broadcast(ps), on="host", how="left").filter(
+            F.col("next_allowed_step").isNull() | (F.col("next_allowed_step") <= step)
+        ).drop("next_allowed_step")
+
+    # 2. per-host budget (robots crawl-delay can force budget 1)
+    if host_delays is not None:
+        c = c.join(F.broadcast(host_delays.select("host", "crawl_delay")), on="host", how="left")
+        budget_col = F.when(
+            (F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
+            | F.lit(cfg.delay_steps() > 0),
+            F.lit(1),
+        ).otherwise(F.lit(cfg.max_per_host_per_step))
+    else:
+        budget_col = F.lit(cfg.host_budget())
+        c = c.withColumn("crawl_delay", F.lit(None).cast("double"))
+
+    w = Window.partitionBy("host").orderBy(*_order_cols())
+    c = (
+        c.withColumn("_hrank", F.row_number().over(w))
+        .filter(F.col("_hrank") <= budget_col)
+        .drop("_hrank", "crawl_delay")
+    )
+
+    # 3. global budgets: rate cap + remaining crawl cap, by canonical order
+    caps = []
+    g = cfg.global_budget()
+    if g is not None:
+        caps.append(g)
+    if cfg.max_requests_per_crawl is not None:
+        caps.append(max(0, cfg.max_requests_per_crawl - handled_so_far))
+    if caps:
+        k = min(caps)
+        if k == 0:
+            return c.filter(F.lit(False))
+        # TakeOrderedAndProject — scalable global top-k, no 1-partition window
+        c = c.orderBy(*_order_cols()).limit(k)
+    return c
+
+
+def advance_politeness(
+    state: DataFrame | None,
+    fetched_hosts: DataFrame,
+    step: int,
+    cfg: PolitenessConfig,
+    spark=None,
+) -> DataFrame:
+    """New politeness state after fetching ``fetched_hosts`` (host,
+    crawl_delay?) at ``step``: next_allowed_step = step + delay_steps(host).
+
+    Hosts with zero effective delay carry no state row (keeps the dim tiny:
+    O(hosts-with-delay), broadcastable at any scale)."""
+    fh = fetched_hosts
+    if "crawl_delay" not in fh.columns:
+        fh = fh.withColumn("crawl_delay", F.lit(None).cast("double"))
+    base_delay = F.lit(float(cfg.same_domain_delay_secs))
+    eff = F.greatest(F.coalesce(F.col("crawl_delay"), F.lit(0.0)), base_delay)
+    steps = F.ceil(eff / F.lit(float(cfg.step_secs))).cast("int")
+    new_rows = (
+        fh.select("host", steps.alias("_d"))
+        .filter(F.col("_d") > 0)
+        .groupBy("host")
+        .agg(F.max("_d").alias("_d"))
+        .select("host", (F.lit(step) + F.col("_d")).alias("next_allowed_step"))
+    )
+    if state is None:
+        return new_rows
+    kept = state.join(new_rows.select("host"), on="host", how="left_anti").filter(
+        F.col("next_allowed_step") > step  # expire stale rows
+    )
+    return kept.unionByName(new_rows)
+
+
+# -- observability: the sliding 60 s rate window over a fetch log -----------
+
+
+def requests_per_minute(fetch_log: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Sliding 60 s request-rate over a wall-clock fetch log
+    (``autoscaled_pool.ts:689-703`` analog, as a window agg)."""
+    w = (
+        Window.orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-59, Window.currentRow)
+    )
+    return fetch_log.withColumn("rpm", F.count("*").over(w))

@@ -1,0 +1,133 @@
+"""enqueueLinks pipeline: glob compilation, strategy scoping, include/exclude
+(reference matrix ``test/core/enqueue_links/enqueue_links.test.ts:89-996``),
+plus Spark-vs-pure-Python parity on the synthetic corpus."""
+
+from __future__ import annotations
+
+from crawlee_spark import datagen
+from crawlee_spark.operators.enqueue_links import (
+    STRATEGY_ALL,
+    STRATEGY_SAME_DOMAIN,
+    STRATEGY_SAME_HOSTNAME,
+    STRATEGY_SAME_ORIGIN,
+    EnqueueLinksOptions,
+    enqueue_links,
+    enqueue_links_py,
+    glob_to_regex,
+)
+
+import re
+
+PAGE = "https://a.example.com/p/1"
+HTML = (
+    '<a href="/p/2">same host</a>'
+    '<a href="https://b.example.com/p/3">same domain</a>'
+    '<a href="http://a.example.com/p/4">same host http</a>'
+    '<a href="https://other.net/p/5">foreign</a>'
+    '<a href="mailto:x@y.z">drop</a>'
+)
+
+
+def _urls(opt):
+    return [r["url"] for r in enqueue_links_py(PAGE, HTML, 0, opt)]
+
+
+def test_glob_to_regex():
+    rx = glob_to_regex("https://example.com/**")
+    assert re.match(rx, "https://example.com/a/b/c")
+    rx2 = glob_to_regex("https://example.com/*")
+    assert re.match(rx2, "https://example.com/a")
+    assert not re.match(rx2, "https://example.com/a/b")
+    rx3 = glob_to_regex("https://?.example.com/p/*")
+    assert re.match(rx3, "https://a.example.com/p/9")
+
+
+def test_strategy_same_hostname_default():
+    # default strategy ignores scheme (http{s,} widening, enqueue_links.ts:445-447)
+    assert _urls(EnqueueLinksOptions()) == [
+        "https://a.example.com/p/2",
+        "http://a.example.com/p/4",
+    ]
+
+
+def test_strategy_same_domain():
+    assert _urls(EnqueueLinksOptions(strategy=STRATEGY_SAME_DOMAIN)) == [
+        "https://a.example.com/p/2",
+        "https://b.example.com/p/3",
+        "http://a.example.com/p/4",
+    ]
+
+
+def test_strategy_same_origin():
+    assert _urls(EnqueueLinksOptions(strategy=STRATEGY_SAME_ORIGIN)) == [
+        "https://a.example.com/p/2",
+    ]
+
+
+def test_strategy_all():
+    assert _urls(EnqueueLinksOptions(strategy=STRATEGY_ALL)) == [
+        "https://a.example.com/p/2",
+        "https://b.example.com/p/3",
+        "http://a.example.com/p/4",
+        "https://other.net/p/5",
+    ]
+
+
+def test_user_globs_override_default_strategy():
+    # explicit patterns replace the default same-hostname scoping
+    opt = EnqueueLinksOptions(globs=["**other.net/**"])
+    assert _urls(opt) == ["https://other.net/p/5"]
+
+
+def test_exclude_before_include():
+    opt = EnqueueLinksOptions(
+        strategy=STRATEGY_ALL, exclude_globs=["**example.com/**"]
+    )
+    assert _urls(opt) == ["https://other.net/p/5"]
+
+
+def test_limit():
+    assert len(_urls(EnqueueLinksOptions(strategy=STRATEGY_ALL, limit=2))) == 2
+
+
+def test_spark_py_parity(spark):
+    """The Spark pipeline and the simulator mirror must produce identical
+    (url, depth) multisets for every strategy over the synthetic corpus."""
+    rows = list(datagen.gen_corpus_rows(40, 4, seed=42, with_bytes=False))
+    fetched = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"], "depth": 1} for r in rows],
+        "url string, html string, depth int",
+    )
+    for strategy in (STRATEGY_SAME_HOSTNAME, STRATEGY_SAME_DOMAIN,
+                     STRATEGY_SAME_ORIGIN, STRATEGY_ALL):
+        opt = EnqueueLinksOptions(strategy=strategy)
+        got = sorted(
+            (r["url"], r["depth"]) for r in enqueue_links(fetched, opt).collect()
+        )
+        want = sorted(
+            (o["url"], o["depth"])
+            for r in rows
+            for o in enqueue_links_py(r["url"], r["html"], 1, opt)
+        )
+        assert got == want, f"strategy={strategy}"
+
+
+def test_spark_patterns_parity(spark):
+    rows = list(datagen.gen_corpus_rows(30, 4, seed=7, with_bytes=False))
+    fetched = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"], "depth": 0} for r in rows],
+        "url string, html string, depth int",
+    )
+    opt = EnqueueLinksOptions(
+        globs=["**example.com/**"], exclude_regexps=[r"/p/1\d$"], forefront=True,
+        label="lbl",
+    )
+    got = sorted(
+        (r["url"], r["forefront"], r["label"]) for r in enqueue_links(fetched, opt).collect()
+    )
+    want = sorted(
+        (o["url"], o["forefront"], o["label"])
+        for r in rows
+        for o in enqueue_links_py(r["url"], r["html"], 0, opt)
+    )
+    assert got == want

@@ -1,0 +1,104 @@
+"""RFC 9309 robots semantics: longest-match, allow-on-tie, UA group pick,
+and Spark filter parity with the pure-Python matcher."""
+
+from __future__ import annotations
+
+from crawlee_spark.operators.robots import (
+    compile_rules,
+    crawl_delays_py,
+    filter_allowed,
+    is_allowed_py,
+    pattern_to_regex_py,
+)
+
+
+def _rules(rows):
+    return compile_rules(rows)
+
+
+def test_longest_match_wins():
+    rows = [
+        {"host": "h", "user_agent": "*", "rule": "disallow", "path_pattern": "/p/1"},
+        {"host": "h", "user_agent": "*", "rule": "allow", "path_pattern": "/p/12"},
+    ]
+    r = _rules(rows)
+    assert not is_allowed_py(r, "h", "/p/1")
+    assert not is_allowed_py(r, "h", "/p/10")
+    assert is_allowed_py(r, "h", "/p/12")
+    assert is_allowed_py(r, "h", "/p/123")  # longest match is the allow
+    assert is_allowed_py(r, "h", "/q")      # no match -> allowed
+
+
+def test_tie_allow_wins_and_wildcards():
+    rows = [
+        {"host": "h", "user_agent": "*", "rule": "disallow", "path_pattern": "/a*z"},
+        {"host": "h", "user_agent": "*", "rule": "allow", "path_pattern": "/a*b"},
+    ]
+    r = _rules(rows)
+    assert not is_allowed_py(r, "h", "/aXz")
+    # /a...zb matches both patterns (same length 4) -> allow wins on tie
+    assert is_allowed_py(r, "h", "/azb")
+
+
+def test_end_anchor():
+    rows = [{"host": "h", "user_agent": "*", "rule": "disallow", "path_pattern": "/x$"}]
+    r = _rules(rows)
+    assert not is_allowed_py(r, "h", "/x")
+    assert is_allowed_py(r, "h", "/xy")
+    assert pattern_to_regex_py("/x$") == "^/x$"
+
+
+def test_ua_group_selection():
+    rows = [
+        {"host": "h", "user_agent": "*", "rule": "disallow", "path_pattern": "/"},
+        {"host": "h", "user_agent": "mybot", "rule": "allow", "path_pattern": "/"},
+    ]
+    assert not is_allowed_py(compile_rules(rows, "otherbot"), "h", "/p")
+    assert is_allowed_py(compile_rules(rows, "mybot"), "h", "/p")
+
+
+def test_unknown_host_allowed():
+    assert is_allowed_py(_rules([]), "nowhere", "/")
+
+
+def test_crawl_delays():
+    rows = [
+        {"host": "h", "user_agent": "*", "rule": "allow", "path_pattern": "/", "crawl_delay": 2.0},
+        {"host": "h", "user_agent": "*", "rule": "allow", "path_pattern": "/x", "crawl_delay": 5.0},
+        {"host": "g", "user_agent": "*", "rule": "allow", "path_pattern": "/", "crawl_delay": None},
+    ]
+    assert crawl_delays_py(rows) == {"h": 5.0}
+
+
+def test_spark_filter_parity(spark):
+    rows = [
+        {"host": "a.com", "user_agent": "*", "rule": "disallow", "path_pattern": "/p/1", "crawl_delay": None},
+        {"host": "a.com", "user_agent": "*", "rule": "allow", "path_pattern": "/p/12", "crawl_delay": None},
+        {"host": "b.com", "user_agent": "*", "rule": "disallow", "path_pattern": "/", "crawl_delay": None},
+        {"host": "b.com", "user_agent": "mybot", "rule": "allow", "path_pattern": "/ok", "crawl_delay": None},
+    ]
+    robots = spark.createDataFrame(
+        rows, "host string, user_agent string, rule string, path_pattern string, crawl_delay double"
+    )
+    urls = [
+        "https://a.com/p/1", "https://a.com/p/10", "https://a.com/p/12",
+        "https://a.com/p/123", "https://a.com/q", "https://b.com/ok",
+        "https://b.com/no", "https://c.com/any", "https://a.com",
+    ]
+    cand = spark.createDataFrame(
+        [{"url": u, "host": u.split("/")[2]} for u in urls], "url string, host string"
+    )
+    for ua in ("*", "mybot"):
+        allowed, disallowed = filter_allowed(cand, robots, ua)
+        got_allowed = {r["url"] for r in allowed.collect()}
+        rules = compile_rules(rows, ua)
+        import re as _re
+
+        def path_of(u):
+            m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*", u)
+            p = u[m.end():]
+            return p or "/"
+
+        want_allowed = {u for u in urls if is_allowed_py(rules, u.split("/")[2], path_of(u))}
+        assert got_allowed == want_allowed, f"ua={ua}"
+        assert {r["url"] for r in disallowed.collect()} == set(urls) - want_allowed
