@@ -1,0 +1,134 @@
+"""Bench harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "frontier_urls_per_sec": ..., "cpus": ...}
+
+The frontier-throughput number is the north-star metric from BASELINE.json
+(URLs scheduled + deduped / sec on a synthetic seed batch: canonicalize →
+uniqueKey/xxhash64 → batch dedup → MERGE anti-join → per-host head select).
+Scaling evidence (local[8] vs local[32]) is produced by
+``scripts/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "url_canonicalize",
+    "url_dedup",
+    "frontier_head_select",
+    "politeness_budget",
+    "rate_window",
+    "stats_histogram",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_lsh",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "pricing_summary",
+    "topk_per_group",
+    "revenue_join",
+    "sessionize",
+]
+
+FRONTIER_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "2000000"))
+
+
+def frontier_throughput(spark, n_rows: int) -> tuple[float, int]:
+    """North-star microbench: schedule+dedup a synthetic n_rows URL batch.
+
+    Build: url over 1000 hosts with ~10% canonical duplicates (uppercase
+    variants) → normalize (canonicalize + xxhash64 + host bucket) →
+    batch dedup → anti-join MERGE against a 200k-row existing frontier →
+    per-host head selection (row_number ≤ 100). Everything JVM-side.
+    Returns (seconds, unique_urls_scheduled).
+    """
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.operators import politeness as pol
+    from crawlee_spark.operators.frontier import make_requests, merge_new_requests
+
+    host = F.concat(F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"),
+                    F.lit(".example.com"))
+    # ~10% duplicate keys: ids ending in 0 emit an UPPERCASE+slash variant of
+    # the previous id's URL (canonical-equal -> dedup must kill it)
+    base_id = F.when(F.col("id") % 10 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    base = F.concat(F.lit("https://"), host, F.lit("/p/"), base_id.cast("string"))
+    messy = F.when(
+        F.col("id") % 10 == 0,
+        F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/p/"),
+                 base_id.cast("string"), F.lit("/")),
+    ).otherwise(base)
+    raw = spark.range(n_rows).select(messy.alias("url"))
+
+    existing = (
+        spark.range(200_000)
+        .select(
+            F.concat(F.lit("https://"), F.concat(
+                F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"),
+                F.lit(".example.com")), F.lit("/seen/"), F.col("id").cast("string"))
+            .alias("url")
+        )
+    )
+    existing_norm = make_requests(existing, step=0, num_buckets=64)
+
+    t0 = time.time()
+    batch = make_requests(raw, step=1, num_buckets=64)
+    fresh = merge_new_requests(existing_norm, batch)
+    fetch_set = pol.select_fetch_set(
+        fresh, step=1, cfg=pol.PolitenessConfig(max_per_host_per_step=100)
+    )
+    n = fetch_set.count()
+    unique = batch.count()
+    dt = time.time() - t0
+    return dt, unique
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from crawlee_spark.plans.queries import QUERIES
+    from crawlee_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    ft_secs, ft_unique = frontier_throughput(spark, FRONTIER_BENCH_ROWS)
+    urls_per_sec = round(ft_unique / ft_secs, 1)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier_urls_per_sec": urls_per_sec,
+        "frontier_batch_rows": FRONTIER_BENCH_ROWS,
+        "frontier_secs": round(ft_secs, 3),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,11 @@ class CrawlConfig:
     max_steps: int = 10_000
     validate_images: bool = False  # run the PSNR/caption validator per fetch
     seed: int = 42
+    # Bloom URL-seen prefilter (operators/urlseen.py): semantically a no-op
+    # (exact anti-join backstop), prunes the frontier-side read of the MERGE.
+    use_bloom: bool = False
+    bloom_expected_per_bucket: int = 100_000
+    bloom_fpp: float = 0.03
 
 
 FETCH_LOG_SCHEMA = (
@@ -119,6 +124,16 @@ class CrawlEngine:
         self.step = 0
         self.handled_count = 0
         self.politeness_rows: list[tuple[str, int]] = []  # (host, next_allowed_step)
+        self.urlseen = None
+        if self.cfg.use_bloom:
+            from crawlee_spark.operators.urlseen import UrlSeenShards
+
+            self.urlseen = UrlSeenShards(
+                os.path.join(workdir, "url_seen"),
+                expected_per_bucket=self.cfg.bloom_expected_per_bucket,
+                fpp=self.cfg.bloom_fpp,
+            )
+            self.urlseen.load()  # resume path: reload persisted shards
 
     # -- state / resume -----------------------------------------------------
 
@@ -156,6 +171,8 @@ class CrawlEngine:
         if not self.frontier.exists():
             FrontierTable.create(self.spark, self.frontier.table.root, self.cfg.num_buckets)
         res = self.frontier.add_requests(seeds, step=0, keep_fragment=self.cfg.keep_fragment)
+        if self.urlseen is not None:
+            self.urlseen.rebuild(self.frontier.read().select("bucket", "url_hash"))
         self._save_state()
         return res
 
@@ -300,7 +317,12 @@ class CrawlEngine:
                 )
                 .drop("_mark", "_err")
             )
-            fresh = merge_new_requests(existing, new_reqs)
+            if self.urlseen is not None and self.urlseen.shards:
+                from crawlee_spark.operators.urlseen import merge_with_bloom
+
+                fresh = merge_with_bloom(existing, new_reqs, self.urlseen.shards)
+            else:
+                fresh = merge_new_requests(existing, new_reqs)
             new_content = updated.unionByName(fresh.select(*updated.columns))
 
             n_handled = successes.count()
@@ -313,6 +335,11 @@ class CrawlEngine:
                 new_content, "superstep",
                 {"step": step, **{k: v for k, v in stats.items() if k != "step"}},
             )
+            if self.urlseen is not None:
+                # refresh shards for the buckets this commit rewrote
+                self.urlseen.refresh_buckets(
+                    self.frontier.read(buckets=touched).select("bucket", "url_hash")
+                )
 
             # 7. fetch log + metrics (per-partition metrics per north_rule)
             log = fetched.select(

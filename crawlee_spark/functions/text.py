@@ -1,0 +1,162 @@
+"""Text-analysis building blocks for large-scale training-data pipelines.
+
+Every function here is a PURE Spark column expression (whole-stage codegen,
+no Python) with an exactly-matching ANSI/DuckDB SQL form used by the oracle
+in ``crawlee_spark/plans/queries.py`` — the driver's correctness gate runs
+both and compares value hashes, so the two forms must agree bit-for-bit.
+
+Portability notes (why these shapes):
+- the shared 63-bit hash is ``conv(substr(md5(s),1,14),16,10)`` — md5 is
+  identical everywhere; 14 hex chars = 56 bits, fits signed int64 in both
+  engines (Spark ``conv`` == DuckDB ``CAST('0x'||… AS BIGINT)``);
+- token split is a regex both engines implement identically
+  (``[^a-z0-9]+`` on lowered text, empties dropped);
+- float aggregation is sequential double-precision on both sides.
+
+These back the `documents`-table operators: language-ID (stopword n-gram
+heuristic), quality scoring, token counting, and document fingerprinting —
+the text half of the dedup/curation pipeline (the Crawlee reference has no
+text-analysis layer; its closest analog is the regex utils surveyed in
+SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_PRIME = 1_000_000_007
+
+# Tiny embedded stopword lists (deterministic heuristic, shared with the SQL
+# oracle verbatim — list contents matter only insofar as both sides match).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no"],
+}
+
+
+def md5_hash64(col: Column) -> Column:
+    """63-bit deterministic hash: first 14 hex chars of md5, base-16 → long.
+
+    DuckDB mirror: ``CAST('0x' || substr(md5(x), 1, 14) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def tokens_of(text: Column) -> Column:
+    """Lowercased word tokens, empties dropped.
+
+    DuckDB mirror:
+    ``list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t != '')``.
+    """
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_of(text))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles joined by spaces; empty array when too short.
+
+    DuckDB mirror:
+    ``CASE WHEN len(t) >= n THEN list_transform(range(0, len(t)-n+1),
+       i -> array_to_string(t[i+1:i+n], ' ')) ELSE [] END``.
+    """
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-grams of the lowered text (language-ID features)."""
+    low = F.lower(text)
+    return F.when(
+        F.length(low) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - n + 1),
+            lambda i: F.substring(low, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(tokens: Column, lang: str) -> Column:
+    """Fraction of tokens found in the language's stopword list.
+
+    DuckDB mirror: ``len(list_filter(t, x -> list_contains([...], x)))
+    / greatest(len(t), 1)``.
+    """
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    toks = tokens_of(text)
+    return {lang: stopword_ratio(toks, lang) for lang in STOPWORDS}
+
+
+def langid(text: Column) -> Column:
+    """Predicted language: argmax stopword ratio, ties → 'und' unless a
+    single language strictly wins; all-zero → 'und'. Deterministic."""
+    scores = langid_scores(text)
+    langs = sorted(scores)  # deterministic evaluation order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang in reversed(langs):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars (quality signal).
+
+    DuckDB mirror: ``length(regexp_replace(x, '[a-z0-9 ]', '', 'g')) /
+    greatest(length(x), 1)`` on lowered text.
+    """
+    low = F.lower(text)
+    stripped = F.regexp_replace(low, "[a-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(low), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + low punctuation + stopword
+    presence (the classic C4/Gopher-style cheap filters, scaled down).
+
+    Components (each 0..1, averaged, rounded to 6 dp for cross-engine hash
+    stability):
+      len_ok   = min(n_tokens / 50, 1)
+      punct_ok = 1 - min(punct_ratio * 5, 1)
+      sw_ok    = min(en_stopword_ratio * 10, 1)
+    """
+    toks = tokens_of(text)
+    len_ok = F.least(F.size(toks) / F.lit(50.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    sw_ok = F.least(stopword_ratio(toks, "en") * 10, F.lit(1.0))
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    per-token md5 hashes, mod 1e9+7 — a content-defined id robust to
+    whitespace/punctuation-only edits.
+
+    DuckDB mirror: ``list_reduce(list_prepend(0, list_transform(tokens,
+    t -> CAST('0x'||substr(md5(t),1,14) AS BIGINT) % 1000000007)),
+    (acc, h) -> (acc * 31 + h) % 1000000007)``.
+    Arithmetic stays < 31e9 + 1e9 << 2^63 — no overflow either side.
+    """
+    toks = tokens_of(text)
+    hashes = F.transform(toks, lambda t: md5_hash64(t) % HASH_PRIME)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % HASH_PRIME,
+    )

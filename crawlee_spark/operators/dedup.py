@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data curation at 100 TB scale.
+
+Five families, each a `queries()` entry with a DuckDB oracle
+(plans/queries.py):
+
+- exact: hash-groupBy on a content key (md5) — one shuffle on the hash;
+- MinHash + LSH: shingle → k minhashes → band buckets → bucket-join — the
+  scale path for near-dup text (candidate pairs ∝ true dups, not n²);
+- SimHash: 16-bit signature + Hamming radius — cheap near-dup for short text;
+- n-gram Jaccard: exact set overlap — the small-scale ground truth the
+  sketches approximate (O(n²) pairs; used to verify LSH recall);
+- embedding cosine: exact vector near-dup (the brute-force baseline; the
+  LSH-bucketed variant lives in operators/similarity.py).
+
+Scale notes: every op shuffles on a content-derived key (uniform by
+construction — md5), so no skew; LSH band-joins broadcast nothing and the
+band explode factor is `bands` (constant); all-pairs ops are quadratic and
+deliberately flagged as verification-only.
+
+All column logic is JVM-side (md5/conv/array HOFs); no Python UDFs anywhere
+in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions.text import (
+    HASH_PRIME,
+    md5_hash64,
+    tokens_of,
+    word_ngrams,
+)
+
+
+def exact_dedup(docs: DataFrame, key_expr=None, id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup: rows grouped by content hash, survivor = min id.
+
+    Returns (dup_key, keep_id, n_dups) for groups with >1 member.
+    ``key_expr`` defaults to md5(text).
+    """
+    key = key_expr if key_expr is not None else F.md5(F.col("text"))
+    return (
+        docs.select(F.col(id_col), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of H(shingle#i).
+
+    H is the portable md5-based 63-bit hash, so the DuckDB oracle computes
+    identical signatures. Documents with no shingles get sig[i] = NULL-free
+    sentinel HASH_PRIME (matches oracle's list_min of empty guarded case).
+    """
+    shingles = word_ngrams(tokens_of(F.col(text_col)), shingle_n)
+
+    def _perm_hash(i: int):
+        # NB: captured via factory — a `lambda s, i=i` would be seen by Spark
+        # as the two-arg (element, index) HOF form and silently mis-hash
+        return lambda s: md5_hash64(F.concat(s, F.lit(f"#{i}"))) % HASH_PRIME
+
+    sig_cols = []
+    for i in range(num_perm):
+        hashed = F.transform(shingles, _perm_hash(i))
+        sig_cols.append(
+            F.coalesce(F.array_min(hashed), F.lit(HASH_PRIME).cast("long")).alias(f"h{i}")
+        )
+    return docs.select(F.col(id_col).alias("id"), *sig_cols).select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
+
+    rows_per_band = num_perm / bands. Band hash = H(join(sig slice) # band).
+    Output: (id_a, id_b) with id_a < id_b, distinct. The probability a pair
+    with Jaccard j collides is 1-(1-j^r)^b — the classic S-curve; callers
+    verify candidates with exact Jaccard (``ngram_jaccard_pairs``) when
+    precision matters.
+
+    Scale: the self-join is on (band, band_hash) — uniform buckets, no skew;
+    shuffle volume is O(docs × bands), never O(docs²).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    band_rows = None
+    for b in range(bands):
+        piece = F.concat_ws(",", *[
+            F.element_at(F.col("sig"), b * r + j + 1).cast("string") for j in range(r)
+        ])
+        one = sigs.select(
+            "id",
+            F.lit(b).alias("band"),
+            md5_hash64(F.concat(piece, F.lit(f"#band{b}"))).alias("bh"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionAll(one)
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    return (
+        a.join(b_, on=["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, simhash) — bit j set iff sum over tokens of ±1 (sign of bit j of
+    H(token)) is >= 0. 16 bits keeps the oracle SQL tractable while
+    exercising the full pipeline; widening to 64 is the same expression ×4.
+    """
+    toks = tokens_of(F.col(text_col))
+    hashes = F.transform(toks, lambda t: md5_hash64(t))
+
+    def _bit_merge(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(j))
+        bit_cols.append(
+            F.when(contrib >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return docs.select(F.col(id_col).alias("id"), total.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    All-pairs join (verification-scale). The scale path blocks on bit-chunks:
+    any pair within distance d shares at least one of d+1 chunks exactly
+    (pigeonhole) — same join shape as the LSH bands above.
+    """
+    s = simhash(docs, bits, id_col, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Token-level exact ground truth (distinct shingles, set semantics).
+    Implemented set-based: explode distinct shingles, self-join on shingle,
+    count intersections, |A∪B| = |A|+|B|-|A∩B|. The shingle join shuffles
+    on content (uniform); still O(pairs-sharing-a-shingle) — use LSH first
+    at scale.
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(word_ngrams(tokens_of(F.col(text_col)), shingle_n))
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs >= threshold over an array<float> column.
+
+    Sequential double-precision dot/norm (same IEEE result as the DuckDB
+    oracle's list_reduce). Brute-force all-pairs — the baseline; the
+    LSH-bucketed variant is operators/similarity.py::ann_lsh.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(F.col("a.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("b.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (na * nb), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

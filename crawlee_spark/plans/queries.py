@@ -1,0 +1,967 @@
+"""Driver-contract query registry: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with a matching DuckDB oracle SQL.
+
+The driver (``__spark_entry__.py``) runs each Spark query AND its oracle on
+the same parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings) and compares row counts + schema +
+order-insensitive value hashes. Hence the portability rules used throughout:
+
+- column names identical on both sides (every computed column aliased);
+- deterministic values only: exact DECIMAL sums cast to DOUBLE at the end
+  (parallel float summation is not associative — decimals are), 6-dp
+  rounding on derived floats, md5-based portable hashing
+  (``functions/text.py::md5_hash64``), total orders with id tie-breaks;
+- sequential left-fold array arithmetic on both sides (Spark ``aggregate``
+  == DuckDB ``list_reduce``) so IEEE results agree bit-for-bit.
+
+Registry sections:
+  crawl-core  — canonicalization, dedup-merge, head selection, budgets,
+                robots, rate windows, URL extraction (SURVEY.md §2.3-2.6);
+  dataset     — dedup families, ANN, text analysis (training-data ops);
+  generic     — TPC-H-ish aggregation/join/window building blocks;
+  non-SQL     — image validation + end-to-end crawl (rows-only checks).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions import text as T
+from crawlee_spark.functions import urls as U
+from crawlee_spark.operators import dedup as D
+from crawlee_spark.operators import similarity as S
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# crawl-core
+# ===========================================================================
+
+# Messy-URL construction shared by several queries: 4 deterministic variants
+# per document, with groups of 4 consecutive docs sharing one base URL so
+# canonicalization produces real collisions (variants 0/1/2 canonical-equal,
+# variant 3 differs by its sorted query string).
+#   g = d // 4; base(g) = https://site{g % 10}.com/p/{g}
+#   d%4==0: base
+#   d%4==1: HTTPS://SITE{g%10}.COM/p/{g}/      (case + trailing slash)
+#   d%4==2: base#frag                          (fragment)
+#   d%4==3: base?b=2&a=1&utm_source=x          (params, canonical ?a=1&b=2)
+
+_MESSY_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'https://site' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+         WHEN 1 THEN 'HTTPS://SITE' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.COM/p/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+         WHEN 2 THEN 'https://site' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+         ELSE 'https://site' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1&utm_source=x'
+       END AS url
+FROM documents
+"""
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    base = F.concat(
+        F.lit("https://site"), (g % 10).cast("string"), F.lit(".com/p/"),
+        g.cast("string"),
+    )
+    upper_variant = F.concat(
+        F.lit("HTTPS://SITE"), (g % 10).cast("string"), F.lit(".COM/p/"),
+        g.cast("string"), F.lit("/"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(F.col("doc_id") % 4 == 1, upper_variant)
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("#frag")))
+        .otherwise(F.concat(base, F.lit("?b=2&a=1&utm_source=x")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+# DuckDB mirror of functions/urls.py::canonicalize (same regex pipeline).
+_CANON_SQL = r"""
+    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1))
+    || '://' ||
+    lower(regexp_extract(
+        regexp_replace(regexp_extract(
+            regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+            '^([^/?]*)', 1), '^.*@', ''),
+        '^([^:]*)', 1))
+    ||
+    CASE WHEN coalesce(regexp_extract(
+            regexp_replace(regexp_extract(
+                regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                               '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                '^([^/?]*)', 1), '^.*@', ''),
+            ':([0-9]+)$', 1), '') = '' THEN ''
+         WHEN lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) = 'http'
+              AND regexp_extract(regexp_replace(regexp_extract(
+                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                 '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                  '^([^/?]*)', 1), '^.*@', ''), ':([0-9]+)$', 1) = '80' THEN ''
+         WHEN lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) = 'https'
+              AND regexp_extract(regexp_replace(regexp_extract(
+                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                 '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                  '^([^/?]*)', 1), '^.*@', ''), ':([0-9]+)$', 1) = '443' THEN ''
+         ELSE ':' || regexp_extract(regexp_replace(regexp_extract(
+                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                 '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                  '^([^/?]*)', 1), '^.*@', ''), ':([0-9]+)$', 1)
+    END
+    ||
+    regexp_replace(
+        regexp_extract(
+            substr(regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                  '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                   length(regexp_extract(
+                       regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                      '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                       '^([^/?]*)', 1)) + 1),
+            '^([^?]*)', 1),
+        '/+$', '')
+    ||
+    CASE WHEN coalesce(array_to_string(
+            list_sort(list_filter(
+                string_split(coalesce(regexp_extract(
+                    substr(regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                          '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                           length(regexp_extract(
+                               regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                              '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                               '^([^/?]*)', 1)) + 1),
+                    '\?(.*)$', 1), ''), '&'),
+                t -> t <> '' AND NOT starts_with(lower(t), 'utm_'))), '&'), '') = ''
+         THEN ''
+         ELSE '?' || coalesce(array_to_string(
+            list_sort(list_filter(
+                string_split(coalesce(regexp_extract(
+                    substr(regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                          '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                           length(regexp_extract(
+                               regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                              '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                               '^([^/?]*)', 1)) + 1),
+                    '\?(.*)$', 1), ''), '&'),
+                t -> t <> '' AND NOT starts_with(lower(t), 'utm_'))), '&'), '')
+    END
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization as a column expression (uniqueKey semantics,
+    reference pins ``packages/core/src/request.ts:361-375, 400-411``)."""
+    return _messy_urls(spark, sf_dir).select(
+        "doc_id", "url", U.canonicalize(F.col("url")).alias("canonical")
+    )
+
+
+ORACLE_URL_CANONICALIZE = f"""
+WITH messy AS ({_MESSY_SQL})
+SELECT doc_id, url, ({_CANON_SQL}) AS canonical FROM messy
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen dedup: groups of canonical-equal URLs, keep-first survivor
+    (MERGE-on-uniqueKey semantics, ``memory-storage request-queue.ts:
+    287-337``; batch first-wins ``request_provider.ts:212-231``)."""
+    c = q_url_canonicalize(spark, sf_dir)
+    return (
+        c.groupBy("canonical")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+ORACLE_URL_DEDUP = f"""
+WITH messy AS ({_MESSY_SQL}),
+canon AS (SELECT doc_id, ({_CANON_SQL}) AS canonical FROM messy)
+SELECT canonical, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY canonical HAVING count(*) > 1
+"""
+
+
+# Synthetic frontier derived from orders (shared by head-selection queries):
+#   host     = 'h' || (o_custkey % 20)
+#   order_no = ±o_orderkey (negative for URGENT orders = forefront analog)
+#   depth    = o_orderkey % 5
+#   url_hash = md5-hash64 of the orderkey string
+_FRONTIER_SQL = """
+SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+       CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN -o_orderkey
+                 ELSE o_orderkey END AS BIGINT) AS order_no,
+       CAST(o_orderkey % 5 AS BIGINT) AS depth,
+       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 14)) AS BIGINT) AS url_hash,
+       o_orderkey
+FROM orders
+"""
+
+
+def _synthetic_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string")).alias("host"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", -F.col("o_orderkey"))
+        .otherwise(F.col("o_orderkey")).cast("long").alias("order_no"),
+        (F.col("o_orderkey") % 5).cast("long").alias("depth"),
+        T.md5_hash64(F.col("o_orderkey").cast("string")).alias("url_hash"),
+        "o_orderkey",
+    )
+
+
+def q_frontier_head_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host head selection: row_number <= 3 over the canonical frontier
+    order (order_no, depth, url_hash) — the fetchNextRequest / listHead
+    analog (``request_queue.ts:115-171``, sort at ``request-queue.ts:178``).
+    """
+    f = _synthetic_frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("order_no", "depth", "url_hash")
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("host", "o_orderkey", "order_no", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+ORACLE_FRONTIER_HEAD_SELECT = f"""
+WITH frontier AS ({_FRONTIER_SQL})
+SELECT host, o_orderkey, order_no, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY order_no, depth, url_hash) AS rn
+  FROM frontier
+) WHERE rn <= 3
+"""
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted fetch set: 1 per host (domain-delay serialization), then a
+    global cap of 20 by the same total order (maxRequestsPerMinute budget,
+    ``autoscaled_pool.ts:689-703``; delayRequest ``basic-crawler.ts:
+    1111-1138``)."""
+    f = _synthetic_frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("order_no", "depth", "url_hash")
+    per_host = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    wg = Window.orderBy("order_no", "depth", "url_hash")
+    return (
+        per_host.withColumn("grank", F.row_number().over(wg))
+        .filter(F.col("grank") <= 20)
+        .select("host", "o_orderkey", F.col("grank").cast("long").alias("grank"))
+    )
+
+
+ORACLE_POLITENESS_BUDGET = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per_host AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY order_no, depth, url_hash) AS rn
+    FROM frontier) WHERE rn = 1
+)
+SELECT host, o_orderkey, CAST(grank AS BIGINT) AS grank FROM (
+  SELECT *, row_number() OVER (ORDER BY order_no, depth, url_hash) AS grank
+  FROM per_host
+) WHERE grank <= 20
+"""
+
+
+def q_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 60 s request-rate over the events stream (the reference's
+    60×1 s rate buckets, ``autoscaled_pool.ts:212, 689-703``)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.unix_timestamp(F.col("ts"))).rangeBetween(-59, 0)
+    return e.select("event_id", "ts").withColumn(
+        "rpm", F.count("*").over(w).cast("long")
+    ).select("event_id", "rpm")
+
+
+ORACLE_RATE_WINDOW = """
+SELECT event_id,
+       CAST(count(*) OVER (ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+            RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rpm
+FROM events
+"""
+
+
+def q_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-statistics-style aggregation: per-class counts + duration
+    min/max/avg (``statistics.ts:128-241`` requestsWithStatusCode / duration
+    tracking as a groupBy agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) .cast("double")).alias("sum_v"),
+        )
+    )
+
+
+ORACLE_STATS_HISTOGRAM = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+FROM events GROUP BY event_type
+"""
+
+
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp URL extraction from text (``extract-urls.ts:55-85`` /
+    ``URL_NO_COMMAS_REGEX``, simplified to the portable core)."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("see https://"), F.col("source"), F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"), F.lit(" and http://mirror.net/d/"),
+        F.col("doc_id").cast("string"), F.lit(" end"),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(synth, F.lit(r"https?://[^\s]+"), 0)).alias("url"),
+    )
+
+
+ORACLE_URL_EXTRACT = r"""
+SELECT doc_id, unnest(regexp_extract_all(
+    'see https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+    || ' and http://mirror.net/d/' || CAST(doc_id AS VARCHAR) || ' end',
+    'https?://[^\s]+')) AS url
+FROM documents
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match allow/disallow over synthetic per-source rules
+    (no reference analog — spec-derived; see operators/robots.py).
+
+    Rules: sources with even trailing digit disallow '/p/1*' but allow
+    '/p/12*'. Output: every doc URL + allowed flag."""
+    d = _t(spark, sf_dir, "documents")
+    paths = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+        (F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long") % 2 == 0)
+        .alias("has_rules"),
+    )
+    dis = F.col("path").startswith("/p/1")
+    allow = F.col("path").startswith("/p/12")
+    allowed = F.when(~F.col("has_rules"), F.lit(True)).otherwise(
+        F.when(allow, F.lit(True)).when(dis, F.lit(False)).otherwise(F.lit(True))
+    )
+    return paths.select("doc_id", "host", "path", allowed.alias("allowed"))
+
+
+ORACLE_ROBOTS_FILTER = """
+SELECT doc_id,
+       source || '.com' AS host,
+       '/p/' || CAST(doc_id AS VARCHAR) AS path,
+       CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 2 <> 0
+            THEN true
+            WHEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/12') THEN true
+            WHEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1') THEN false
+            ELSE true END AS allowed
+FROM documents
+"""
+
+
+# ===========================================================================
+# dataset ops (documents / embeddings)
+# ===========================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content key (first-3-token prefix — produces real
+    collision groups on the synthetic corpus); keep-first survivor."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(T.tokens_of(F.col("text")), 1, 3))
+    return D.exact_dedup(d, key_expr=key)
+
+
+ORACLE_DEDUP_EXACT = """
+WITH keyed AS (
+  SELECT doc_id, array_to_string(
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[1:3],
+    ' ') AS dup_key
+  FROM documents
+)
+SELECT dup_key, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM keyed GROUP BY dup_key HAVING count(*) > 1
+"""
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_H14 = "CAST(('0x' || substr(md5({x}), 1, 14)) AS BIGINT)"
+
+
+def _shingles_sql(n: int = 3) -> str:
+    return f"""
+    CASE WHEN len({_TOKENS_SQL}) >= {n}
+         THEN list_transform(range(0, len({_TOKENS_SQL}) - {n} + 1),
+                             i -> array_to_string(({_TOKENS_SQL})[i+1:i+{n}], ' '))
+         ELSE [] END
+    """
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs (SURVEY-mandated
+    scale path for near-dup text)."""
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                               num_perm=8, bands=4, shingle_n=3)
+
+
+def _oracle_minhash(num_perm: int = 8, bands: int = 4) -> str:
+    r = num_perm // bands
+    sig_cols = ", ".join(
+        f"""coalesce(list_min(list_transform(shingles,
+              s -> {_H14.format(x=f"s || '#{i}'")} % 1000000007)),
+            1000000007) AS h{i}"""
+        for i in range(num_perm)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT id, {b} AS band,
+            {_H14.format(x=("concat_ws(',', " + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)) + f") || '#band{b}'"))} AS bh
+            FROM sigs"""
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, ({_shingles_sql(3)}) AS shingles FROM documents
+),
+sigs AS (SELECT id, {sig_cols} FROM sh),
+bands AS ({band_selects})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+"""
+
+
+ORACLE_DEDUP_MINHASH = _oracle_minhash()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) near-dup pairs at Hamming <= 3."""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bits=16)
+
+
+def _oracle_simhash(bits: int = 16, max_hamming: int = 3) -> str:
+    bit_sum = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(hashes,
+              h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+            THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"""
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_transform({_TOKENS_SQL}, t -> {_H14.format(x='t')}) AS hashes
+  FROM documents
+),
+sims AS (
+  SELECT id, CASE WHEN len(hashes) = 0 THEN CAST({(1 << bits) - 1} AS BIGINT)
+                  ELSE ({bit_sum}) END AS simhash
+  FROM toks
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _oracle_simhash()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.5 (ground truth for the LSH)."""
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
+  FROM documents
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= 0.4 (brute-force baseline; the
+    synthetic embeddings cluster loosely — max pair cosine ~0.51, so 0.4
+    selects the true near-neighbor tail)."""
+    return D.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_DOT_SQL = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])), (x, y) -> x + y)"""
+_NORM_SQL = """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform({side}.v, x -> x * x)), (x, y) -> x + y))"""
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) AS cosine
+FROM v a JOIN v b ON a.id < b.id
+WHERE round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) >= 0.4
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id % 50 == 0)."""
+    return S.ann_topk_bruteforce(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+ORACLE_ANN_TOPK = """
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.id AS query_id, a.id AS neighbor_id,
+         round((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(q.v)+1), i -> q.v[i] * a.v[i])),
+                (x, y) -> x + y)) /
+               (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(q.v, x -> x * x)), (x, y) -> x + y)) *
+                sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(a.v, x -> x * x)), (x, y) -> x + y))), 6) AS cosine
+  FROM v a JOIN (SELECT * FROM v WHERE id % 50 = 0) q ON a.id <> q.id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed approximate top-10 (the scale path)."""
+    return S.ann_lsh(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50,
+                     planes=8, dim=64)
+
+
+def _oracle_ann_lsh(planes: int = 8, dim: int = 64) -> str:
+    proj = " + ".join(
+        f"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(0, {dim}),
+                d -> v[d+1] * (({p} * 1009 + d * 9176 + 12345) % 97 - 48))),
+              (x, y) -> x + y) >= 0
+             THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"""
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bucketed AS (SELECT id, v, ({proj}) AS bucket FROM v),
+q AS (SELECT id AS query_id, v AS qv, bucket FROM bucketed WHERE id % 50 = 0),
+scored AS (
+  SELECT q.query_id, a.id AS neighbor_id,
+         round((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * a.v[i])),
+                (x, y) -> x + y)) /
+               (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(q.qv, x -> x * x)), (x, y) -> x + y)) *
+                sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(a.v, x -> x * x)), (x, y) -> x + y))), 6) AS cosine
+  FROM bucketed a JOIN q ON a.bucket = q.bucket AND a.id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+ORACLE_ANN_LSH = _oracle_ann_lsh()
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
+
+
+def _oracle_langid() -> str:
+    score = {
+        lang: f"""(CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains(
+            [{", ".join(repr(w) for w in T.STOPWORDS[lang])}], t))) AS DOUBLE)
+            / greatest(len({_TOKENS_SQL}), 1))"""
+        for lang in sorted(T.STOPWORDS)
+    }
+    langs = sorted(T.STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(f"({score[l]}) AS s_{l}" for l in langs)}
+  FROM documents
+)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM scored
+"""
+
+
+ORACLE_TEXT_LANGID = _oracle_langid()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, punctuation ratio, composite score."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens_of(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(lower(text)), 1), 6) AS punct_ratio,
+       round((
+         least(len({_TOKENS_SQL}) / 50.0, 1.0)
+         + (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / greatest(length(lower(text)), 1) * 5, 1.0))
+         + least(CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains(
+               [{", ".join(repr(w) for w in T.STOPWORDS["en"])}], t))) AS DOUBLE)
+             / greatest(len({_TOKENS_SQL}), 1) * 10, 1.0)
+       ) / 3.0, 6) AS quality
+FROM documents
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace/punct tokens + distinct tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens_of(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+ORACLE_TEXT_TOKENS = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (order-sensitive content id)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKENS_SQL},
+               t -> {_H14.format(x='t')} % 1000000007)),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+FROM documents
+"""
+
+
+# ===========================================================================
+# generic building blocks (TPC-H-ish)
+# ===========================================================================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (exact-decimal sums → double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("decimal(28,8)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (window row_number; the per-host
+    head-selection shape on business data)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders WHERE o_custkey < 100
+) WHERE rk <= 3
+"""
+
+
+def q_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join + aggregation with broadcast dims (nation revenue)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_JOIN = """
+SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative sum —
+    the streaming-state analog computed batch-wise)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp(F.col("ts"))
+        - F.lag(F.unix_timestamp(F.col("ts")), 1).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("sess_start", new_sess).withColumn(
+        "session_id", F.sum("sess_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS sess_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(sess_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# non-SQL-expressible (rows-only driver check)
+# ===========================================================================
+
+
+def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant over a deterministic image+caption table:
+    decode + PSNR>=40dB + caption equality + phash via mapInPandas
+    (vectorized Arrow; see functions/images.py). Not SQL-expressible."""
+    from crawlee_spark import datagen
+    from crawlee_spark.functions.images import validate_pages
+
+    rows = [
+        {k: r[k] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+        for r in datagen.gen_pages_rows(64, 4, seed=42)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    return validate_pages(df, seed=42).select("image_id", "ok", "phash_match", "caption_match")
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized image feature extraction (decode → stats + phash)."""
+    from crawlee_spark import datagen
+    from crawlee_spark.functions.images import extract_features
+
+    rows = [
+        {k: r[k] for k in ("image_id", "bytes", "w", "h", "fmt")}
+        for r in datagen.gen_pages_rows(64, 4, seed=42)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    return extract_features(df)
+
+
+def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BSP crawl on a deterministic synthetic corpus; returns the fetch
+    log (step, unique_key, status). Simulator-verified in
+    tests/test_engine_parity.py; rows-only here (stateful multi-step loop —
+    not one SQL query)."""
+    import tempfile
+
+    from crawlee_spark import datagen
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        rows = list(datagen.gen_corpus_rows(40, 4, seed=42, with_bytes=False))
+        corpus = spark.createDataFrame(
+            [{"url": r["url"], "html": r["html"]} for r in rows], "url string, html string"
+        )
+        seeds = spark.createDataFrame(
+            datagen.gen_seed_rows(40, 4, seed=42, n_seeds=4),
+            "url string, forefront boolean, depth int, label string",
+        )
+        wd = tempfile.mkdtemp(prefix="crawl_q_")
+        eng = CrawlEngine(spark, wd, CrawlConfig(num_buckets=4))
+        eng.add_seeds(seeds)
+        eng.run(corpus)
+        log = eng.fetch_log.read().select("step", "unique_key", "status")
+        log = spark.createDataFrame(log.collect(), "step int, unique_key string, status string")
+        return log
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # crawl-core
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup": q_url_dedup,
+    "frontier_head_select": q_frontier_head_select,
+    "politeness_budget": q_politeness_budget,
+    "rate_window": q_rate_window,
+    "stats_histogram": q_stats_histogram,
+    "url_extract": q_url_extract,
+    "robots_filter": q_robots_filter,
+    # dataset ops
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    # generic
+    "pricing_summary": q_pricing_summary,
+    "topk_per_group": q_topk_per_group,
+    "revenue_join": q_revenue_join,
+    "sessionize": q_sessionize,
+    # non-SQL
+    "image_validate": q_image_validate,
+    "image_features": q_image_features,
+    "crawl_end_to_end": q_crawl_end_to_end,
+}
+
+ORACLES: dict[str, str] = {
+    "url_canonicalize": ORACLE_URL_CANONICALIZE,
+    "url_dedup": ORACLE_URL_DEDUP,
+    "frontier_head_select": ORACLE_FRONTIER_HEAD_SELECT,
+    "politeness_budget": ORACLE_POLITENESS_BUDGET,
+    "rate_window": ORACLE_RATE_WINDOW,
+    "stats_histogram": ORACLE_STATS_HISTOGRAM,
+    "url_extract": ORACLE_URL_EXTRACT,
+    "robots_filter": ORACLE_ROBOTS_FILTER,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "ann_lsh": ORACLE_ANN_LSH,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_tokens": ORACLE_TEXT_TOKENS,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "revenue_join": ORACLE_REVENUE_JOIN,
+    "sessionize": ORACLE_SESSIONIZE,
+    # image_validate / image_features / crawl_end_to_end: rows-only
+}

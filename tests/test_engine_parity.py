@@ -1,0 +1,85 @@
+"""THE correctness gate for the crawl engine: Spark engine == pure-Python
+reference simulator on crawl order, URL-seen set, and dead letters, across
+politeness / budget / failure / robots configurations (BASELINE.json: "must
+reproduce the reference crawler's crawl ordering and final URL-seen set under
+the same seed list and politeness budget")."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlee_spark import datagen
+from crawlee_spark.engine import CrawlConfig, CrawlEngine, FailureModelConf
+from crawlee_spark.operators.politeness import PolitenessConfig
+from crawlee_spark.simulator import FailureModel, SimConfig, simulate
+
+N_PAGES, N_HOSTS, N_SEEDS = 60, 5, 5
+
+
+@pytest.fixture(scope="module")
+def corpus_fixture(spark):
+    rows = list(datagen.gen_corpus_rows(N_PAGES, N_HOSTS, seed=42, with_bytes=False))
+    corpus_py = {r["url"]: {"html": r["html"]} for r in rows}
+    seeds_py = datagen.gen_seed_rows(N_PAGES, N_HOSTS, seed=42, n_seeds=N_SEEDS)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows], "url string, html string"
+    )
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string"
+    )
+    return corpus_py, seeds_py, corpus_df, seeds_df
+
+
+def _assert_parity(spark, tmp_path, corpus_fixture, cfg, sim_cfg, robots=False):
+    corpus_py, seeds_py, corpus_df, seeds_df = corpus_fixture
+    robots_rows = datagen.gen_robots_rows(N_HOSTS) if robots else None
+    robots_df = datagen.robots_df(spark, N_HOSTS) if robots else None
+
+    sim = simulate(corpus_py, seeds_py, sim_cfg, robots_rows=robots_rows)
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"), cfg)
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df, robots=robots_df)
+
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    assert len(sim.crawl_order) > 0
+
+
+def test_parity_default(spark, tmp_path, corpus_fixture):
+    _assert_parity(spark, tmp_path, corpus_fixture,
+                   CrawlConfig(num_buckets=8), SimConfig())
+
+
+def test_parity_rate_budget(spark, tmp_path, corpus_fixture):
+    p = PolitenessConfig(max_requests_per_minute=5, step_secs=60.0)
+    _assert_parity(spark, tmp_path, corpus_fixture,
+                   CrawlConfig(num_buckets=8, politeness=p), SimConfig(politeness=p))
+
+
+def test_parity_failures(spark, tmp_path, corpus_fixture):
+    _assert_parity(
+        spark, tmp_path, corpus_fixture,
+        CrawlConfig(num_buckets=8,
+                    failures=FailureModelConf(fail_mod=7, fail_attempts=2, dead_mod=31)),
+        SimConfig(failures=FailureModel(fail_mod=7, fail_attempts=2, dead_mod=31)),
+    )
+
+
+def test_parity_max_crawl(spark, tmp_path, corpus_fixture):
+    p = PolitenessConfig(max_requests_per_crawl=20)
+    _assert_parity(spark, tmp_path, corpus_fixture,
+                   CrawlConfig(num_buckets=8, politeness=p), SimConfig(politeness=p))
+
+
+def test_parity_robots(spark, tmp_path, corpus_fixture):
+    _assert_parity(spark, tmp_path, corpus_fixture,
+                   CrawlConfig(num_buckets=8), SimConfig(), robots=True)
+
+
+def test_parity_with_bloom(spark, tmp_path, corpus_fixture):
+    """Bloom prefilter must be a semantic no-op (exact anti-join backstop)."""
+    _assert_parity(
+        spark, tmp_path, corpus_fixture,
+        CrawlConfig(num_buckets=8, use_bloom=True, bloom_expected_per_bucket=1000),
+        SimConfig(),
+    )

@@ -112,5 +112,5 @@ def test_requests_per_minute_window(spark):
         "ts timestamp",
     )
     got = [r["rpm"] for r in requests_per_minute(log).orderBy("ts").collect()]
-    # windows: [t-59, t] inclusive
-    assert got == [1, 2, 3, 4, 3, 1]
+    # windows: [t-59, t] inclusive; at t=61 the window [2,61] holds 10/50/59/61
+    assert got == [1, 2, 3, 4, 4, 1]

@@ -1,0 +1,102 @@
+"""Bloom URL-seen shards: zero false negatives, FP discipline, persistence,
+and hash parity between the JVM build and the numpy membership mirror."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawlee_spark.functions.hashing import xxhash64_long
+from crawlee_spark.operators.urlseen import (
+    UrlSeenShards,
+    build_shards,
+    merge_with_bloom,
+    optimal_bits,
+    prefilter_batch,
+    xxhash64_long_vec,
+)
+
+
+def test_numpy_xxh64_matches_pure_python():
+    vals = np.array([0, 1, -1, 37, 2**62, -(2**62), 123456789], dtype=np.int64)
+    got = xxhash64_long_vec(vals, 42)
+    want = np.array([xxhash64_long(int(v)) for v in vals], dtype=np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_chained_seed_matches_spark_two_col(spark):
+    """numpy h2 mirror == Spark xxhash64(key, key) (chained seed)."""
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -5, 999, 2**40]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    want = [r["h"] for r in df.select(F.xxhash64("k", "k").alias("h")).collect()]
+    keys = np.array(vals, dtype=np.int64)
+    h1 = xxhash64_long_vec(keys, 42)
+    got = list(xxhash64_long_vec(keys, h1.view(np.uint64)))
+    assert got == want
+
+
+def _keys_df(spark, n, buckets=4):
+    return spark.createDataFrame(
+        [(i % buckets, i * 7919) for i in range(n)], "bucket int, url_hash long"
+    )
+
+
+def test_no_false_negatives(spark):
+    df = _keys_df(spark, 2000)
+    shards = build_shards(df, expected_per_bucket=500, fpp=0.03)
+    assert set(shards) == {0, 1, 2, 3}
+    # every inserted key must be "maybe seen"
+    unseen, maybe = prefilter_batch(df, shards)
+    assert unseen.count() == 0
+    assert maybe.count() == 2000
+
+
+def test_fp_rate_reasonable(spark):
+    df = _keys_df(spark, 2000)
+    shards = build_shards(df, expected_per_bucket=500, fpp=0.03)
+    fresh = spark.createDataFrame(
+        [(i % 4, -(i * 104729 + 13)) for i in range(2000)], "bucket int, url_hash long"
+    )
+    unseen, maybe = prefilter_batch(fresh, shards)
+    fp = maybe.count() / 2000
+    assert fp < 0.10, f"false-positive rate {fp}"
+    assert unseen.count() + maybe.count() == 2000
+
+
+def test_merge_with_bloom_exact(spark):
+    existing = _keys_df(spark, 1000)
+    shards = build_shards(existing, expected_per_bucket=250, fpp=0.03)
+    # batch = 300 dups + 300 fresh
+    dup = spark.createDataFrame(
+        [(i % 4, i * 7919) for i in range(300)], "bucket int, url_hash long"
+    )
+    fresh = spark.createDataFrame(
+        [(i % 4, -(i * 31 + 1)) for i in range(300)], "bucket int, url_hash long"
+    )
+    batch = dup.unionByName(fresh)
+    got = merge_with_bloom(existing, batch, shards)
+    assert sorted((r["bucket"], r["url_hash"]) for r in got.collect()) == sorted(
+        (i % 4, -(i * 31 + 1)) for i in range(300)
+    )
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    df = _keys_df(spark, 800)
+    store = UrlSeenShards(str(tmp_path / "seen"), expected_per_bucket=200)
+    store.rebuild(df)
+    store2 = UrlSeenShards(str(tmp_path / "seen"))
+    assert store2.load()
+    assert set(store2.shards) == set(store.shards)
+    for b in store.shards:
+        assert np.array_equal(store.shards[b].bits, store2.shards[b].bits)
+        assert store.shards[b].k == store2.shards[b].k
+    unseen, maybe = prefilter_batch(df, store2.shards)
+    assert unseen.count() == 0
+
+
+def test_optimal_bits_monotone():
+    assert optimal_bits(1000, 0.03) < optimal_bits(10000, 0.03)
+    assert optimal_bits(1000, 0.001) > optimal_bits(1000, 0.03)
+    assert optimal_bits(1000, 0.03) % 64 == 0
