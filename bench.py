@@ -84,14 +84,17 @@ def frontier_throughput(spark, n_rows: int) -> tuple[float, int]:
     existing_norm = make_requests(existing, step=0, num_buckets=64)
 
     t0 = time.time()
-    batch = make_requests(raw, step=1, num_buckets=64)
-    fresh = merge_new_requests(existing_norm, batch)
-    fetch_set = pol.select_fetch_set(
-        fresh, step=1, cfg=pol.PolitenessConfig(max_per_host_per_step=100)
-    )
-    n = fetch_set.count()
-    unique = batch.count()
-    dt = time.time() - t0
+    batch = make_requests(raw, step=1, num_buckets=64).persist()
+    try:
+        unique = batch.count()
+        fresh = merge_new_requests(existing_norm, batch)
+        fetch_set = pol.select_fetch_set(
+            fresh, step=1, cfg=pol.PolitenessConfig(max_per_host_per_step=100)
+        )
+        fetch_set.count()
+        dt = time.time() - t0
+    finally:
+        batch.unpersist()
     return dt, unique
 
 

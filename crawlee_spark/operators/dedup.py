@@ -65,22 +65,25 @@ def minhash_signatures(
     identical signatures. Documents with no shingles get sig[i] = NULL-free
     sentinel HASH_PRIME (matches oracle's list_min of empty guarded case).
     """
-    shingles = word_ngrams(tokens_of(F.col(text_col)), shingle_n)
-
     def _perm_hash(i: int):
         # NB: captured via factory — a `lambda s, i=i` would be seen by Spark
         # as the two-arg (element, index) HOF form and silently mis-hash
         return lambda s: md5_hash64(F.concat(s, F.lit(f"#{i}"))) % HASH_PRIME
 
-    sig_cols = []
-    for i in range(num_perm):
-        hashed = F.transform(shingles, _perm_hash(i))
-        sig_cols.append(
-            F.coalesce(F.array_min(hashed), F.lit(HASH_PRIME).cast("long")).alias(f"h{i}")
-        )
-    return docs.select(F.col(id_col).alias("id"), *sig_cols).select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    # materialize the shingle array once; the per-permutation transforms
+    # reference the column, not the (expensive) tokenization subtree
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(tokens_of(F.col(text_col)), shingle_n).alias("_sh"),
     )
+    sig_cols = [
+        F.coalesce(
+            F.array_min(F.transform(F.col("_sh"), _perm_hash(i))),
+            F.lit(HASH_PRIME).cast("long"),
+        )
+        for i in range(num_perm)
+    ]
+    return sh.select("id", F.array(*sig_cols).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -105,25 +108,36 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
-    band_rows = None
+    # ONE pass over the signatures: explode an array of (band, band_hash)
+    # structs instead of unionAll-ing per-band selects — a union would
+    # re-evaluate the whole shingle+md5 pipeline once per band (4-32x work).
+    band_structs = []
     for b in range(bands):
         piece = F.concat_ws(",", *[
             F.element_at(F.col("sig"), b * r + j + 1).cast("string") for j in range(r)
         ])
-        one = sigs.select(
-            "id",
+        band_structs.append(F.struct(
             F.lit(b).alias("band"),
             md5_hash64(F.concat(piece, F.lit(f"#band{b}"))).alias("bh"),
+        ))
+    band_rows = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    band_rows = band_rows.persist()
+    try:
+        a = band_rows.alias("a")
+        b_ = band_rows.alias("b")
+        out = (
+            a.join(b_, on=["band", "bh"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        band_rows = one if band_rows is None else band_rows.unionAll(one)
-    a = band_rows.alias("a")
-    b_ = band_rows.alias("b")
-    return (
-        a.join(b_, on=["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+        # materialize while the band rows are pinned, then release
+        out = out.localCheckpoint(eager=True)
+    finally:
+        band_rows.unpersist()
+    return out
 
 
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",

@@ -127,15 +127,26 @@ def normalize_requests(
 def dedup_batch(batch: DataFrame) -> DataFrame:
     """Batch-internal dedup: first occurrence per key in deterministic order
     (``request_provider.ts:212-231`` keeps the first occurrence within one
-    addRequests call). Partitioned by url_hash — parallel, no global window.
+    addRequests call; "first" here = (depth asc, forefront first, url asc)).
+
+    Implemented as ``min_by(row, order)`` hash aggregation, NOT a
+    row_number window: the aggregate gets map-side partial combine, so
+    duplicate-heavy link batches collapse locally BEFORE the url_hash
+    shuffle — at crawl scale most extracted links are duplicates, making
+    this the difference between shuffling the raw explode fan-out and
+    shuffling ~unique keys.
     """
-    w = Window.partitionBy("url_hash").orderBy(
-        F.col("depth").asc(), F.col("forefront").desc(), F.col("url").asc()
+    cols = batch.columns
+    order = F.struct(
+        F.col("depth"),
+        F.when(F.col("forefront"), 0).otherwise(1).alias("_ff"),
+        F.col("url"),
     )
     return (
-        batch.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        batch.groupBy("url_hash")
+        .agg(F.min_by(F.struct(*[c for c in cols if c != "url_hash"]), order).alias("_r"))
+        .select("url_hash", *[F.col(f"_r.{c}").alias(c) for c in cols if c != "url_hash"])
+        .select(*cols)
     )
 
 

@@ -1,0 +1,84 @@
+"""Dataset / KeyValueStore / RequestList (SURVEY.md §2.1-2.2 sinks+sources)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crawlee_spark.sources import RequestList, requests_from_manifest
+from crawlee_spark.store.dataset import Dataset, KeyValueStore
+
+
+def test_dataset_push_get_order(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    ds.push_data(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    ds.push_data(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert ds.item_count() == 3
+    rows = ds.get_data().collect()
+    assert [r["k"] for r in rows] == [1, 2, 3]  # insertion order
+    desc = ds.get_data(desc=True, limit=2).collect()
+    assert [r["k"] for r in desc] == [3, 2]
+    off = ds.get_data(offset=1, limit=1, fields=["v"]).collect()
+    assert [r["v"] for r in off] == ["b"]
+
+
+def test_dataset_export(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    ds.push_data(spark.createDataFrame([(1, 'say "hi"'), (2, "x,y")], "k int, v string"))
+    jp, cp = str(tmp_path / "out.json"), str(tmp_path / "out.csv")
+    ds.export_to_json(jp)
+    ds.export_to_csv(cp)
+    data = json.loads(open(jp).read())
+    assert data == [{"k": 1, "v": 'say "hi"'}, {"k": 2, "v": "x,y"}]
+    lines = open(cp).read().splitlines()
+    assert lines[0] == "k,v"
+    assert lines[1] == '1,"say ""hi"""'
+    assert lines[2] == '2,"x,y"'
+
+
+def test_dataset_reduce(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    ds.push_data(spark.createDataFrame([(i,) for i in range(10)], "k int"))
+    out = ds.reduce([F.sum("k").alias("s"), F.count("*").alias("n")])
+    assert out == {"s": 45, "n": 10}
+
+
+def test_kv_store(tmp_path):
+    kv = KeyValueStore(str(tmp_path / "kv"))
+    kv.set_value("INPUT", {"maxRequestsPerCrawl": 10})
+    kv.set_value("state", [1, 2, 3])
+    assert kv.get_value("INPUT") == {"maxRequestsPerCrawl": 10}
+    assert kv.get_value("missing", "dflt") == "dflt"
+    assert kv.keys() == ["INPUT", "state"]
+    kv.set_value("state", None)  # None deletes (reference setValue semantics)
+    assert kv.keys() == ["INPUT"]
+
+
+def test_request_list_dedup_and_keep_duplicates(spark):
+    srcs = [
+        "https://example.com/1",
+        "https://example.com/1#frag",
+        {"url": "https://example.com/2", "forefront": True},
+        "not a url",
+    ]
+    rl = RequestList.open(spark, srcs, num_buckets=4)
+    assert rl.count() == 2  # fragment dup collapses, invalid dropped
+    rows = {r["unique_key"]: r for r in rl.to_seeds().collect()}
+    assert rows["https://example.com/2"]["forefront"] is True
+
+    rl_dup = RequestList.open(spark, ["https://example.com/1"] * 3,
+                              num_buckets=4, keep_duplicate_urls=True)
+    assert rl_dup.count() == 3  # keepDuplicateUrls (request_list.ts:712-714)
+
+
+def test_requests_from_manifest(spark, tmp_path):
+    p = tmp_path / "manifest.txt"
+    p.write_text(
+        "intro https://a.com/x, https://b.net/y trailing\n"
+        "no urls here\n"
+        'quoted "https://c.org/z" done\n'
+    )
+    got = sorted(r["url"] for r in requests_from_manifest(spark, str(p)).collect())
+    assert got == ["https://a.com/x", "https://b.net/y", "https://c.org/z"]
