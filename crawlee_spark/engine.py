@@ -94,6 +94,12 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_expected_per_bucket: int = 100_000
     bloom_fpp: float = 0.03
+    # retryOnBlocked content heuristic (``blocked.ts:4-8``): blocked pages
+    # fail with 'session-blocked' and retry (session rotation analog)
+    detect_blocked: bool = False
+    # hot-host skew: salt factor for the stateless parse stage (0 = off;
+    # politeness/ordering stages are never salted — SURVEY.md §7(c))
+    parse_salt: int = 0
 
 
 FETCH_LOG_SCHEMA = (
@@ -185,9 +191,29 @@ class CrawlEngine:
             self.politeness_rows, "host string, next_allowed_step int"
         )
 
+    def _robots_delays(self, robots: DataFrame | None) -> dict[str, float]:
+        """Per-host crawl delays, collected ONCE per robots frame (memoized —
+        the rules dim is driver-small by design)."""
+        if robots is None:
+            return {}
+        key = id(robots)
+        if getattr(self, "_delays_memo", (None,))[0] != key:
+            delays = robots_op.crawl_delays_py(
+                [r.asDict() for r in robots.collect()], self.cfg.user_agent
+            )
+            self._delays_memo = (key, delays)
+        return self._delays_memo[1]
+
     def run_superstep(self, corpus: DataFrame, robots: DataFrame | None = None) -> dict[str, Any]:
         """Execute one superstep; returns its stats. ``corpus`` must carry
-        url, html (+ the input_hint payload columns when validate_images)."""
+        url, html (+ the input_hint payload columns when validate_images).
+
+        Job-count discipline: one superstep runs a fixed handful of Spark
+        jobs — pending check, robots-bucket agg, the fetched-stats agg, the
+        new-request bucket agg, the commit write, and the log/metrics
+        appends. All counters derive from those aggregations; nothing is
+        counted twice.
+        """
         cfg = self.cfg
         step = self.step + 1
         stats = {"step": step, "fetched": 0, "handled": 0, "failed": 0,
@@ -204,14 +230,15 @@ class CrawlEngine:
             # 1. robots sweep (disallowed pending -> dead)
             host_delays = None
             disallowed = None
+            disallowed_buckets: list[int] = []
             if robots is not None:
                 allowed, disallowed = robots_op.filter_allowed(pending, robots, cfg.user_agent)
                 allowed = allowed.persist()
                 disallowed = disallowed.persist()
-                stats["robots_dead"] = disallowed.count()
-                delays = robots_op.crawl_delays_py(
-                    [r.asDict() for r in robots.collect()], cfg.user_agent
-                )
+                dis_rows = disallowed.groupBy("bucket").count().collect()
+                stats["robots_dead"] = int(sum(r["count"] for r in dis_rows))
+                disallowed_buckets = [int(r["bucket"]) for r in dis_rows]
+                delays = self._robots_delays(robots)
                 if delays:
                     host_delays = self.spark.createDataFrame(
                         list(delays.items()), "host string, crawl_delay double"
@@ -225,14 +252,7 @@ class CrawlEngine:
                 politeness_state=self._politeness_df(),
                 host_delays=host_delays,
                 handled_so_far=self.handled_count,
-            ).persist()
-            n_fetch = fetch_set.count()
-            stats["fetched"] = n_fetch
-
-            if n_fetch == 0 and (stats["robots_dead"] == 0):
-                self.step = step
-                self._save_state()
-                return stats
+            )
 
             # 3. deterministic fetch: canonical-hash join against the corpus.
             # Column-prune the corpus: scheduling never reads bytes (decisive
@@ -245,32 +265,72 @@ class CrawlEngine:
             )
             fetched = fetch_set.join(corpus_keyed, on="url_hash", how="left")
             success_col = F.col("_html").isNotNull() & cfg.failures.success_col()
+            if cfg.detect_blocked:
+                from crawlee_spark.functions.text import is_blocked_page
+
+                fetched = fetched.withColumn("_blocked", is_blocked_page(F.col("_html")))
+                success_col = success_col & ~F.col("_blocked")
+            else:
+                fetched = fetched.withColumn("_blocked", F.lit(False))
+            can_retry = (~F.col("no_retry")) & (F.col("retry_count") < cfg.max_retries)
             fetched = fetched.withColumn("_success", success_col).persist()
+
+            # ONE aggregation yields every fetch-side counter, the touched
+            # hosts for politeness, and the per-partition metrics rows
+            m_rows = (
+                fetched.groupBy("bucket", "host")
+                .agg(
+                    F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
+                    F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
+                    F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
+                )
+                .collect()
+            )
+            n_handled = int(sum(r["handled"] for r in m_rows))
+            n_retried = int(sum(r["retried"] for r in m_rows))
+            n_dead = int(sum(r["failed"] for r in m_rows))
+            n_fetch = n_handled + n_retried + n_dead
+            stats.update(fetched=n_fetch, handled=n_handled,
+                         retried=n_retried, failed=n_dead)
+
+            if n_fetch == 0 and (stats["robots_dead"] == 0):
+                self.step = step
+                self._save_state()
+                return stats
 
             successes = fetched.filter(F.col("_success"))
             failures = fetched.filter(~F.col("_success"))
 
-            # 4. extract + enqueueLinks on successes
-            new_reqs = None
-            pages = successes.select("url", F.col("_html").alias("html"), "depth")
+            # 4. extract + enqueueLinks on successes (stateless stage — the
+            # one place hot-host salting is allowed, SURVEY.md §7(c))
+            pages = successes.select("url", F.col("_html").alias("html"), "depth",
+                                     "host", "url_hash")
+            if cfg.parse_salt > 0:
+                from crawlee_spark.operators.skew import salted_repartition
+
+                pages = salted_repartition(pages, "host", cfg.parse_salt)
+            pages = pages.select("url", "html", "depth")
             links = enqueue_links(pages, cfg.enqueue)
             new_reqs = make_requests(links, step, cfg.num_buckets, cfg.keep_fragment).persist()
+            nb_rows = new_reqs.groupBy("bucket").count().collect()
+            stats["enqueued"] = int(sum(r["count"] for r in nb_rows))
 
             # 5. failure split: retry vs dead
-            can_retry = (~F.col("no_retry")) & (F.col("retry_count") < cfg.max_retries)
-            err_col = F.when(F.col("_html").isNull(), F.lit("404-not-found")).otherwise(
-                F.lit("fetch-failed")
+            err_col = (
+                F.when(F.col("_html").isNull(), F.lit("404-not-found"))
+                .when(F.col("_blocked"), F.lit("session-blocked"))
+                .otherwise(F.lit("fetch-failed"))
             )
             retries = failures.filter(can_retry).select("url_hash", err_col.alias("error"))
             deads = failures.filter(~can_retry).select("url_hash", err_col.alias("error"))
 
             # 6. ONE combined frontier commit for all touched buckets
             handled_keys = successes.select("url_hash", "bucket")
-            touched = sorted({
-                r["bucket"]
-                for df in (fetch_set, new_reqs, *(d for d in [disallowed] if d is not None))
-                for r in df.select("bucket").distinct().collect()
-            })
+            touched = sorted(
+                {int(r["bucket"]) for r in m_rows}
+                | {int(r["bucket"]) for r in nb_rows}
+                | set(disallowed_buckets)
+            )
             existing = self.frontier.read(buckets=touched)
 
             marks = handled_keys.select("url_hash").withColumn("_mark", F.lit("handled"))
@@ -325,12 +385,6 @@ class CrawlEngine:
                 fresh = merge_new_requests(existing, new_reqs)
             new_content = updated.unionByName(fresh.select(*updated.columns))
 
-            n_handled = successes.count()
-            n_retried = fetched.filter(~F.col("_success")).filter(can_retry).count()
-            n_dead = n_fetch - n_handled - n_retried
-            stats.update(handled=n_handled, retried=n_retried, failed=n_dead)
-            stats["enqueued"] = new_reqs.count()
-
             self.frontier.table.commit_buckets(
                 new_content, "superstep",
                 {"step": step, **{k: v for k, v in stats.items() if k != "step"}},
@@ -347,21 +401,18 @@ class CrawlEngine:
                 "bucket", "order_no", "depth", "retry_count",
                 F.when(F.col("_success"), F.lit("ok"))
                 .when(F.col("_html").isNull(), F.lit("404-not-found"))
+                .when(F.col("_blocked"), F.lit("session-blocked"))
                 .otherwise(F.lit("fetch-failed")).alias("status"),
             )
             self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
                                                FETCH_LOG_SCHEMA.split(",")]),
                                   {"step": step})
-            m = (
-                fetched.groupBy("bucket", "host")
-                .agg(
-                    F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
-                    F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
-                    F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
-                )
-                .withColumn("step", F.lit(step))
-                .withColumn("robots_dead", F.lit(0).cast("long"))
-                .select("step", "bucket", "host", "handled", "failed", "retried", "robots_dead")
+            # metrics rows come from the already-collected aggregation — the
+            # append is a tiny local write, not another cluster job
+            m = self.spark.createDataFrame(
+                [(step, int(r["bucket"]), r["host"], int(r["handled"]),
+                  int(r["failed"]), int(r["retried"]), 0) for r in m_rows],
+                METRICS_SCHEMA,
             )
             self.metrics.append(m, {"step": step})
 
@@ -379,13 +430,10 @@ class CrawlEngine:
                 )
                 self.results.append(v, {"step": step})
 
-            # 9. politeness advance (driver-side dict — O(delayed hosts))
-            delay_by_host = {}
-            if robots is not None:
-                delay_by_host = robots_op.crawl_delays_py(
-                    [r.asDict() for r in robots.collect()], cfg.user_agent
-                )
-            touched_hosts = [r["host"] for r in fetched.select("host").distinct().collect()]
+            # 9. politeness advance (driver-side dict — O(delayed hosts);
+            # touched hosts fall out of the metrics aggregation)
+            delay_by_host = self._robots_delays(robots)
+            touched_hosts = sorted({r["host"] for r in m_rows})
             na = dict(self.politeness_rows)
             na = {h: s for h, s in na.items() if s > step}
             for h in touched_hosts:

@@ -143,6 +143,82 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
 
 
+def html_to_text(html: Column) -> Column:
+    """DOM → plain text, portable core of ``packages/utils/src/internals/
+    cheerio.ts:39-81`` htmlToText: script/style blocks dropped with their
+    content, every other tag becomes a space, whitespace compressed, trimmed.
+
+    DuckDB mirror: the same three ``regexp_replace(..., 'g')`` steps + trim.
+    """
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+EMAIL_REGEX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+# portable core of the reference's social handle regexes
+# (``packages/utils/src/internals/social.ts:30-43, 243-321``)
+TWITTER_REGEX = r"(?:twitter|x)\.com/([A-Za-z0-9_]{1,15})"
+GITHUB_REGEX = r"github\.com/([A-Za-z0-9\-]{1,39})"
+
+
+def emails_from_text(text: Column) -> Column:
+    """``social.emailsFromText`` analog (``social.ts:30-43``)."""
+    return F.regexp_extract_all(text, F.lit(EMAIL_REGEX), 0)
+
+
+def parse_open_graph(html: Column) -> Column:
+    """``parseOpenGraph`` analog (``packages/utils/src/internals/
+    open_graph_parser.ts:394-405``): og:* meta properties as a
+    map<string,string> (flat portable core — the reference nests known
+    structured properties; consumers here read keys like 'og:title').
+    """
+    metas = F.regexp_extract_all(
+        html,
+        F.lit(r'<meta\s+property="(og:[^"]+)"\s+content="([^"]*)"'),
+        0,
+    )
+    pairs = F.transform(
+        metas,
+        lambda m: F.struct(
+            F.regexp_extract(m, r'property="(og:[^"]+)"', 1).alias("key"),
+            F.regexp_extract(m, r'content="([^"]*)"', 1).alias("value"),
+        ),
+    )
+    return F.map_from_entries(pairs)
+
+
+# Blocked-page markers: the reference detects bot-walls via CSS selectors
+# (``packages/utils/src/internals/blocked.ts:4-8`` — Cloudflare challenge,
+# Google sorry page, Incapsula iframe). Portable content-match core:
+BLOCKED_MARKERS = [
+    "cf-challenge-running",
+    "/sorry/index",
+    "main-iframe",
+]
+
+
+def is_blocked_page(html: Column) -> Column:
+    """retryOnBlocked content heuristic (``blocked.ts:4-8``;
+    ``http-crawler.ts:511-518``): any marker present -> session-blocked."""
+    cond = F.lit(False)
+    for marker in BLOCKED_MARKERS:
+        cond = cond | (F.instr(F.coalesce(html, F.lit("")), marker) > 0)
+    return cond
+
+
+def is_blocked_page_py(html: str) -> bool:
+    return any(m in (html or "") for m in BLOCKED_MARKERS)
+
+
+def weighted_avg(value: Column, weight: Column) -> Column:
+    """sum(v*w)/sum(w) — ``weightedAvg`` (``utils general.ts:46-52``), the
+    SystemStatus overload aggregation primitive (``system_status.ts``)."""
+    return F.sum(value * weight) / F.sum(weight)
+
+
 def fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over the
     per-token md5 hashes, mod 1e9+7 — a content-defined id robust to

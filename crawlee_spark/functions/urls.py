@@ -107,6 +107,35 @@ def unique_key(url: Column, explicit: Column | None = None, keep_fragment: bool 
     return canon
 
 
+def extended_unique_key(
+    url: Column, method: Column | None = None, payload: Column | None = None,
+    keep_fragment: bool = False,
+) -> Column:
+    """useExtendedUniqueKey form: ``METHOD(payloadHash):normalizedUrl``
+    (``request.ts:361-375``; payload hash = first 8 hex chars of
+    sha256(payload), ``request.ts:377-384``; empty when no payload).
+    """
+    m = F.upper(F.coalesce(method, F.lit("GET"))) if method is not None else F.lit("GET")
+    canon = F.coalesce(canonicalize(url, keep_fragment), F.trim(url))
+    if payload is not None:
+        ph = F.when(
+            payload.isNull(), F.lit("")
+        ).otherwise(F.substring(F.sha2(payload, 256), 1, 8))
+    else:
+        ph = F.lit("")
+    return F.concat(m, F.lit("("), ph, F.lit("):"), canon)
+
+
+def extended_unique_key_py(url: str, method: str = "GET",
+                           payload: bytes | None = None,
+                           keep_fragment: bool = False) -> str:
+    import hashlib
+
+    canon = canonicalize_py(url, keep_fragment) or url.strip()
+    ph = hashlib.sha256(payload).hexdigest()[:8] if payload else ""
+    return f"{method.upper()}({ph}):{canon}"
+
+
 def url_hash(key: Column) -> Column:
     """64-bit frontier key: xxhash64(uniqueKey) per BASELINE.json north_rule.
 

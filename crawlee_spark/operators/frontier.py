@@ -91,15 +91,29 @@ def normalize_requests(
     if "no_retry" not in cols:
         df = df.withColumn("no_retry", F.lit(False))
 
+    # canonical form computed ONCE; host derived from it with a single
+    # regexp instead of re-parsing the raw URL (the canonical host is by
+    # construction the lowercased no-port host of the original — halves the
+    # regex work in the hottest expression of the engine)
+    canon = urls.canonicalize(F.col("url"), keep_fragment)
+    host_from_canon = F.regexp_extract(
+        F.col("_canon"), r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1
+    )
     df = (
-        df.withColumn(
+        df.withColumn("_canon", canon)
+        .withColumn(
             "unique_key",
-            urls.unique_key(F.col("url"), F.col("unique_key"), keep_fragment),
+            F.coalesce(F.col("unique_key"), F.col("_canon"), F.trim(F.col("url"))),
         )
         .withColumn("url_hash", urls.url_hash(F.col("unique_key")))
-        .withColumn("host", urls.host_of(F.col("url")))
+        .withColumn(
+            "host",
+            F.when(F.col("_canon").isNull() | (host_from_canon == ""), F.lit(None))
+            .otherwise(host_from_canon),
+        )
         .filter(F.col("host").isNotNull())
         .withColumn("bucket", urls.host_hash(F.col("host"), num_buckets))
+        .drop("_canon")
     )
 
     df = df.withColumn(
@@ -168,8 +182,12 @@ def merge_new_requests(existing: DataFrame, batch: DataFrame) -> DataFrame:
     ``request_provider.ts:46-47`` — the URL-seen set IS the frontier key set
     under snapshot isolation).
     """
+    # join key is url_hash ALONE (not bucket+url_hash): the hash already
+    # identifies the uniqueKey, and a single-column key lets Catalyst reuse
+    # the dedup stage's url_hash exchange instead of re-shuffling the batch
+    # on a compound key (one fewer full-batch exchange per superstep)
     return batch.join(
-        existing.select("bucket", "url_hash"), on=["bucket", "url_hash"], how="left_anti"
+        existing.select("url_hash"), on="url_hash", how="left_anti"
     )
 
 

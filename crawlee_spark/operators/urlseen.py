@@ -218,7 +218,7 @@ def merge_with_bloom(
     exactness); the Bloom prunes the join's left side."""
     unseen, maybe = prefilter_batch(batch, shards)
     really_new = maybe.join(
-        existing.select("bucket", "url_hash"), on=["bucket", "url_hash"], how="left_anti"
+        existing.select("url_hash"), on="url_hash", how="left_anti"
     )
     return unseen.unionByName(really_new)
 

@@ -902,6 +902,83 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """htmlToText: script/style dropped with content, tags → spaces,
+    whitespace compressed (``packages/utils/src/internals/cheerio.ts:39-81``
+    portable core), over synthesized HTML wrapping each document."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x="), F.col("doc_id").cast("string"),
+        F.lit(";</script><style>.a{}</style></head><body><p>"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("</p><b>"), F.col("source"), F.lit("</b></body></html>"),
+    )
+    return d.select("doc_id", T.html_to_text(html).alias("plain"))
+
+
+ORACLE_HTML_TO_TEXT = r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    '<html><head><script>var x=' || CAST(doc_id AS VARCHAR) ||
+    ';</script><style>.a{}</style></head><body><p>' || substr(text, 1, 80) ||
+    '</p><b>' || source || '</b></body></html>',
+    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+    '<[^>]+>', ' ', 'g'),
+    '\s+', ' ', 'g')) AS plain
+FROM documents
+"""
+
+
+def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email extraction (``social.ts:30-43`` emailsFromText analog) over
+    synthesized contact strings."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("@example.com or admin@"),
+        F.col("source"), F.lit(".org soon"),
+    )
+    return d.select(
+        "doc_id", F.explode(T.emails_from_text(synth)).alias("email")
+    )
+
+
+ORACLE_SOCIAL_EXTRACT = r"""
+SELECT doc_id, unnest(regexp_extract_all(
+    'contact ' || source || '@example.com or admin@' || source || '.org soon',
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS email
+FROM documents
+"""
+
+
+def q_extended_unique_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """useExtendedUniqueKey: METHOD(sha256-8(payload)):canonicalUrl
+    (``request.ts:361-384``) — POST rows carry a payload hash."""
+    m = _messy_urls(spark, sf_dir)
+    method = F.when(F.col("doc_id") % 3 == 0, F.lit("POST")).otherwise(F.lit("GET"))
+    payload = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("body-"), F.col("doc_id").cast("string")).cast("binary"),
+    ).otherwise(F.lit(None).cast("binary"))
+    return m.select(
+        "doc_id",
+        U.extended_unique_key(F.col("url"), method, payload).alias("ext_key"),
+    )
+
+
+ORACLE_EXTENDED_UNIQUE_KEY = f"""
+WITH messy AS ({_MESSY_SQL})
+SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0 THEN 'POST' ELSE 'GET' END)
+       || '(' ||
+       (CASE WHEN doc_id % 3 = 0
+             THEN substr(sha256('body-' || CAST(doc_id AS VARCHAR)), 1, 8)
+             ELSE '' END)
+       || '):' || ({_CANON_SQL}) AS ext_key
+FROM messy
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -928,6 +1005,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "html_to_text": q_html_to_text,
+    "social_extract": q_social_extract,
+    "extended_unique_key": q_extended_unique_key,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -959,6 +1039,9 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "html_to_text": ORACLE_HTML_TO_TEXT,
+    "social_extract": ORACLE_SOCIAL_EXTRACT,
+    "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

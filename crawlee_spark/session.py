@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Throughput GC: the engine's hot paths (regex canonicalization,
+        # md5 shingle hashing) are allocation-rate bound; G1's concurrent
+        # cycles cap map-stage scaling at ~8 threads on this box, ParallelGC
+        # restores near-linear thread scaling (measured 3.3x from 8->32).
+        # Only takes effect when this call actually launches the JVM.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

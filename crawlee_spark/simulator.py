@@ -80,6 +80,7 @@ class SimConfig:
     user_agent: str = "*"
     keep_fragment: bool = False
     max_steps: int = 10_000
+    detect_blocked: bool = False  # retryOnBlocked content heuristic
 
 
 @dataclass
@@ -236,7 +237,16 @@ def simulate(
         for r in candidates:
             touched_hosts.add(r.host)
             hit = corpus_by_key.get(r.unique_key)
-            success = hit is not None and cfg.failures.outcome(r.url_hash, r.retry_count)
+            blocked = False
+            if hit is not None and cfg.detect_blocked:
+                from crawlee_spark.functions.text import is_blocked_page_py
+
+                blocked = is_blocked_page_py(hit[1].get("html", ""))
+            success = (
+                hit is not None
+                and cfg.failures.outcome(r.url_hash, r.retry_count)
+                and not blocked
+            )
             if success:
                 crawl_order.append((step, r.unique_key))
                 orig_url, page = hit
@@ -248,7 +258,8 @@ def simulate(
                 handled_count += 1
                 bump(r.host, "handled")
             else:
-                err = "404-not-found" if hit is None else "fetch-failed"
+                err = ("404-not-found" if hit is None
+                       else "session-blocked" if blocked else "fetch-failed")
                 if (not r.no_retry) and r.retry_count < cfg.max_retries:
                     r.retry_count += 1
                     r.order_no = (step + 1) << STEP_SHIFT

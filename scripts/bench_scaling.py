@@ -28,8 +28,11 @@ from bench import frontier_throughput
 cpus = int(sys.argv[1])
 rows = int(sys.argv[2])
 spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
-# warmup: JVM + codegen
-frontier_throughput(spark, 50_000)
+# warmup: JVM launch + whole-stage codegen + C2 JIT of the regex-heavy
+# canonicalization (cold first runs under-state steady-state throughput
+# by 2-3x; the cluster analogy is long-lived executors)
+frontier_throughput(spark, rows // 4)
+frontier_throughput(spark, rows)
 best = None
 for _ in range(2):
     dt, unique = frontier_throughput(spark, rows)

@@ -83,3 +83,34 @@ def test_parity_with_bloom(spark, tmp_path, corpus_fixture):
         CrawlConfig(num_buckets=8, use_bloom=True, bloom_expected_per_bucket=1000),
         SimConfig(),
     )
+
+
+def test_parity_blocked_and_salted(spark, tmp_path):
+    """retryOnBlocked content heuristic + hot-host parse salting: blocked
+    pages go retry→dead identically in engine and simulator; salting the
+    stateless parse stage must not perturb ordering."""
+    rows = list(datagen.gen_corpus_rows(N_PAGES, N_HOSTS, seed=42, with_bytes=False))
+    for r in rows:
+        i = int(r["image_id"].split("-")[1])
+        if i % 11 == 0:  # plant bot-wall markers on a slice of pages
+            r["html"] = r["html"].replace(
+                "</body>", '<div class="cf-challenge-running"></div></body>'
+            )
+    corpus_py = {r["url"]: {"html": r["html"]} for r in rows}
+    seeds_py = datagen.gen_seed_rows(N_PAGES, N_HOSTS, seed=42, n_seeds=N_SEEDS)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows], "url string, html string"
+    )
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string"
+    )
+
+    sim = simulate(corpus_py, seeds_py, SimConfig(detect_blocked=True))
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"),
+                      CrawlConfig(num_buckets=8, detect_blocked=True, parse_salt=4))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    assert any(v == "session-blocked" for v in sim.dead.values())

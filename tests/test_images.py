@@ -47,13 +47,25 @@ def test_decode_rejects_corrupt():
 
 
 def test_phash_stable_and_robust_to_jpeg():
-    px = datagen.gen_page_pixels(42, 6, 64, 64)
+    # structured image (gradient): block means differ clearly, so the
+    # perceptual hash must survive lossy quantization EXACTLY
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    px = np.stack([(y * 4) % 256, (x * 4) % 256, ((x + y) * 2) % 256],
+                  axis=2).astype(np.uint8)
     ph_png = phash_pixels(decode_image(encode_image(px, "png"), "png", 64, 64))
     ph_jpg = phash_pixels(decode_image(encode_image(px, "jpeg"), "jpeg", 64, 64))
-    # quantization noise must not flip the perceptual hash
     assert ph_png == ph_jpg
-    # and it round-trips as signed int64
     assert -(1 << 63) <= ph_png < (1 << 63)
+
+    # pure-noise image: block means sit at the threshold, quantization may
+    # flip a few bits — bound the Hamming drift instead of exact equality
+    noise = datagen.gen_page_pixels(42, 6, 64, 64)
+    n_png = phash_pixels(decode_image(encode_image(noise, "png"), "png", 64, 64))
+    n_jpg = phash_pixels(decode_image(encode_image(noise, "jpeg"), "jpeg", 64, 64))
+    hamming = bin((n_png ^ n_jpg) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 16
 
 
 def test_validate_pages_spark(spark):
