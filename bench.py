@@ -36,6 +36,7 @@ HEADLINE = [
     "text_langid",
     "text_quality",
     "text_fingerprint",
+    "top_terms",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

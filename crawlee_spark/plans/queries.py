@@ -979,6 +979,71 @@ FROM messy
 """
 
 
+def q_dedup_minhash_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL: the survivor set after dropping the higher id of
+    every MinHash-LSH candidate pair (greedy keep-first — the standard
+    training-corpus dedup sweep; at scale this is the anti-join after the
+    band-bucket join)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_n=3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
+
+
+ORACLE_DEDUP_MINHASH_REMOVE = f"""
+WITH pairs AS ({ORACLE_DEDUP_MINHASH})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term extraction: top-3 terms per doc by the integer
+    tf·(N−df) score (a tf-idf analog in exact integer arithmetic —
+    transcendental-free so the oracle matches bit-for-bit; swap in
+    log-idf on a real corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(T.tokens_of(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, on="term").withColumn(
+        "score", (F.col("tf") * (F.lit(n_docs) - F.col("df"))).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ORACLE_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf * ((SELECT n_docs FROM n) - dfreq.df) AS BIGINT) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -996,6 +1061,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dataset ops
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_remove": q_dedup_minhash_remove,
+    "top_terms": q_top_terms,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
@@ -1030,6 +1097,8 @@ ORACLES: dict[str, str] = {
     "robots_filter": ORACLE_ROBOTS_FILTER,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_minhash_remove": ORACLE_DEDUP_MINHASH_REMOVE,
+    "top_terms": ORACLE_TOP_TERMS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
