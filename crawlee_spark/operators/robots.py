@@ -27,6 +27,56 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# -- robots.txt parsing (RFC 9309 §2.1-2.2) ---------------------------------
+
+
+def parse_robots_txt(host: str, text: str) -> list[dict]:
+    """Parse a robots.txt body into rule rows for the rules table.
+
+    RFC 9309 grammar: groups start with one or more ``User-agent`` lines;
+    ``Allow``/``Disallow``/``Crawl-delay`` lines attach to the CURRENT
+    group's agents; ``#`` starts a comment; unknown directives are ignored;
+    an empty Disallow value means "allow all" (recorded as an allow-/ rule
+    so longest-match semantics stay uniform). Line endings/case per spec
+    (directives case-insensitive, patterns case-sensitive).
+    """
+    rows: list[dict] = []
+    agents: list[str] = []
+    group_open = False  # False once a rule line closed the UA block
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        directive, _, value = line.partition(":")
+        directive = directive.strip().lower()
+        value = value.strip()
+        if directive == "user-agent":
+            if not group_open:
+                agents = []
+                group_open = True
+            agents.append(value.lower())
+        elif directive in ("allow", "disallow", "crawl-delay"):
+            group_open = False
+            if not agents:
+                continue  # rule before any user-agent line: ignored
+            for ua in agents:
+                if directive == "crawl-delay":
+                    try:
+                        d = float(value)
+                    except ValueError:
+                        continue
+                    rows.append({"host": host, "user_agent": ua, "rule": "allow",
+                                 "path_pattern": "/", "crawl_delay": d})
+                elif directive == "disallow" and value == "":
+                    rows.append({"host": host, "user_agent": ua, "rule": "allow",
+                                 "path_pattern": "/", "crawl_delay": None})
+                else:
+                    rows.append({"host": host, "user_agent": ua,
+                                 "rule": "allow" if directive == "allow" else "disallow",
+                                 "path_pattern": value, "crawl_delay": None})
+    return rows
+
+
 # -- pattern compilation ----------------------------------------------------
 
 

@@ -70,6 +70,56 @@ def test_crawl_delays():
     assert crawl_delays_py(rows) == {"h": 5.0}
 
 
+def test_parse_robots_txt():
+    from crawlee_spark.operators.robots import parse_robots_txt
+
+    text = """
+# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: mybot
+User-agent: otherbot
+Disallow:
+
+Unknown-directive: x
+Disallow: /ignored-no-group-reopen
+"""
+    rows = parse_robots_txt("h.com", text)
+    star = [r for r in rows if r["user_agent"] == "*"]
+    assert {(r["rule"], r["path_pattern"]) for r in star} >= {
+        ("disallow", "/private/"), ("allow", "/private/ok")
+    }
+    assert any(r["crawl_delay"] == 2.0 for r in star)
+    # empty Disallow = allow-all for both listed agents
+    for ua in ("mybot", "otherbot"):
+        assert {"host": "h.com", "user_agent": ua, "rule": "allow",
+                "path_pattern": "/", "crawl_delay": None} in rows
+    # the orphan Disallow after the closed group attaches to mybot/otherbot
+    # (group stays current until a new User-agent block), per RFC grouping
+    compiled = compile_rules(rows)
+    assert not is_allowed_py(compiled, "h.com", "/private/x")
+    assert is_allowed_py(compiled, "h.com", "/private/ok")
+
+
+def test_parse_then_filter_end_to_end(spark):
+    from crawlee_spark.operators.robots import parse_robots_txt
+
+    rows = parse_robots_txt("a.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n")
+    robots = spark.createDataFrame(
+        rows, "host string, user_agent string, rule string, path_pattern string, crawl_delay double"
+    )
+    cand = spark.createDataFrame(
+        [("https://a.com/p/1", "a.com"), ("https://a.com/p/123", "a.com")],
+        "url string, host string",
+    )
+    allowed, disallowed = filter_allowed(cand, robots)
+    assert {r["url"] for r in allowed.collect()} == {"https://a.com/p/123"}
+    assert {r["url"] for r in disallowed.collect()} == {"https://a.com/p/1"}
+
+
 def test_spark_filter_parity(spark):
     rows = [
         {"host": "a.com", "user_agent": "*", "rule": "disallow", "path_pattern": "/p/1", "crawl_delay": None},
