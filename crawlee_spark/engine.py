@@ -100,6 +100,11 @@ class CrawlConfig:
     # hot-host skew: salt factor for the stateless parse stage (0 = off;
     # politeness/ordering stages are never salted — SURVEY.md §7(c))
     parse_salt: int = 0
+    # per-bucket session pool tracking (operators/sessions.py): fetch
+    # identities with error scores / usage / rotation — observability state,
+    # deliberately decoupled from crawl ordering (parity-neutral)
+    track_sessions: bool = False
+    sessions_per_bucket: int = 4
 
 
 FETCH_LOG_SCHEMA = (
@@ -140,6 +145,10 @@ class CrawlEngine:
                 fpp=self.cfg.bloom_fpp,
             )
             self.urlseen.load()  # resume path: reload persisted shards
+        # session pool rows: [(bucket, session_id, error_score, usage_count,
+        # created_step, retired)] — driver-small (buckets x per_bucket),
+        # persisted in crawl_state.json
+        self.session_rows: list[list] = []
 
     # -- state / resume -----------------------------------------------------
 
@@ -148,6 +157,7 @@ class CrawlEngine:
             "step": self.step,
             "handled_count": self.handled_count,
             "politeness": self.politeness_rows,
+            "sessions": self.session_rows,
         }))
 
     def _load_state(self) -> bool:
@@ -158,6 +168,7 @@ class CrawlEngine:
         self.step = s["step"]
         self.handled_count = s["handled_count"]
         self.politeness_rows = [tuple(x) for x in s["politeness"]]
+        self.session_rows = [list(x) for x in s.get("sessions", [])]
         return True
 
     @classmethod
@@ -430,6 +441,12 @@ class CrawlEngine:
                 )
                 self.results.append(v, {"step": step})
 
+            # 8b. session pool fold (observability state; deterministic
+            # session pick = pmod(url_hash, per_bucket); status classes map
+            # onto the reference's code semantics — blocked retires)
+            if cfg.track_sessions:
+                self._update_sessions(fetched, step)
+
             # 9. politeness advance (driver-side dict — O(delayed hosts);
             # touched hosts fall out of the metrics aggregation)
             delay_by_host = self._robots_delays(robots)
@@ -455,6 +472,38 @@ class CrawlEngine:
                         obj.unpersist()
                 except Exception:
                     pass
+
+    def _update_sessions(self, fetched: DataFrame, step: int) -> None:
+        from crawlee_spark.operators import sessions as sess
+
+        per_bucket = self.cfg.sessions_per_bucket
+        if self.session_rows:
+            pool = self.spark.createDataFrame(
+                [tuple(r) for r in self.session_rows], sess.SESSION_SCHEMA
+            )
+        else:
+            pool = sess.create_pool(self.spark, self.cfg.num_buckets, per_bucket)
+        status = (
+            F.when(F.col("_success"), F.lit(200))
+            .when(F.col("_html").isNull(), F.lit(404))
+            .when(F.col("_blocked"), F.lit(403))
+            .otherwise(F.lit(500))
+        )
+        results = fetched.select(
+            "bucket",
+            F.pmod(F.col("url_hash"), F.lit(per_bucket)).cast("int").alias("session_id"),
+            status.alias("status_code"),
+        )
+        new_pool = sess.update_pool(pool, results, step, per_bucket)
+        self.session_rows = sorted(
+            [list(r) for r in new_pool.collect()], key=lambda r: (r[0], r[1])
+        )
+
+    def session_state(self) -> list[dict]:
+        from crawlee_spark.operators.sessions import SESSION_SCHEMA
+
+        cols = [f.split(" ")[0] for f in SESSION_SCHEMA.split(", ")]
+        return [dict(zip(cols, r)) for r in self.session_rows]
 
     # -- the crawl loop -----------------------------------------------------
 

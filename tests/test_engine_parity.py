@@ -85,6 +85,29 @@ def test_parity_with_bloom(spark, tmp_path, corpus_fixture):
     )
 
 
+def test_sessions_tracking_parity_neutral(spark, tmp_path, corpus_fixture):
+    """Session-pool tracking is observability state: crawl order and
+    URL-seen must be identical to the untracked run, and the pool must
+    record usage after the crawl."""
+    corpus_py, seeds_py, corpus_df, seeds_df = corpus_fixture
+    sim = simulate(corpus_py, seeds_py, SimConfig())
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"),
+                      CrawlConfig(num_buckets=8, track_sessions=True,
+                                  sessions_per_bucket=2))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    state = eng.session_state()
+    assert state and all(s["error_score"] >= 0 for s in state)
+    assert sum(s["usage_count"] for s in state) > 0
+    # resume restores the pool
+    eng2 = CrawlEngine.resume(spark, str(tmp_path / "crawl"),
+                              CrawlConfig(num_buckets=8, track_sessions=True,
+                                          sessions_per_bucket=2))
+    assert eng2.session_state() == state
+
+
 def test_parity_blocked_and_salted(spark, tmp_path):
     """retryOnBlocked content heuristic + hot-host parse salting: blocked
     pages go retry→dead identically in engine and simulator; salting the
