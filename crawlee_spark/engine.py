@@ -417,7 +417,7 @@ class CrawlEngine:
             )
             self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
                                                FETCH_LOG_SCHEMA.split(",")]),
-                                  {"step": step})
+                                  {"step": step}, coalesce=4)
             # metrics rows come from the already-collected aggregation — the
             # append is a tiny local write, not another cluster job
             m = self.spark.createDataFrame(
@@ -425,7 +425,7 @@ class CrawlEngine:
                   int(r["failed"]), int(r["retried"]), 0) for r in m_rows],
                 METRICS_SCHEMA,
             )
-            self.metrics.append(m, {"step": step})
+            self.metrics.append(m, {"step": step}, coalesce=1)
 
             # 8. image validation results (input_hint invariant) per fetch
             if cfg.validate_images:
@@ -439,7 +439,7 @@ class CrawlEngine:
                 v = validate_pages(fetched_payload, seed=cfg.seed).withColumn(
                     "step", F.lit(step)
                 )
-                self.results.append(v, {"step": step})
+                self.results.append(v, {"step": step}, coalesce=4)
 
             # 8b. session pool fold (observability state; deterministic
             # session pick = pmod(url_hash, per_bucket); status classes map

@@ -229,12 +229,16 @@ class AppendTable:
         with open(os.path.join(self.manifest_dir, f"snap-{sid}.json")) as f:
             return json.load(f)
 
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None,
+               coalesce: int | None = None) -> int:
+        """Append a segment. ``coalesce`` caps output files — per-superstep
+        log/metric appends are small and shouldn't pay a 32-task write."""
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
         sid = (self.current_snapshot_id() + 1) if self.exists() else 0
         seg = f"seg-{sid}"
-        df.write.mode("overwrite").parquet(os.path.join(self.data_dir, seg))
+        out = df.coalesce(coalesce) if coalesce else df
+        out.write.mode("overwrite").parquet(os.path.join(self.data_dir, seg))
         segments = (self.manifest()["segments"] if self.exists() else []) + [seg]
         manifest = {
             "id": sid,
