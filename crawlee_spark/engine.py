@@ -189,9 +189,26 @@ class CrawlEngine:
             FrontierTable.create(self.spark, self.frontier.table.root, self.cfg.num_buckets)
         res = self.frontier.add_requests(seeds, step=0, keep_fragment=self.cfg.keep_fragment)
         if self.urlseen is not None:
-            self.urlseen.rebuild(self.frontier.read().select("bucket", "url_hash"))
+            self.urlseen.rebuild(
+                self.frontier.read().select("bucket", "url_hash"),
+                frontier_snapshot=self.frontier.table.current_snapshot_id(),
+            )
         self._save_state()
         return res
+
+    def _ensure_urlseen_fresh(self) -> None:
+        """Rebuild persisted Bloom shards when they don't match the current
+        frontier snapshot (crash between frontier commit and shard save):
+        stale shards would send just-committed keys down the
+        'definitely-unseen' path that skips the exact anti-join backstop."""
+        if self.urlseen is None or not self.frontier.exists():
+            return
+        sid = self.frontier.table.current_snapshot_id()
+        if self.urlseen.frontier_snapshot != sid:
+            self.urlseen.rebuild(
+                self.frontier.read().select("bucket", "url_hash"),
+                frontier_snapshot=sid,
+            )
 
     # -- one superstep ------------------------------------------------------
 
@@ -207,12 +224,15 @@ class CrawlEngine:
         the rules dim is driver-small by design)."""
         if robots is None:
             return {}
-        key = id(robots)
-        if getattr(self, "_delays_memo", (None,))[0] != key:
+        # memo keyed by a STRONG reference compared with `is` — an id()-keyed
+        # memo can spuriously hit after the old DataFrame is garbage-collected
+        # and CPython reuses its id for a different robots frame
+        memo = getattr(self, "_delays_memo", None)
+        if memo is None or memo[0] is not robots:
             delays = robots_op.crawl_delays_py(
                 [r.asDict() for r in robots.collect()], self.cfg.user_agent
             )
-            self._delays_memo = (key, delays)
+            self._delays_memo = (robots, delays)
         return self._delays_memo[1]
 
     def run_superstep(self, corpus: DataFrame, robots: DataFrame | None = None) -> dict[str, Any]:
@@ -391,6 +411,7 @@ class CrawlEngine:
             if self.urlseen is not None and self.urlseen.shards:
                 from crawlee_spark.operators.urlseen import merge_with_bloom
 
+                self._ensure_urlseen_fresh()
                 fresh = merge_with_bloom(existing, new_reqs, self.urlseen.shards)
             else:
                 fresh = merge_new_requests(existing, new_reqs)
@@ -401,9 +422,11 @@ class CrawlEngine:
                 {"step": step, **{k: v for k, v in stats.items() if k != "step"}},
             )
             if self.urlseen is not None:
-                # refresh shards for the buckets this commit rewrote
+                # refresh shards for the buckets this commit rewrote, stamped
+                # with the snapshot they reflect (crash-consistency marker)
                 self.urlseen.refresh_buckets(
-                    self.frontier.read(buckets=touched).select("bucket", "url_hash")
+                    self.frontier.read(buckets=touched).select("bucket", "url_hash"),
+                    frontier_snapshot=self.frontier.table.current_snapshot_id(),
                 )
 
             # 7. fetch log + metrics (per-partition metrics per north_rule)

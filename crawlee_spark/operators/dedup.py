@@ -143,49 +143,92 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(id, simhash) — bit j set iff sum over tokens of ±1 (sign of bit j of
-    H(token)) is >= 0. 16 bits keeps the oracle SQL tractable while
-    exercising the full pipeline; widening to 64 is the same expression ×4.
+    H(token)) is >= 0. md5_hash64 yields 56 usable bits, so any bits <= 56
+    works; empty docs get the all-ones signature (matches the oracle).
+
+    The token-hash array is materialized in its own projection and the
+    per-bit folds reference the COLUMN: Catalyst's CollapseProject keeps a
+    non-cheap expression used `bits` times un-inlined, so each token is
+    md5-hashed exactly once per row (inlining it would multiply the hashing
+    work by `bits`; an array-accumulator zip_with fold avoids the re-hash
+    too but allocates a bits-wide array per token step — measured 5x slower
+    than scalar folds).
     """
-    toks = tokens_of(F.col(text_col))
-    hashes = F.transform(toks, lambda t: md5_hash64(t))
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_of(F.col(text_col)), lambda t: md5_hash64(t)).alias("_hs"),
+    )
 
-    def _bit_merge(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
+    # sign of the ±1 sum for bit j == sign of (2*set_count - n_tokens):
+    # a size(filter(...)) per bit beats a per-bit long fold (no lambda
+    # accumulator chain) and an array-accumulator zip_with (no allocs)
+    n_tokens = F.size(F.col("_hs"))
+    total = None
     for j in range(bits):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(j))
-        bit_cols.append(
-            F.when(contrib >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return docs.select(F.col(id_col).alias("id"), total.alias("simhash"))
+        m = F.lit(1 << j).cast("long")
+        cnt = F.size(F.filter(F.col("_hs"), lambda h: h.bitwiseAND(m) != F.lit(0)))
+        bit = F.when(2 * cnt - n_tokens >= 0, m).otherwise(F.lit(0).cast("long"))
+        total = bit if total is None else total + bit
+    return hashed.select("id", total.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    All-pairs join (verification-scale). The scale path blocks on bit-chunks:
-    any pair within distance d shares at least one of d+1 chunks exactly
-    (pigeonhole) — same join shape as the LSH bands above.
+    Pigeonhole bit-chunk blocking (EXACT, not approximate): split the
+    signature into ``max_hamming + 1`` contiguous chunks — a pair within
+    Hamming distance d differs in at most d chunks, so it matches on at
+    least one chunk exactly. Candidates come from an EQUI-join on
+    (chunk_idx, chunk_value) — the same bucket-join shape as the LSH bands
+    above — then the exact Hamming verify keeps true pairs. Identical
+    output to the naive all-pairs join (the DuckDB oracle), but the plan is
+    a shuffled hash join, never a BroadcastNestedLoopJoin.
+
+    Scale: candidate volume is sum over chunks of in-bucket pairs. With
+    16-bit signatures a 4-bit chunk has only 16 buckets (worthwhile but
+    modest); at corpus scale use ``bits=48`` (md5_hash64 yields 56 usable
+    bits) so each of the 4 chunks has 2^12 buckets. The distinct() dedups
+    pairs that collide on several chunks.
     """
     s = simhash(docs, bits, id_col, text_col)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    chunk_structs = []
+    start = 0
+    for c in range(n_chunks):
+        size = base + (1 if c < rem else 0)
+        val = F.shiftright(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << size) - 1).cast("long")
         )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        chunk_structs.append(
+            F.struct(F.lit(c).alias("ck"), val.alias("cv"))
+        )
+        start += size
+    chunked = s.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    # pin the chunk rows so the (expensive) tokenization + per-bit fold runs
+    # once, not once per self-join side (same discipline as the LSH bands)
+    chunked = chunked.persist()
+    try:
+        a, b = chunked.alias("a"), chunked.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        out = (
+            a.join(b, on=["ck", "cv"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        chunked.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -71,9 +71,16 @@ def glob_to_regex(glob: str) -> str:
 
 @dataclass
 class EnqueueLinksOptions:
-    """Mirror of the reference option surface (``enqueue_links.ts:40-175``)."""
+    """Mirror of the reference option surface (``enqueue_links.ts:40-175``).
 
-    strategy: str = STRATEGY_SAME_HOSTNAME
+    ``strategy=None`` means "not explicitly set": the default same-hostname
+    scope applies only when no user patterns were given
+    (``enqueue_links.ts:314-316``). An EXPLICIT strategy — any value,
+    including same-hostname — always ANDs with user patterns
+    (``enqueue_links.ts:366-376`` filterRequestsByPatterns).
+    """
+
+    strategy: str | None = None
     globs: list[str] = field(default_factory=list)
     regexps: list[str] = field(default_factory=list)
     exclude_globs: list[str] = field(default_factory=list)
@@ -88,6 +95,10 @@ class EnqueueLinksOptions:
     @property
     def user_patterns(self) -> bool:
         return bool(self.globs or self.regexps)
+
+    @property
+    def effective_strategy(self) -> str:
+        return self.strategy or STRATEGY_SAME_HOSTNAME
 
     def include_regexes(self) -> list[str]:
         return [glob_to_regex(g) for g in self.globs] + list(self.regexps)
@@ -175,14 +186,17 @@ def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None
         out = out.filter(~_any_match(F.col("link"), excl))
     if opt.user_patterns:
         out = out.filter(_any_match(F.col("link"), opt.include_regexes()))
-        # reference: explicit patterns replace the default strategy, but an
-        # explicitly-set strategy still ANDs in (filterRequestsByPatterns)
-        if opt.strategy != STRATEGY_SAME_HOSTNAME or opt.strategy == STRATEGY_ALL:
+        # reference: explicit patterns replace the DEFAULT strategy, but an
+        # explicitly-set strategy (any value) still ANDs in
+        # (``enqueue_links.ts:314-316, 366-376``)
+        if opt.strategy is not None:
             out = out.filter(strategy_filter(F.col("link"), F.col("url"), opt.strategy))
     else:
-        out = out.filter(strategy_filter(F.col("link"), F.col("url"), opt.strategy))
+        out = out.filter(strategy_filter(F.col("link"), F.col("url"),
+                                         opt.effective_strategy))
 
     out = out.select(
+        F.col("url").alias("_src_url"),
         F.col("link").alias("url"),
         (F.col("depth") + 1).alias("depth"),
         F.lit(opt.forefront).alias("forefront"),
@@ -192,8 +206,19 @@ def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None
     if opt.transform is not None:
         out = opt.transform(out)
     if opt.limit is not None:
-        out = out.limit(opt.limit)
-    return out.drop("rel_order")
+        # per source page in document order (``enqueue_links.ts:379`` slices
+        # the first n links of ONE enqueueLinks call = one page here) — a
+        # global DataFrame.limit(n) would pick nondeterministic rows across
+        # the whole superstep and break engine==simulator parity
+        from pyspark.sql import Window
+
+        wl = Window.partitionBy("_src_url").orderBy("rel_order")
+        out = (
+            out.withColumn("_lrank", F.row_number().over(wl))
+            .filter(F.col("_lrank") <= opt.limit)
+            .drop("_lrank")
+        )
+    return out.drop("rel_order", "_src_url")
 
 
 # -- pure-Python mirror (simulator spec) ------------------------------------
@@ -216,17 +241,17 @@ def enqueue_links_py(
     incl = [re.compile(r, re.I) for r in opt.include_regexes()]
     excl = [re.compile(r, re.I) for r in opt.exclude_regexes()]
 
-    def in_scope(link: str) -> bool:
-        if opt.strategy == STRATEGY_ALL:
+    def in_scope(link: str, strategy: str) -> bool:
+        if strategy == STRATEGY_ALL:
             return True
         lh, bh = host_of_py(link), host_of_py(page_url)
         if lh is None or bh is None:
             return False
-        if opt.strategy == STRATEGY_SAME_HOSTNAME:
+        if strategy == STRATEGY_SAME_HOSTNAME:
             return lh == bh
-        if opt.strategy == STRATEGY_SAME_DOMAIN:
+        if strategy == STRATEGY_SAME_DOMAIN:
             return registrable_domain_py(lh) == registrable_domain_py(bh)
-        if opt.strategy == STRATEGY_SAME_ORIGIN:
+        if strategy == STRATEGY_SAME_ORIGIN:
             from crawlee_spark.functions.urls import canonicalize_py
 
             def origin(u):
@@ -235,7 +260,7 @@ def enqueue_links_py(
                 return m.group(1) if m else ""
 
             return origin(link) == origin(page_url)
-        raise ValueError(opt.strategy)
+        raise ValueError(strategy)
 
     out = []
     for link in extract_links(page_url, html or ""):
@@ -244,10 +269,9 @@ def enqueue_links_py(
         if opt.user_patterns:
             if not any(p.search(link) for p in incl):
                 continue
-            if opt.strategy == STRATEGY_ALL or opt.strategy != STRATEGY_SAME_HOSTNAME:
-                if not in_scope(link):
-                    continue
-        elif not in_scope(link):
+            if opt.strategy is not None and not in_scope(link, opt.strategy):
+                continue
+        elif not in_scope(link, opt.effective_strategy):
             continue
         out.append(
             {"url": link, "depth": depth + 1, "forefront": opt.forefront, "label": opt.label}

@@ -65,8 +65,12 @@ def parse_robots_txt(host: str, text: str) -> list[dict]:
                         d = float(value)
                     except ValueError:
                         continue
-                    rows.append({"host": host, "user_agent": ua, "rule": "allow",
-                                 "path_pattern": "/", "crawl_delay": d})
+                    # Delay-only row: rule/path are None so it can NEVER act
+                    # as a path match rule. (A 'Disallow: /' + 'Crawl-delay:'
+                    # pair must stay disallowed — an allow-/ row here would
+                    # tie at length 1 and allow-wins would open the host.)
+                    rows.append({"host": host, "user_agent": ua, "rule": None,
+                                 "path_pattern": None, "crawl_delay": d})
                 elif directive == "disallow" and value == "":
                     rows.append({"host": host, "user_agent": ua, "rule": "allow",
                                  "path_pattern": "/", "crawl_delay": None})
@@ -110,6 +114,8 @@ def compile_rules(rules_rows: list[dict], user_agent: str = "*") -> dict[str, li
         group = groups.get(user_agent) or groups.get("*") or []
         compiled = []
         for r in group:
+            if r.get("rule") is None:  # delay-only row: not a match rule
+                continue
             pat = r["path_pattern"] or ""
             compiled.append((len(pat), r["rule"] == "allow", re.compile(pattern_to_regex_py(pat))))
         out[host] = compiled
@@ -160,6 +166,9 @@ def rules_dim(robots: DataFrame, user_agent: str = "*") -> DataFrame:
     ranked = robots.withColumn("_uarank", ua_rank).filter(F.col("_uarank") < 2)
     best = ranked.groupBy("host").agg(F.min("_uarank").alias("_best"))
     effective = ranked.join(best, "host").filter(F.col("_uarank") == F.col("_best"))
+    # delay-only rows (rule IS NULL) participate in group selection above but
+    # must never act as path match rules (mirrors compile_rules)
+    effective = effective.filter(F.col("rule").isNotNull())
 
     # compile patterns driver-side? No — pattern_to_regex is a tiny string
     # transform; express it as SQL so the dim build stays distributed.

@@ -233,6 +233,13 @@ class UrlSeenShards:
         self.expected = expected_per_bucket
         self.fpp = fpp
         self.shards: dict[int, BloomShard] = {}
+        # frontier snapshot id the persisted shards reflect. A crash between
+        # the frontier commit and the shard save leaves this stale; callers
+        # (engine) compare it against the live snapshot id on resume and
+        # rebuild on mismatch — stale shards would route just-committed keys
+        # through the 'definitely unseen' fast path, skipping the exact
+        # anti-join backstop and breaking the no-false-negative guarantee.
+        self.frontier_snapshot: int | None = None
 
     def load(self) -> bool:
         path = os.path.join(self.root, "shards.npz")
@@ -245,9 +252,12 @@ class UrlSeenShards:
         self.shards = {
             int(b): BloomShard(data[f"b{b}"], meta["k"][str(b)]) for b in meta["buckets"]
         }
+        self.frontier_snapshot = meta.get("frontier_snapshot")
         return True
 
-    def save(self) -> None:
+    def save(self, frontier_snapshot: int | None = None) -> None:
+        if frontier_snapshot is not None:
+            self.frontier_snapshot = frontier_snapshot
         os.makedirs(self.root, exist_ok=True)
         np.savez_compressed(
             os.path.join(self.root, "shards.npz"),
@@ -258,16 +268,19 @@ class UrlSeenShards:
             json.dumps({
                 "buckets": sorted(self.shards),
                 "k": {str(b): s.k for b, s in self.shards.items()},
+                "frontier_snapshot": self.frontier_snapshot,
             }),
         )
 
-    def rebuild(self, frontier_keys: DataFrame) -> None:
+    def rebuild(self, frontier_keys: DataFrame,
+                frontier_snapshot: int | None = None) -> None:
         self.shards = build_shards(frontier_keys, self.expected, self.fpp)
-        self.save()
+        self.save(frontier_snapshot)
 
-    def refresh_buckets(self, touched_keys: DataFrame) -> None:
+    def refresh_buckets(self, touched_keys: DataFrame,
+                        frontier_snapshot: int | None = None) -> None:
         """Re-aggregate only the touched buckets (touched_keys must be the
         FULL key set of those buckets); untouched shards are kept."""
         new = build_shards(touched_keys, self.expected, self.fpp)
         self.shards.update(new)
-        self.save()
+        self.save(frontier_snapshot)

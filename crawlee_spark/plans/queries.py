@@ -450,8 +450,15 @@ ORACLE_DEDUP_MINHASH = _oracle_minhash()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) near-dup pairs at Hamming <= 3."""
-    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bits=16)
+    """SimHash(48-bit) near-dup pairs at Hamming <= 3 via pigeonhole
+    bit-chunk blocking (4 × 12-bit chunks -> equi-join on (chunk, value) ->
+    exact Hamming verify). The oracle computes the NAIVE all-pairs join, so
+    the green check proves the blocked plan is exact, not approximate.
+    (16 bits saturates: on a templated corpus ~25% of all pairs land within
+    Hamming 3, making the output itself quadratic — 48 bits is the smallest
+    width where Hamming<=3 is a genuine near-dup criterion and each chunk
+    has 2^12 blocking buckets.)"""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bits=48)
 
 
 def _oracle_simhash(bits: int = 16, max_hamming: int = 3) -> str:
@@ -479,7 +486,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-ORACLE_DEDUP_SIMHASH = _oracle_simhash()
+ORACLE_DEDUP_SIMHASH = _oracle_simhash(bits=48)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,6 +90,44 @@ def test_limit():
     assert len(_urls(EnqueueLinksOptions(strategy=STRATEGY_ALL, limit=2))) == 2
 
 
+def test_explicit_strategy_ands_with_patterns():
+    # reference (enqueue_links.ts:366-376): an EXPLICITLY-set strategy —
+    # including same-hostname — ANDs with user include patterns; only the
+    # implicit default is replaced by patterns (:314-316)
+    opt = EnqueueLinksOptions(globs=["**example.com/**", "**other.net/**"],
+                              strategy=STRATEGY_SAME_HOSTNAME)
+    assert _urls(opt) == [
+        "https://a.example.com/p/2",
+        "http://a.example.com/p/4",
+    ]
+    # unset strategy + patterns: no scope filter at all
+    opt2 = EnqueueLinksOptions(globs=["**other.net/**"])
+    assert _urls(opt2) == ["https://other.net/p/5"]
+
+
+def test_limit_is_per_page_in_document_order(spark):
+    # two pages, each with 3 links; limit=2 must keep the FIRST 2 links of
+    # EACH page (document order), not 2 arbitrary rows globally
+    html = lambda h: (
+        f'<a href="https://{h}/l/1">1</a>'
+        f'<a href="https://{h}/l/2">2</a>'
+        f'<a href="https://{h}/l/3">3</a>'
+    )
+    fetched = spark.createDataFrame(
+        [{"url": f"https://{h}/", "html": html(h), "depth": 0} for h in ("x.com", "y.com")],
+        "url string, html string, depth int",
+    )
+    opt = EnqueueLinksOptions(limit=2)
+    got = sorted(r["url"] for r in enqueue_links(fetched, opt).collect())
+    assert got == ["https://x.com/l/1", "https://x.com/l/2",
+                   "https://y.com/l/1", "https://y.com/l/2"]
+    # py mirror agrees per page
+    for h in ("x.com", "y.com"):
+        assert [o["url"] for o in enqueue_links_py(f"https://{h}/", html(h), 0, opt)] == [
+            f"https://{h}/l/1", f"https://{h}/l/2"
+        ]
+
+
 def test_spark_py_parity(spark):
     """The Spark pipeline and the simulator mirror must produce identical
     (url, depth) multisets for every strategy over the synthetic corpus."""

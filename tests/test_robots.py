@@ -104,6 +104,32 @@ Disallow: /ignored-no-group-reopen
     assert is_allowed_py(compiled, "h.com", "/private/ok")
 
 
+def test_crawl_delay_is_not_a_match_rule():
+    # Regression: 'Disallow: /' + 'Crawl-delay: 5' must stay fully
+    # disallowed — the delay line is NOT an allow-/ rule that would tie at
+    # length 1 and win under allow-on-tie.
+    from crawlee_spark.operators.robots import parse_robots_txt
+
+    rows = parse_robots_txt("h", "User-agent: *\nDisallow: /\nCrawl-delay: 5\n")
+    compiled = compile_rules(rows)
+    assert not is_allowed_py(compiled, "h", "/")
+    assert not is_allowed_py(compiled, "h", "/anything")
+    assert crawl_delays_py(rows) == {"h": 5.0}
+
+
+def test_crawl_delay_not_match_rule_spark(spark):
+    from crawlee_spark.operators.robots import parse_robots_txt
+
+    rows = parse_robots_txt("h", "User-agent: *\nDisallow: /\nCrawl-delay: 5\n")
+    robots = spark.createDataFrame(
+        rows, "host string, user_agent string, rule string, path_pattern string, crawl_delay double"
+    )
+    cand = spark.createDataFrame([("https://h/x", "h")], "url string, host string")
+    allowed, disallowed = filter_allowed(cand, robots)
+    assert allowed.count() == 0
+    assert disallowed.count() == 1
+
+
 def test_parse_then_filter_end_to_end(spark):
     from crawlee_spark.operators.robots import parse_robots_txt
 

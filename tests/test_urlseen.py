@@ -96,6 +96,56 @@ def test_persistence_roundtrip(spark, tmp_path):
     assert unseen.count() == 0
 
 
+def test_snapshot_stamp_roundtrip(spark, tmp_path):
+    df = _keys_df(spark, 100)
+    store = UrlSeenShards(str(tmp_path / "seen"), expected_per_bucket=50)
+    store.rebuild(df, frontier_snapshot=7)
+    store2 = UrlSeenShards(str(tmp_path / "seen"))
+    assert store2.load()
+    assert store2.frontier_snapshot == 7
+    store2.refresh_buckets(df, frontier_snapshot=8)
+    store3 = UrlSeenShards(str(tmp_path / "seen"))
+    assert store3.load()
+    assert store3.frontier_snapshot == 8
+
+
+def test_engine_rebuilds_stale_shards_on_resume(spark, tmp_path):
+    """Crash between frontier commit and shard save: on resume the stale
+    shards (older frontier_snapshot) must be rebuilt before use, so the
+    just-committed keys never ride the 'definitely unseen' fast path."""
+    import json
+    import os
+
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+
+    wd = str(tmp_path / "crawl")
+    eng = CrawlEngine(spark, wd, CrawlConfig(num_buckets=4, use_bloom=True,
+                                             bloom_expected_per_bucket=100))
+    seeds = spark.createDataFrame(
+        [(f"https://h{i}.com/", False, 0, None) for i in range(8)],
+        "url string, forefront boolean, depth int, label string",
+    )
+    eng.add_seeds(seeds)
+    good_sid = eng.urlseen.frontier_snapshot
+    assert good_sid == eng.frontier.table.current_snapshot_id()
+    # simulate the crash: shards claim an older snapshot
+    meta_path = os.path.join(wd, "url_seen", "shards.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["frontier_snapshot"] = good_sid - 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    eng2 = CrawlEngine.resume(spark, wd, CrawlConfig(num_buckets=4, use_bloom=True,
+                                                     bloom_expected_per_bucket=100))
+    assert eng2.urlseen.frontier_snapshot == good_sid - 1  # stale as loaded
+    eng2._ensure_urlseen_fresh()
+    assert eng2.urlseen.frontier_snapshot == good_sid  # rebuilt from frontier
+    # and every frontier key is now "maybe seen" again (no false negatives)
+    keys = eng2.frontier.read().select("bucket", "url_hash")
+    unseen, maybe = prefilter_batch(keys, eng2.urlseen.shards)
+    assert unseen.count() == 0
+
+
 def test_optimal_bits_monotone():
     assert optimal_bits(1000, 0.03) < optimal_bits(10000, 0.03)
     assert optimal_bits(1000, 0.001) > optimal_bits(1000, 0.03)
