@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_topk",
     "ann_lsh",
     "text_langid",

@@ -194,17 +194,40 @@ def render_html(
     return "".join(parts)
 
 
-def gen_corpus_rows(n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool = True):
-    """pages rows + html column (the crawlable corpus in one table)."""
+def gen_corpus_rows(n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool = True,
+                    redirect_every: int = 0):
+    """pages rows + html column (the crawlable corpus in one table).
+
+    ``redirect_every`` > 0 turns every k-th page into an HTTP redirect:
+    its ``redirect_to`` names the final URL and its ``html`` is the TARGET
+    page's html (the content a real fetch returns after following the
+    redirect — ``loadedUrl`` semantics, ``http-crawler.ts:480``). Targets
+    are never redirects themselves (single hop) and are intentionally
+    chosen on a DIFFERENT host about half the time so the same-domain
+    base-resolution rules (``enqueue_links.ts:394-430``) get exercised.
+    """
     links = gen_outlinks(n_pages, n_hosts, seed)
+    rows = []
     for row, (pid, host, targets, thosts) in zip(
         gen_pages_rows(n_pages, n_hosts, seed, with_bytes), links
     ):
         row["html"] = render_html(pid, host, targets, thosts, seed)
-        yield row
+        row["redirect_to"] = None
+        rows.append(row)
+    if redirect_every > 0:
+        is_redirect = lambda p: p % redirect_every == redirect_every - 1
+        for pid in range(n_pages):
+            if not is_redirect(pid):
+                continue
+            t = (pid * 7 + 1) % n_pages
+            while is_redirect(t) or t == pid:
+                t = (t + 1) % n_pages
+            rows[pid]["redirect_to"] = rows[t]["url"]
+            rows[pid]["html"] = rows[t]["html"]
+    yield from rows
 
 
-CORPUS_SCHEMA = PAGES_SCHEMA + ", html string"
+CORPUS_SCHEMA = PAGES_SCHEMA + ", html string, redirect_to string"
 
 
 # ---------------------------------------------------------------------------
@@ -277,8 +300,9 @@ ROBOTS_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
-def corpus_df(spark, n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool = True):
-    rows = list(gen_corpus_rows(n_pages, n_hosts, seed, with_bytes))
+def corpus_df(spark, n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool = True,
+              redirect_every: int = 0):
+    rows = list(gen_corpus_rows(n_pages, n_hosts, seed, with_bytes, redirect_every))
     return spark.createDataFrame(rows, CORPUS_SCHEMA)
 
 

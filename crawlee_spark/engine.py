@@ -53,13 +53,15 @@ from crawlee_spark.operators.frontier import (
     merge_new_requests,
     order_no_expr,
 )
-from crawlee_spark.store.snapshot_table import AppendTable, _atomic_write
+from crawlee_spark.store.snapshot_table import AppendTable, SnapshotTable, _atomic_write
 
 
 @dataclass
 class FailureModelConf:
     """Hash-derived deterministic fetch failures (mirror of
-    simulator.FailureModel — same pmod arithmetic on the same xxhash64)."""
+    simulator.FailureModel — same pmod arithmetic on the same xxhash64).
+    Models NETWORK-level errors (got-scraping throw path): transient for the
+    first ``fail_attempts`` tries, or permanently failing hosts."""
 
     fail_mod: int = 0
     fail_attempts: int = 2
@@ -78,14 +80,63 @@ class FailureModelConf:
 
 
 @dataclass
+class StatusModelConf:
+    """Deterministic HTTP status model + the reference's status-class table.
+
+    ``status_mods`` assigns a status code when ``pmod(url_hash, mod) == 0``
+    (evaluated in ascending code order, first hit wins; everything else is
+    200). Classification mirrors the reference:
+
+    - >= 500 and not in ``ignore_error_codes`` -> error, retried on the
+      retry budget (``http-crawler.ts:643-667`` 5xx throw);
+    - in ``additional_error_codes`` -> same (user-extended throw set);
+    - in ``session_blocked_codes`` [401, 403, 429] -> SessionError: retire
+      the session and retry on the ROTATION budget, retry_count untouched
+      (``session_pool.ts:164``, ``basic-crawler.ts:538-540, 1435-1452``);
+    - 406 -> unsupported content type, no-retry dead
+      (``http-crawler.ts:789-808``);
+    - anything else (2xx, other 4xx, ignored codes) -> passes to the
+      handler = handled (4xx pages run the requestHandler in the
+      reference).
+    """
+
+    status_mods: dict[int, int] = field(default_factory=dict)
+    ignore_error_codes: tuple[int, ...] = ()
+    additional_error_codes: tuple[int, ...] = ()
+    session_blocked_codes: tuple[int, ...] = (401, 403, 429)
+    max_session_rotations: int = 10  # basic-crawler.ts:540 default
+
+    def status_col(self):
+        expr = None
+        for code in sorted(self.status_mods):
+            cond = F.pmod(F.col("url_hash"), F.lit(self.status_mods[code])) == 0
+            expr = F.when(cond, F.lit(code)) if expr is None else expr.when(cond, F.lit(code))
+        return expr.otherwise(F.lit(200)) if expr is not None else F.lit(200)
+
+    def status_of(self, url_hash: int) -> int:
+        """Python mirror (simulator parity)."""
+        for code in sorted(self.status_mods):
+            if url_hash % self.status_mods[code] == 0:
+                return code
+        return 200
+
+
+@dataclass
 class CrawlConfig:
     num_buckets: int = 32
     politeness: pol.PolitenessConfig = field(default_factory=pol.PolitenessConfig)
     enqueue: EnqueueLinksOptions = field(default_factory=EnqueueLinksOptions)
     failures: FailureModelConf = field(default_factory=FailureModelConf)
+    status: StatusModelConf = field(default_factory=StatusModelConf)
     max_retries: int = 3          # basic-crawler.ts:538 default
     user_agent: str = "*"
     keep_fragment: bool = False
+    # METHOD(payloadHash):canonicalUrl dedup keys (request.ts:361-384)
+    use_extended_unique_key: bool = False
+    # label -> handler dispatch applied to each superstep's successful
+    # fetches; handler outputs append to the results table
+    # (operators/router.py; reference packages/core/src/router.ts:32-55)
+    router: Any = None
     max_steps: int = 10_000
     validate_images: bool = False  # run the PSNR/caption validator per fetch
     seed: int = 42
@@ -109,7 +160,8 @@ class CrawlConfig:
 
 FETCH_LOG_SCHEMA = (
     "step int, url string, unique_key string, url_hash long, host string, "
-    "bucket int, order_no long, depth int, retry_count int, status string"
+    "bucket int, order_no long, depth int, retry_count int, status string, "
+    "status_code int, loaded_url string"
 )
 
 METRICS_SCHEMA = (
@@ -134,7 +186,11 @@ class CrawlEngine:
         self.state_path = os.path.join(workdir, "crawl_state.json")
         self.step = 0
         self.handled_count = 0
-        self.politeness_rows: list[tuple[str, int]] = []  # (host, next_allowed_step)
+        # politeness state lives in a host-hash-bucketed snapshot table —
+        # O(delayed hosts) can reach 10^6+ at web scale, which must never
+        # sit in driver memory (round-1 kept a driver-side dict here); the
+        # driver holds only the table handle
+        self.politeness = SnapshotTable(spark, os.path.join(workdir, "politeness"))
         self.urlseen = None
         if self.cfg.use_bloom:
             from crawlee_spark.operators.urlseen import UrlSeenShards
@@ -156,7 +212,6 @@ class CrawlEngine:
         _atomic_write(self.state_path, json.dumps({
             "step": self.step,
             "handled_count": self.handled_count,
-            "politeness": self.politeness_rows,
             "sessions": self.session_rows,
         }))
 
@@ -167,7 +222,6 @@ class CrawlEngine:
             s = json.load(f)
         self.step = s["step"]
         self.handled_count = s["handled_count"]
-        self.politeness_rows = [tuple(x) for x in s["politeness"]]
         self.session_rows = [list(x) for x in s.get("sessions", [])]
         return True
 
@@ -187,7 +241,10 @@ class CrawlEngine:
     def add_seeds(self, seeds: DataFrame) -> dict[str, Any]:
         if not self.frontier.exists():
             FrontierTable.create(self.spark, self.frontier.table.root, self.cfg.num_buckets)
-        res = self.frontier.add_requests(seeds, step=0, keep_fragment=self.cfg.keep_fragment)
+        res = self.frontier.add_requests(
+            seeds, step=0, keep_fragment=self.cfg.keep_fragment,
+            use_extended_unique_key=self.cfg.use_extended_unique_key,
+        )
         if self.urlseen is not None:
             self.urlseen.rebuild(
                 self.frontier.read().select("bucket", "url_hash"),
@@ -212,12 +269,48 @@ class CrawlEngine:
 
     # -- one superstep ------------------------------------------------------
 
+    POLITENESS_SCHEMA = "host string, next_allowed_step int, bucket int"
+
     def _politeness_df(self) -> DataFrame | None:
-        if not self.politeness_rows:
+        """Current politeness dim (host, next_allowed_step) or None.
+        Persisted as a bucketed snapshot table — resumable like every other
+        piece of crawl state, never held on the driver."""
+        if not self.politeness.exists():
             return None
-        return self.spark.createDataFrame(
-            self.politeness_rows, "host string, next_allowed_step int"
-        )
+        return self.politeness.read().select("host", "next_allowed_step")
+
+    def _advance_politeness(self, fetched: DataFrame, step: int,
+                            host_delays: DataFrame | None) -> None:
+        """Distributed politeness advance (set-based ``advance_politeness``
+        over the snapshot table): replaces the round-1 driver dict, which
+        grew O(delayed hosts). Skipped entirely when no delay can apply."""
+        cfg = self.cfg
+        if cfg.politeness.same_domain_delay_secs <= 0 and host_delays is None:
+            return
+        touched = fetched.select("host").distinct()
+        if host_delays is not None:
+            touched = touched.join(
+                F.broadcast(host_delays.select("host", "crawl_delay")),
+                on="host", how="left",
+            )
+        new_state = pol.advance_politeness(
+            self._politeness_df(), touched, step, cfg.politeness
+        ).withColumn("bucket", urls.host_hash(F.col("host"), cfg.num_buckets))
+        if not self.politeness.exists():
+            SnapshotTable.create(self.spark, self.politeness.root, new_state,
+                                 num_buckets=cfg.num_buckets,
+                                 summary={"step": step})
+        else:
+            # full rewrite (state rows expire, so buckets must not inherit)
+            self.politeness._commit_full(new_state, cfg.num_buckets,
+                                         "politeness", {"step": step})
+
+    def _max_politeness_wait(self) -> int:
+        if not self.politeness.exists():
+            return 0
+        row = self.politeness.read().agg(
+            F.max("next_allowed_step").alias("m")).first()
+        return int(row["m"]) if row["m"] is not None else 0
 
     def _robots_delays(self, robots: DataFrame | None) -> dict[str, float]:
         """Per-host crawl delays, collected ONCE per robots frame (memoized —
@@ -287,39 +380,94 @@ class CrawlEngine:
 
             # 3. deterministic fetch: canonical-hash join against the corpus.
             # Column-prune the corpus: scheduling never reads bytes (decisive
-            # at image scale, SURVEY.md §4) — only html for extraction.
+            # at image scale, SURVEY.md §4) — only html for extraction plus
+            # the redirect target (loadedUrl model, http-crawler.ts:480).
+            corpus_cols = [
+                urls.url_hash(F.col("_ck")).alias("_fetch_hash"),
+                F.col("html").alias("_html"),
+            ]
+            if "redirect_to" in corpus.columns:
+                corpus_cols.append(F.col("redirect_to").alias("_redirect"))
             corpus_keyed = corpus.withColumn(
                 "_ck", urls.unique_key(F.col("url"))
-            ).select(
-                urls.url_hash(F.col("_ck")).alias("url_hash"),
-                F.col("html").alias("_html"),
+            ).select(*corpus_cols)
+            if "redirect_to" not in corpus.columns:
+                corpus_keyed = corpus_keyed.withColumn(
+                    "_redirect", F.lit(None).cast("string"))
+            # the corpus join key is the CANONICAL-URL hash; with extended
+            # unique keys the frontier url_hash covers method+payload, so
+            # the fetch key is recomputed from the url
+            if cfg.use_extended_unique_key:
+                fetch_keyed = fetch_set.withColumn(
+                    "_fetch_hash",
+                    urls.url_hash(urls.unique_key(F.col("url"),
+                                                  keep_fragment=cfg.keep_fragment)),
+                )
+            else:
+                fetch_keyed = fetch_set.withColumn("_fetch_hash", F.col("url_hash"))
+            fetched = fetch_keyed.join(corpus_keyed, on="_fetch_hash", how="left")
+            fetched = fetched.withColumn(
+                "_loaded", F.coalesce(F.col("_redirect"), F.col("url"))
             )
-            fetched = fetch_set.join(corpus_keyed, on="url_hash", how="left")
-            success_col = F.col("_html").isNotNull() & cfg.failures.success_col()
             if cfg.detect_blocked:
                 from crawlee_spark.functions.text import is_blocked_page
 
                 fetched = fetched.withColumn("_blocked", is_blocked_page(F.col("_html")))
-                success_col = success_col & ~F.col("_blocked")
             else:
                 fetched = fetched.withColumn("_blocked", F.lit(False))
-            can_retry = (~F.col("no_retry")) & (F.col("retry_count") < cfg.max_retries)
-            fetched = fetched.withColumn("_success", success_col).persist()
 
-            # ONE aggregation yields every fetch-side counter, the touched
-            # hosts for politeness, and the per-partition metrics rows
-            m_rows = (
-                fetched.groupBy("bucket", "host")
-                .agg(
-                    F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
-                    F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
-                    F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
-                )
-                .collect()
+            # status-class table (StatusModelConf docstring has the map)
+            sm = cfg.status
+            status_code = F.when(F.col("_html").isNull(), F.lit(0)).otherwise(
+                sm.status_col()
             )
-            n_handled = int(sum(r["handled"] for r in m_rows))
-            n_retried = int(sum(r["retried"] for r in m_rows))
-            n_dead = int(sum(r["failed"] for r in m_rows))
+            fetched = fetched.withColumn("_status_code", status_code)
+            sc = F.col("_status_code")
+            in_ignore = sc.isin(list(sm.ignore_error_codes)) if sm.ignore_error_codes \
+                else F.lit(False)
+            is_5xx = (sc >= 500) & ~in_ignore
+            is_addl = sc.isin(list(sm.additional_error_codes)) \
+                if sm.additional_error_codes else F.lit(False)
+            is_sess = sc.isin(list(sm.session_blocked_codes)) & ~in_ignore \
+                if sm.session_blocked_codes else F.lit(False)
+            err_col = (
+                F.when(F.col("_html").isNull(), F.lit("404-not-found"))
+                .when(~cfg.failures.success_col(), F.lit("fetch-failed"))
+                .when(F.col("_blocked"), F.lit("session-blocked"))
+                .when(is_5xx, F.lit("http-5xx"))
+                .when(is_addl, F.lit("http-error"))
+                .when(is_sess, F.lit("session-blocked"))
+                .when(sc == 406, F.lit("unsupported-content-type"))
+                .otherwise(F.lit(None).cast("string"))
+            )
+            fetched = fetched.withColumn("_err", err_col)
+            # SessionError class retries on the ROTATION budget and leaves
+            # retry_count untouched (basic-crawler.ts:1435-1452)
+            rot_col = F.col("_err") == "session-blocked"
+            fetched = fetched.withColumn("_rot", F.coalesce(rot_col, F.lit(False)))
+            can_retry = (~F.col("no_retry")) & (
+                F.when(F.col("_rot"),
+                       F.col("rotation_count") < sm.max_session_rotations)
+                .when(F.col("_err") == "unsupported-content-type", F.lit(False))
+                .otherwise(F.col("retry_count") < cfg.max_retries)
+            )
+            fetched = fetched.withColumn("_success", F.col("_err").isNull()).persist()
+
+            # ONE aggregation yields the scalar fetch counters plus the
+            # touched-bucket set (bounded by num_buckets — a CONFIG constant,
+            # never data-sized). Per-host rows are NOT collected: the metrics
+            # table is written distributively below and politeness advances
+            # set-based, so driver memory stays O(1) in host count.
+            agg = fetched.agg(
+                F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
+                F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
+                F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
+                F.collect_set("bucket").alias("buckets"),
+            ).first()
+            n_handled = int(agg["handled"] or 0)
+            n_retried = int(agg["retried"] or 0)
+            n_dead = int(agg["failed"] or 0)
+            fetched_buckets = [int(b) for b in (agg["buckets"] or [])]
             n_fetch = n_handled + n_retried + n_dead
             stats.update(fetched=n_fetch, handled=n_handled,
                          retried=n_retried, failed=n_dead)
@@ -333,32 +481,35 @@ class CrawlEngine:
             failures = fetched.filter(~F.col("_success"))
 
             # 4. extract + enqueueLinks on successes (stateless stage — the
-            # one place hot-host salting is allowed, SURVEY.md §7(c))
-            pages = successes.select("url", F.col("_html").alias("html"), "depth",
+            # one place hot-host salting is allowed, SURVEY.md §7(c));
+            # loaded_url feeds relative-href resolution + same-domain base
+            # resolution (enqueue_links.ts:394-430)
+            pages = successes.select("url", F.col("_loaded").alias("loaded_url"),
+                                     F.col("_html").alias("html"), "depth",
                                      "host", "url_hash")
             if cfg.parse_salt > 0:
                 from crawlee_spark.operators.skew import salted_repartition
 
                 pages = salted_repartition(pages, "host", cfg.parse_salt)
-            pages = pages.select("url", "html", "depth")
+            pages = pages.select("url", "loaded_url", "html", "depth")
             links = enqueue_links(pages, cfg.enqueue)
-            new_reqs = make_requests(links, step, cfg.num_buckets, cfg.keep_fragment).persist()
+            new_reqs = make_requests(
+                links, step, cfg.num_buckets, cfg.keep_fragment,
+                use_extended_unique_key=cfg.use_extended_unique_key,
+            ).persist()
             nb_rows = new_reqs.groupBy("bucket").count().collect()
             stats["enqueued"] = int(sum(r["count"] for r in nb_rows))
 
-            # 5. failure split: retry vs dead
-            err_col = (
-                F.when(F.col("_html").isNull(), F.lit("404-not-found"))
-                .when(F.col("_blocked"), F.lit("session-blocked"))
-                .otherwise(F.lit("fetch-failed"))
-            )
-            retries = failures.filter(can_retry).select("url_hash", err_col.alias("error"))
-            deads = failures.filter(~can_retry).select("url_hash", err_col.alias("error"))
+            # 5. failure split: retry (rotation- or retry-budget) vs dead
+            retries = failures.filter(can_retry).select(
+                "url_hash", F.col("_err").alias("error"), "_rot")
+            deads = failures.filter(~can_retry).select(
+                "url_hash", F.col("_err").alias("error"))
 
             # 6. ONE combined frontier commit for all touched buckets
             handled_keys = successes.select("url_hash", "bucket")
             touched = sorted(
-                {int(r["bucket"]) for r in m_rows}
+                set(fetched_buckets)
                 | {int(r["bucket"]) for r in nb_rows}
                 | set(disallowed_buckets)
             )
@@ -366,13 +517,19 @@ class CrawlEngine:
 
             marks = handled_keys.select("url_hash").withColumn("_mark", F.lit("handled"))
             marks = marks.unionByName(
-                retries.select("url_hash").withColumn("_mark", F.lit("retry"))
+                retries.select(
+                    "url_hash",
+                    F.when(F.col("_rot"), F.lit("rot")).otherwise(F.lit("retry"))
+                    .alias("_mark"),
+                )
             ).unionByName(deads.select("url_hash").withColumn("_mark", F.lit("dead")))
             if disallowed is not None:
                 marks = marks.unionByName(
                     disallowed.select("url_hash").withColumn("_mark", F.lit("robots"))
                 )
-            errs = retries.unionByName(deads).withColumnRenamed("error", "_err")
+            errs = retries.select("url_hash", "error").unionByName(
+                deads.select("url_hash", "error")
+            ).withColumnRenamed("error", "_err")
 
             new_order = order_no_expr(step, F.lit(False)).cast("long")
             updated = (
@@ -387,7 +544,7 @@ class CrawlEngine:
                     "order_no",
                     F.when(F.col("_mark").isin("handled", "dead", "robots"),
                            F.lit(None).cast("long"))
-                    .when(F.col("_mark") == "retry", new_order)
+                    .when(F.col("_mark").isin("retry", "rot"), new_order)
                     .otherwise(F.col("order_no")),
                 )
                 .withColumn(
@@ -396,14 +553,21 @@ class CrawlEngine:
                     .otherwise(F.col("retry_count")),
                 )
                 .withColumn(
+                    # SessionError rotations are budgeted separately and do
+                    # NOT consume the retry budget (basic-crawler.ts:1435-1452)
+                    "rotation_count",
+                    F.when(F.col("_mark") == "rot", F.col("rotation_count") + 1)
+                    .otherwise(F.col("rotation_count")),
+                )
+                .withColumn(
                     "forefront",
-                    F.when(F.col("_mark") == "retry", F.lit(False))
+                    F.when(F.col("_mark").isin("retry", "rot"), F.lit(False))
                     .otherwise(F.col("forefront")),
                 )
                 .withColumn(
                     "error",
                     F.when(F.col("_mark") == "robots", F.lit("robots-disallowed"))
-                    .when(F.col("_mark").isin("retry", "dead"), F.col("_err"))
+                    .when(F.col("_mark").isin("retry", "rot", "dead"), F.col("_err"))
                     .otherwise(F.col("error")),
                 )
                 .drop("_mark", "_err")
@@ -433,22 +597,26 @@ class CrawlEngine:
             log = fetched.select(
                 F.lit(step).alias("step"), "url", "unique_key", "url_hash", "host",
                 "bucket", "order_no", "depth", "retry_count",
-                F.when(F.col("_success"), F.lit("ok"))
-                .when(F.col("_html").isNull(), F.lit("404-not-found"))
-                .when(F.col("_blocked"), F.lit("session-blocked"))
-                .otherwise(F.lit("fetch-failed")).alias("status"),
+                F.coalesce(F.col("_err"), F.lit("ok")).alias("status"),
+                F.col("_status_code").alias("status_code"),
+                F.col("_loaded").alias("loaded_url"),
             )
             self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
                                                FETCH_LOG_SCHEMA.split(",")]),
                                   {"step": step}, coalesce=4)
-            # metrics rows come from the already-collected aggregation — the
-            # append is a tiny local write, not another cluster job
-            m = self.spark.createDataFrame(
-                [(step, int(r["bucket"]), r["host"], int(r["handled"]),
-                  int(r["failed"]), int(r["retried"]), 0) for r in m_rows],
-                METRICS_SCHEMA,
+            # per-(bucket, host) metrics written DISTRIBUTIVELY — at 10^6+
+            # hosts these rows never touch the driver (north_rule
+            # per-partition metrics; round 1 collected them)
+            m = fetched.groupBy("bucket", "host").agg(
+                F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
+                F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
+                F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
+            ).select(
+                F.lit(step).alias("step"), "bucket", "host",
+                "handled", "failed", "retried",
+                F.lit(0).cast("long").alias("robots_dead"),
             )
-            self.metrics.append(m, {"step": step}, coalesce=1)
+            self.metrics.append(m, {"step": step}, coalesce=4)
 
             # 8. image validation results (input_hint invariant) per fetch
             if cfg.validate_images:
@@ -464,23 +632,31 @@ class CrawlEngine:
                 )
                 self.results.append(v, {"step": step}, coalesce=4)
 
+            # 8c. router/label dispatch over the successful fetches
+            # (operators/router.py; reference router.ts:32-55) — handler
+            # outputs append to the results table
+            if cfg.router is not None:
+                routed_src = successes.select(
+                    "url", F.col("_loaded").alias("loaded_url"),
+                    F.col("_html").alias("html"), "depth", "label", "user_data",
+                )
+                routed = cfg.router(routed_src, strict=False)
+                if routed is not None and not routed.isEmpty():
+                    self.results.append(
+                        routed.withColumn("step", F.lit(step)),
+                        {"step": step, "router": True}, coalesce=4,
+                    )
+
             # 8b. session pool fold (observability state; deterministic
             # session pick = pmod(url_hash, per_bucket); status classes map
             # onto the reference's code semantics — blocked retires)
             if cfg.track_sessions:
                 self._update_sessions(fetched, step)
 
-            # 9. politeness advance (driver-side dict — O(delayed hosts);
-            # touched hosts fall out of the metrics aggregation)
-            delay_by_host = self._robots_delays(robots)
-            touched_hosts = sorted({r["host"] for r in m_rows})
-            na = dict(self.politeness_rows)
-            na = {h: s for h, s in na.items() if s > step}
-            for h in touched_hosts:
-                d = cfg.politeness.delay_steps(delay_by_host.get(h))
-                if d > 0:
-                    na[h] = step + d
-            self.politeness_rows = sorted(na.items())
+            # 9. politeness advance — set-based over the snapshot dim
+            # (operators/politeness.py::advance_politeness); no host rows on
+            # the driver, state persists + resumes like the frontier
+            self._advance_politeness(fetched, step, host_delays)
 
             self.handled_count += n_handled + n_dead
             self.step = step
@@ -507,10 +683,10 @@ class CrawlEngine:
         else:
             pool = sess.create_pool(self.spark, self.cfg.num_buckets, per_bucket)
         status = (
-            F.when(F.col("_success"), F.lit(200))
-            .when(F.col("_html").isNull(), F.lit(404))
-            .when(F.col("_blocked"), F.lit(403))
-            .otherwise(F.lit(500))
+            F.when(F.col("_status_code") == 0, F.lit(404))        # no response
+            .when(F.col("_err") == "fetch-failed", F.lit(500))    # network error
+            .when(F.col("_blocked"), F.lit(403))                  # content block
+            .otherwise(F.col("_status_code"))
         )
         results = fetched.select(
             "bucket",
@@ -550,8 +726,7 @@ class CrawlEngine:
             if st["fetched"] == 0 and st["robots_dead"] == 0:
                 # nothing eligible: keep ticking only while a politeness
                 # window is still ahead of us; else no progress is possible
-                max_wait = max((s for _, s in self.politeness_rows), default=0)
-                if self.step > max_wait:
+                if self.step > self._max_politeness_wait():
                     break
         totals["steps"] = self.step
         totals["handled_count"] = self.handled_count

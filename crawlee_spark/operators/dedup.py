@@ -52,6 +52,29 @@ def exact_dedup(docs: DataFrame, key_expr=None, id_col: str = "doc_id") -> DataF
     )
 
 
+# Affine permutation constants: perm_i(h) = (A[i]*h + B[i]) mod HASH_PRIME.
+# Both operands stay < 2^30 so the product fits comfortably in a 64-bit long
+# on Spark AND DuckDB (no overflow under ANSI). Mirrored verbatim in the
+# oracle generator (plans/queries.py::_oracle_minhash).
+def minhash_perm_consts(num_perm: int) -> tuple[list[int], list[int]]:
+    a = [(2654435761 * (i + 1)) % HASH_PRIME for i in range(num_perm)]
+    b = [(97531 * (i + 1) + 12345) % HASH_PRIME for i in range(num_perm)]
+    return a, b
+
+
+# Polynomial shingle-combine base: H(shingle at i) =
+#   sum_j coef[j] * H(token[i+j]) mod HASH_PRIME, coef[j] = C^(n-1-j) mod P.
+# Hashing TOKEN hashes arithmetically instead of md5-ing concatenated
+# shingle STRINGS removes the dominant cost of signature building (building
+# ~200 slice+concat shingle strings per doc measured 8x slower than
+# element_at arithmetic at sf0.1). Mirrored in the oracle.
+SHINGLE_BASE = 1000003
+
+
+def shingle_coefs(shingle_n: int) -> list[int]:
+    return [pow(SHINGLE_BASE, shingle_n - 1 - j, HASH_PRIME) for j in range(shingle_n)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 8,
@@ -59,31 +82,55 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of H(shingle#i).
+    """(id, sig: array<long>) — sig[i] = min over shingles of the i-th affine
+    permutation of H(shingle).
 
-    H is the portable md5-based 63-bit hash, so the DuckDB oracle computes
-    identical signatures. Documents with no shingles get sig[i] = NULL-free
-    sentinel HASH_PRIME (matches oracle's list_min of empty guarded case).
+    Cost shape: ONE md5 per TOKEN (not per shingle, not per permutation);
+    shingle hashes are the polynomial combine of the token hashes
+    (``SHINGLE_BASE`` powers, incremental mod so every intermediate fits a
+    long); permutations are classic a*h+b universal hashing. The DuckDB
+    oracle computes identical signatures. Documents with no shingles get
+    sig[i] = sentinel HASH_PRIME (matches the oracle's guarded
+    list_min-of-empty case).
     """
-    def _perm_hash(i: int):
-        # NB: captured via factory — a `lambda s, i=i` would be seen by Spark
-        # as the two-arg (element, index) HOF form and silently mis-hash
-        return lambda s: md5_hash64(F.concat(s, F.lit(f"#{i}"))) % HASH_PRIME
+    A, B = minhash_perm_consts(num_perm)
+    coefs = shingle_coefs(shingle_n)
 
-    # materialize the shingle array once; the per-permutation transforms
-    # reference the column, not the (expensive) tokenization subtree
-    sh = docs.select(
+    def _perm(i: int):
+        a, b = A[i], B[i]
+        return lambda h: (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(HASH_PRIME)
+
+    token_hashes = docs.select(
         F.col(id_col).alias("id"),
-        word_ngrams(tokens_of(F.col(text_col)), shingle_n).alias("_sh"),
+        F.transform(
+            tokens_of(F.col(text_col)), lambda t: md5_hash64(t) % HASH_PRIME
+        ).alias("_th"),
     )
+
+    def _shingle_hash(i):
+        terms = None
+        for j, c in enumerate(coefs):
+            t = (
+                F.lit(c).cast("long")
+                * F.element_at(F.col("_th"), (i + F.lit(j + 1)).cast("int"))
+            ) % F.lit(HASH_PRIME)
+            terms = t if terms is None else terms + t
+        return terms % F.lit(HASH_PRIME)
+
+    n_tok = F.size(F.col("_th"))
+    hashes = F.when(
+        n_tok >= shingle_n,
+        F.transform(F.sequence(F.lit(0), n_tok - shingle_n), _shingle_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = token_hashes.select("id", hashes.alias("_hs"))
     sig_cols = [
         F.coalesce(
-            F.array_min(F.transform(F.col("_sh"), _perm_hash(i))),
+            F.array_min(F.transform(F.col("_hs"), _perm(i))),
             F.lit(HASH_PRIME).cast("long"),
         )
         for i in range(num_perm)
     ]
-    return sh.select("id", F.array(*sig_cols).alias("sig"))
+    return hashed.select("id", F.array(*sig_cols).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -272,6 +319,76 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    tables: int = 4,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via multi-table hyperplane LSH — the SCALE path
+    (the brute-force twin below is the small-scale ground truth).
+
+    Each vector hashes into ``tables`` independent sign-bucket ids (one per
+    random-hyperplane table, deterministic integer pseudo-noise so the
+    DuckDB oracle derives identical buckets); candidates share (table,
+    bucket) in ANY table; the exact cosine verify keeps true pairs. Join
+    shape is the MinHash band join: equi-join on uniform bucket keys,
+    shuffle O(vectors x tables), never O(n^2). Recall < 1 by construction
+    (1-(1-p^planes)^tables for pair collision prob p = 1 - angle/pi);
+    ``tables`` is the recall knob, and the oracle mirrors the bucketing so
+    the green check pins the exact candidate set.
+    """
+    from crawlee_spark.operators.similarity import _as_double, cosine_col
+
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+
+    def _bucket(vec, t: int):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes):
+            weights = F.array(*[
+                F.lit(float((t * 7919 + p * 1009 + d * 9176 + 12345) % 97 - 48))
+                for d in range(dim)
+            ])
+            proj = F.aggregate(
+                F.zip_with(vec, weights, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return bucket
+
+    structs = [
+        F.struct(F.lit(t).alias("tb"), _bucket(F.col("v"), t).alias("bk"))
+        for t in range(tables)
+    ]
+    rows = v.select("id", "v", F.explode(F.array(*structs)).alias("b")).select(
+        "id", "v", F.col("b.tb").alias("tb"), F.col("b.bk").alias("bk")
+    )
+    rows = rows.persist()
+    try:
+        a, b = rows.alias("a"), rows.alias("b")
+        out = (
+            a.join(b, on=["tb", "bk"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .distinct()
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        rows.unpersist()
+    return out
 
 
 def embedding_near_dup_pairs(

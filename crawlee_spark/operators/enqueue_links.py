@@ -109,29 +109,41 @@ class EnqueueLinksOptions:
 
 # -- extraction UDF ---------------------------------------------------------
 
-_EXTRACT_SCHEMA = "url string, depth int, link string, rel_order int"
+_EXTRACT_SCHEMA = "url string, loaded_url string, depth int, link string, rel_order int"
 
 
 def extract_links_df(fetched: DataFrame) -> DataFrame:
-    """(url, html, depth, ...) -> one row per extracted absolute link.
+    """(url, html, depth[, loaded_url], ...) -> one row per extracted link.
 
+    Relative hrefs resolve against ``loaded_url`` — the POST-redirect URL the
+    body actually came from (``request.loadedUrl``, ``http-crawler.ts:480``;
+    cheerio's base is the final response URL) — defaulting to ``url``.
     ``rel_order`` preserves document order (the reference enqueues in
     document order; our canonical sort makes intra-batch order irrelevant for
     the frontier, but rel_order keeps extraction testable on its own).
     """
+    src = fetched
+    if "loaded_url" not in src.columns:
+        src = src.withColumn("loaded_url", F.col("url"))
 
     def do_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"url": [], "depth": [], "link": [], "rel_order": []}
-            for url, html, depth in zip(pdf["url"], pdf["html"], pdf["depth"]):
-                for j, link in enumerate(extract_links(url, html or "")):
+            rows = {"url": [], "loaded_url": [], "depth": [], "link": [], "rel_order": []}
+            for url, loaded, html, depth in zip(
+                pdf["url"], pdf["loaded_url"], pdf["html"], pdf["depth"]
+            ):
+                base = loaded or url
+                for j, link in enumerate(extract_links(base, html or "")):
                     rows["url"].append(url)
+                    rows["loaded_url"].append(base)
                     rows["depth"].append(int(depth))
                     rows["link"].append(link)
                     rows["rel_order"].append(j)
             yield pd.DataFrame(rows)
 
-    return fetched.select("url", "html", "depth").mapInPandas(do_extract, _EXTRACT_SCHEMA)
+    return src.select("url", "loaded_url", "html", "depth").mapInPandas(
+        do_extract, _EXTRACT_SCHEMA
+    )
 
 
 # -- scope / pattern filters (pure column logic) ----------------------------
@@ -145,26 +157,45 @@ def _any_match(col, regexes: list[str]):
     return cond
 
 
-def strategy_filter(link, base_url, strategy: str):
-    """Scope predicate comparing the candidate link against its source page.
+def apply_strategy(out: DataFrame, strategy: str) -> DataFrame:
+    """Scope filter comparing the candidate ``link`` against its source page.
 
-    - same-hostname: identical lowercased host (default strategy)
-    - same-domain: identical eTLD+1 (tldts getDomain analog)
-    - same-origin: identical scheme://host[:port]
+    - same-hostname: identical lowercased host (default strategy) — vs the
+      ORIGINAL request URL
+    - same-domain: identical eTLD+1 under the FULL public-suffix list
+      (tldts getDomain analog, functions/psl.py) — with redirect base
+      resolution: links survive only if the loaded (post-redirect) URL's
+      domain matches the original's, and the link's domain matches the
+      loaded one (``enqueue_links.ts:394-430`` resolveBaseUrl: same-domain
+      returns the final origin iff registrable domains match, else
+      undefined => everything drops)
+    - same-origin: identical scheme://host[:port] — vs the original URL
     - all: http(s) only (validity filter already guarantees that)
     (``enqueue_links.ts:177-209, 314-358``; http/https widening of origin
     globs at :445-447 means same-hostname ignores the scheme.)
+
+    same-domain is DataFrame-level (broadcast joins against the PSL rule
+    dims — map-side, no shuffle); the rest are pure column predicates.
     """
     if strategy == STRATEGY_ALL:
-        return F.lit(True)
-    link_host = urls.host_of(link)
-    base_host = urls.host_of(base_url)
+        return out
+    link, base = F.col("link"), F.col("url")
     if strategy == STRATEGY_SAME_HOSTNAME:
-        return link_host == base_host
-    if strategy == STRATEGY_SAME_DOMAIN:
-        return urls.registrable_domain(link_host) == urls.registrable_domain(base_host)
+        return out.filter(urls.host_of(link) == urls.host_of(base))
     if strategy == STRATEGY_SAME_ORIGIN:
-        return urls.origin_of(link) == urls.origin_of(base_url)
+        return out.filter(urls.origin_of(link) == urls.origin_of(base))
+    if strategy == STRATEGY_SAME_DOMAIN:
+        from crawlee_spark.functions import psl
+
+        out = psl.attach_registrable_domain(out, urls.host_of(link), "_rd_link")
+        out = psl.attach_registrable_domain(out, urls.host_of(base), "_rd_base")
+        out = psl.attach_registrable_domain(
+            out, urls.host_of(F.col("loaded_url")), "_rd_loaded"
+        )
+        return out.filter(
+            (F.col("_rd_loaded") == F.col("_rd_base"))
+            & (F.col("_rd_link") == F.col("_rd_loaded"))
+        ).drop("_rd_link", "_rd_base", "_rd_loaded")
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -190,10 +221,9 @@ def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None
         # explicitly-set strategy (any value) still ANDs in
         # (``enqueue_links.ts:314-316, 366-376``)
         if opt.strategy is not None:
-            out = out.filter(strategy_filter(F.col("link"), F.col("url"), opt.strategy))
+            out = apply_strategy(out, opt.strategy)
     else:
-        out = out.filter(strategy_filter(F.col("link"), F.col("url"),
-                                         opt.effective_strategy))
+        out = apply_strategy(out, opt.effective_strategy)
 
     out = out.select(
         F.col("url").alias("_src_url"),
@@ -229,15 +259,22 @@ def enqueue_links_py(
     html: str,
     depth: int,
     options: EnqueueLinksOptions | None = None,
+    loaded_url: str | None = None,
 ) -> list[dict]:
     """Identical semantics, one page at a time (the simulator's version).
+
+    ``loaded_url`` is the post-redirect URL the body came from; relative
+    hrefs resolve against it and same-domain base resolution uses it
+    (``enqueue_links.ts:394-430``).
 
     transform hooks are DataFrame-shaped and not supported here; simulator
     configs that use them must supply a row-level equivalent separately.
     """
-    from crawlee_spark.functions.urls import host_of_py, registrable_domain_py
+    from crawlee_spark.functions.psl import registrable_domain_psl_py
+    from crawlee_spark.functions.urls import host_of_py
 
     opt = options or EnqueueLinksOptions()
+    loaded = loaded_url or page_url
     incl = [re.compile(r, re.I) for r in opt.include_regexes()]
     excl = [re.compile(r, re.I) for r in opt.exclude_regexes()]
 
@@ -250,7 +287,14 @@ def enqueue_links_py(
         if strategy == STRATEGY_SAME_HOSTNAME:
             return lh == bh
         if strategy == STRATEGY_SAME_DOMAIN:
-            return registrable_domain_py(lh) == registrable_domain_py(bh)
+            ld = host_of_py(loaded)
+            if ld is None:
+                return False
+            rd_loaded = registrable_domain_psl_py(ld)
+            return (
+                rd_loaded == registrable_domain_psl_py(bh)
+                and registrable_domain_psl_py(lh) == rd_loaded
+            )
         if strategy == STRATEGY_SAME_ORIGIN:
             from crawlee_spark.functions.urls import canonicalize_py
 
@@ -263,7 +307,7 @@ def enqueue_links_py(
         raise ValueError(strategy)
 
     out = []
-    for link in extract_links(page_url, html or ""):
+    for link in extract_links(loaded, html or ""):
         if excl and any(p.search(link) for p in excl):
             continue
         if opt.user_patterns:

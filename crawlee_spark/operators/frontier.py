@@ -59,7 +59,8 @@ FRONTIER_SCHEMA = (
     "url string, unique_key string, url_hash long, host string, bucket int, "
     "order_no long, depth int, forefront boolean, retry_count int, "
     "no_retry boolean, handled_step int, enqueued_step int, "
-    "label string, error string"
+    "label string, error string, method string, payload binary, "
+    "user_data map<string,string>, rotation_count int"
 )
 
 FRONTIER_COLS = [f.split(" ")[0] for f in FRONTIER_SCHEMA.split(", ")]
@@ -70,13 +71,19 @@ def normalize_requests(
     step: int,
     num_buckets: int,
     keep_fragment: bool = False,
+    use_extended_unique_key: bool = False,
 ) -> DataFrame:
     """Normalize a raw URL batch into frontier rows (no dedup yet).
 
     ``raw`` needs a ``url`` column; optional: ``unique_key`` (explicit
     override, ``request.ts:361-375``), ``forefront``, ``depth``, ``label``,
-    ``no_retry``. Rows with no resolvable host are dropped (the reference
+    ``no_retry``, ``method`` (GET default), ``payload`` (binary),
+    ``user_data``. Rows with no resolvable host are dropped (the reference
     rejects them at validation, ``memory-storage request-queue.ts:21``).
+
+    ``use_extended_unique_key`` switches the dedup key to the
+    ``METHOD(sha256-8(payload)):canonicalUrl`` form (``request.ts:361-384``)
+    so e.g. two POSTs to one URL with different payloads dedup separately.
     """
     cols = raw.columns
     df = raw
@@ -90,6 +97,12 @@ def normalize_requests(
         df = df.withColumn("label", F.lit(None).cast("string"))
     if "no_retry" not in cols:
         df = df.withColumn("no_retry", F.lit(False))
+    if "method" not in cols:
+        df = df.withColumn("method", F.lit("GET"))
+    if "payload" not in cols:
+        df = df.withColumn("payload", F.lit(None).cast("binary"))
+    if "user_data" not in cols:
+        df = df.withColumn("user_data", F.lit(None).cast("map<string,string>"))
 
     # canonical form computed ONCE; host derived from it with a single
     # regexp instead of re-parsing the raw URL (the canonical host is by
@@ -99,12 +112,22 @@ def normalize_requests(
     host_from_canon = F.regexp_extract(
         F.col("_canon"), r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1
     )
+    if use_extended_unique_key:
+        # same bytes as urls.extended_unique_key, but reuses the _canon
+        # column instead of canonicalizing a second time
+        ph = F.when(F.col("payload").isNull(), F.lit("")).otherwise(
+            F.substring(F.sha2(F.col("payload"), 256), 1, 8)
+        )
+        computed_key = F.concat(
+            F.upper(F.coalesce(F.col("method"), F.lit("GET"))),
+            F.lit("("), ph, F.lit("):"),
+            F.coalesce(F.col("_canon"), F.trim(F.col("url"))),
+        )
+    else:
+        computed_key = F.coalesce(F.col("_canon"), F.trim(F.col("url")))
     df = (
         df.withColumn("_canon", canon)
-        .withColumn(
-            "unique_key",
-            F.coalesce(F.col("unique_key"), F.col("_canon"), F.trim(F.col("url"))),
-        )
+        .withColumn("unique_key", F.coalesce(F.col("unique_key"), computed_key))
         .withColumn("url_hash", urls.url_hash(F.col("unique_key")))
         .withColumn(
             "host",
@@ -135,6 +158,10 @@ def normalize_requests(
         F.lit(step).cast("int").alias("enqueued_step"),
         "label",
         F.lit(None).cast("string").alias("error"),
+        F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("method"),
+        F.col("payload").cast("binary").alias("payload"),
+        F.col("user_data").cast("map<string,string>").alias("user_data"),
+        F.lit(0).cast("int").alias("rotation_count"),
     )
 
 
@@ -165,10 +192,12 @@ def dedup_batch(batch: DataFrame) -> DataFrame:
 
 
 def make_requests(
-    raw: DataFrame, step: int, num_buckets: int, keep_fragment: bool = False
+    raw: DataFrame, step: int, num_buckets: int, keep_fragment: bool = False,
+    use_extended_unique_key: bool = False,
 ) -> DataFrame:
     """normalize + batch-dedup in one go."""
-    return dedup_batch(normalize_requests(raw, step, num_buckets, keep_fragment))
+    return dedup_batch(normalize_requests(
+        raw, step, num_buckets, keep_fragment, use_extended_unique_key))
 
 
 def merge_new_requests(existing: DataFrame, batch: DataFrame) -> DataFrame:
@@ -305,13 +334,15 @@ class FrontierTable:
         return self.read().filter(F.col("order_no").isNotNull())
 
     def add_requests(
-        self, raw: DataFrame, step: int, keep_fragment: bool = False
+        self, raw: DataFrame, step: int, keep_fragment: bool = False,
+        use_extended_unique_key: bool = False,
     ) -> dict[str, Any]:
         """Canonicalize + dedup + MERGE a batch of raw URLs. Returns counts
         {'added': n, 'already_present': m} (wasAlreadyPresent analog —
         batch-internal duplicates count as already_present, matching the
         per-item results of ``request_provider.ts:171-262``)."""
-        normalized = normalize_requests(raw, step, self.num_buckets, keep_fragment)
+        normalized = normalize_requests(raw, step, self.num_buckets, keep_fragment,
+                                        use_extended_unique_key)
         normalized = normalized.persist()
         try:
             batch_n = normalized.count()

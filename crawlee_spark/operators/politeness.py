@@ -163,11 +163,31 @@ def advance_politeness(
 # -- observability: the sliding 60 s rate window over a fetch log -----------
 
 
-def requests_per_minute(fetch_log: DataFrame, ts_col: str = "ts") -> DataFrame:
+def requests_per_minute(fetch_log: DataFrame, ts_col: str = "ts",
+                        window_secs: int = 60) -> DataFrame:
     """Sliding 60 s request-rate over a wall-clock fetch log
-    (``autoscaled_pool.ts:689-703`` analog, as a window agg)."""
-    w = (
-        Window.orderBy(F.col(ts_col).cast("long"))
-        .rangeBetween(-59, Window.currentRow)
+    (``autoscaled_pool.ts:689-703`` analog).
+
+    Computed WITHOUT a global window (``Window.orderBy(ts)`` with no
+    partitionBy shuffles every event into ONE task — the single-partition
+    WindowExec anti-pattern): per-second counts -> each second's count
+    contributes to the ``window_secs`` target seconds it covers (explode of
+    a 60-element sequence over the much smaller per-second table) -> sum
+    per target second -> hash-join back to events. Every exchange is
+    partitioned by the second key; work scales with distinct seconds, not
+    events, and the event-side join is a plain shuffle join.
+    """
+    sec = F.col(ts_col).cast("long")
+    ev = fetch_log.withColumn("_sec", sec)
+    per_sec = ev.groupBy("_sec").agg(F.count("*").alias("_cnt"))
+    contrib = per_sec.select(
+        F.explode(
+            F.sequence(F.col("_sec"), F.col("_sec") + F.lit(window_secs - 1))
+        ).alias("_tsec"),
+        "_cnt",
     )
-    return fetch_log.withColumn("rpm", F.count("*").over(w))
+    win = contrib.groupBy("_tsec").agg(F.sum("_cnt").alias("rpm"))
+    return (
+        ev.join(win, ev["_sec"] == win["_tsec"], "left")
+        .drop("_tsec", "_sec")
+    )

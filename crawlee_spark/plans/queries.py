@@ -276,12 +276,29 @@ SELECT host, o_orderkey, CAST(grank AS BIGINT) AS grank FROM (
 
 def q_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 60 s request-rate over the events stream (the reference's
-    60×1 s rate buckets, ``autoscaled_pool.ts:212, 689-703``)."""
+    60×1 s rate buckets, ``autoscaled_pool.ts:212, 689-703``).
+
+    Two-phase bucketed plan — per-second counts exploded onto the 60 target
+    seconds they cover, summed, hash-joined back — instead of a global
+    ``Window.orderBy(ts)`` that funnels every event through one task (the
+    plan-level scale-killer flagged in round 1). Same result as the oracle's
+    RANGE window."""
     e = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.unix_timestamp(F.col("ts"))).rangeBetween(-59, 0)
-    return e.select("event_id", "ts").withColumn(
-        "rpm", F.count("*").over(w).cast("long")
-    ).select("event_id", "rpm")
+    sec = F.unix_timestamp(F.col("ts")).alias("_sec")
+    ev = e.select("event_id", sec)
+    per_sec = ev.groupBy("_sec").agg(F.count("*").alias("_cnt"))
+    win = (
+        per_sec.select(
+            F.explode(F.sequence(F.col("_sec"), F.col("_sec") + F.lit(59))).alias("_tsec"),
+            "_cnt",
+        )
+        .groupBy("_tsec")
+        .agg(F.sum("_cnt").alias("rpm"))
+    )
+    return (
+        ev.join(win, ev["_sec"] == win["_tsec"])
+        .select("event_id", F.col("rpm").cast("long").alias("rpm"))
+    )
 
 
 ORACLE_RATE_WINDOW = """
@@ -421,11 +438,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                num_perm=8, bands=4, shingle_n=3)
 
 
-def _oracle_minhash(num_perm: int = 8, bands: int = 4) -> str:
+def _oracle_minhash(num_perm: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    from crawlee_spark.operators.dedup import minhash_perm_consts, shingle_coefs
+
+    A, B = minhash_perm_consts(num_perm)
+    coefs = shingle_coefs(shingle_n)
     r = num_perm // bands
+    # one md5 per TOKEN; shingle hash = polynomial combine of token hashes;
+    # permutations are the same affine maps as Spark (dedup.py mirrors)
+    combine = " + ".join(
+        f"({c} * th[i+{j + 1}]) % 1000000007" for j, c in enumerate(coefs)
+    )
     sig_cols = ", ".join(
-        f"""coalesce(list_min(list_transform(shingles,
-              s -> {_H14.format(x=f"s || '#{i}'")} % 1000000007)),
+        f"""coalesce(list_min(list_transform(hashes,
+              h -> ({A[i]} * h + {B[i]}) % 1000000007)),
             1000000007) AS h{i}"""
         for i in range(num_perm)
     )
@@ -436,10 +462,20 @@ def _oracle_minhash(num_perm: int = 8, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id AS id, ({_shingles_sql(3)}) AS shingles FROM documents
+WITH th AS (
+  SELECT doc_id AS id,
+         list_transform({_TOKENS_SQL}, t -> {_H14.format(x='t')} % 1000000007) AS th
+  FROM documents
 ),
-sigs AS (SELECT id, {sig_cols} FROM sh),
+hs AS (
+  SELECT id,
+         CASE WHEN len(th) >= {shingle_n}
+              THEN list_transform(range(0, len(th) - {shingle_n} + 1),
+                                  i -> (({combine}) % 1000000007))
+              ELSE [] END AS hashes
+  FROM th
+),
+sigs AS (SELECT id, {sig_cols} FROM hs),
 bands AS ({band_selects})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
@@ -537,6 +573,45 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM v a JOIN v b ON a.id < b.id
 WHERE round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) >= 0.4
 """
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH cosine near-dup — the scale path for
+    ``dedup_embedding`` (bucket equi-join + exact verify; the oracle mirrors
+    the bucketing so the candidate set is pinned exactly)."""
+    return D.embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"),
+                                    threshold=0.4, tables=4, planes=8, dim=64)
+
+
+def _oracle_embedding_lsh(threshold: float = 0.4, tables: int = 4,
+                          planes: int = 8, dim: int = 64) -> str:
+    def proj(t: int) -> str:
+        return " + ".join(
+            f"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(0, {dim}),
+                    d -> v[d+1] * (({t} * 7919 + {p} * 1009 + d * 9176 + 12345) % 97 - 48))),
+                  (x, y) -> x + y) >= 0
+                 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"""
+            for p in range(planes)
+        )
+
+    table_selects = " UNION ALL ".join(
+        f"SELECT id, v, {t} AS tb, ({proj(t)}) AS bk FROM v" for t in range(tables)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bkt AS ({table_selects})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) AS cosine
+FROM bkt a JOIN bkt b ON a.tb = b.tb AND a.bk = b.bk AND a.id < b.id
+WHERE round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) >= {threshold}
+"""
+
+
+ORACLE_DEDUP_EMBEDDING_LSH = _oracle_embedding_lsh()
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,9 +977,9 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = CrawlEngine(spark, wd, CrawlConfig(num_buckets=4))
         eng.add_seeds(seeds)
         eng.run(corpus)
-        log = eng.fetch_log.read().select("step", "unique_key", "status")
-        log = spark.createDataFrame(log.collect(), "step int, unique_key string, status string")
-        return log
+        return eng.fetch_log.read().select(
+            F.col("step").cast("int").alias("step"), "unique_key", "status"
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -1073,6 +1148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "text_langid": q_text_langid,
@@ -1109,6 +1185,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
     "text_langid": ORACLE_TEXT_LANGID,

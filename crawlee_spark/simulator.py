@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from crawlee_spark.functions.hashing import xxhash64_str
 from crawlee_spark.functions.urls import (
     canonicalize_py,
+    extended_unique_key_py,
     host_of_py,
     unique_key_py,
 )
@@ -71,16 +72,27 @@ class FailureModel:
         return True
 
 
+def _default_status():
+    from crawlee_spark.engine import StatusModelConf
+
+    return StatusModelConf()
+
+
 @dataclass
 class SimConfig:
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     enqueue: EnqueueLinksOptions = field(default_factory=EnqueueLinksOptions)
     failures: FailureModel = field(default_factory=FailureModel)
+    # HTTP status model + class table — SHARED dataclass with the engine
+    # (engine.StatusModelConf carries both the Spark column and the
+    # status_of() python mirror), so the class semantics cannot drift
+    status: "object" = field(default_factory=_default_status)
     max_retries: int = 3
     user_agent: str = "*"
     keep_fragment: bool = False
     max_steps: int = 10_000
     detect_blocked: bool = False  # retryOnBlocked content heuristic
+    use_extended_unique_key: bool = False  # request.ts:361-384
 
 
 @dataclass
@@ -99,10 +111,11 @@ def _pmod(v: int, m: int) -> int:
 
 class _Row:
     __slots__ = ("url", "unique_key", "url_hash", "host", "order_no", "depth",
-                 "forefront", "retry_count", "no_retry", "handled_step", "error")
+                 "forefront", "retry_count", "no_retry", "handled_step", "error",
+                 "rotation_count", "fetch_key")
 
     def __init__(self, url, unique_key, url_hash, host, order_no, depth,
-                 forefront, no_retry):
+                 forefront, no_retry, fetch_key=None):
         self.url = url
         self.unique_key = unique_key
         self.url_hash = url_hash
@@ -111,9 +124,14 @@ class _Row:
         self.depth = depth
         self.forefront = forefront
         self.retry_count = 0
+        self.rotation_count = 0
         self.no_retry = no_retry
         self.handled_step = None
         self.error = None
+        # corpus lookup key: ALWAYS the canonical URL (the frontier key may
+        # be the extended METHOD(hash):url form — mirrors the engine's
+        # separate _fetch_hash join column)
+        self.fetch_key = fetch_key if fetch_key is not None else unique_key
 
     def sort_key(self):
         return (self.order_no, self.depth, self.url_hash)
@@ -161,7 +179,18 @@ def simulate(
                                               not r.get("forefront", False),
                                               r["url"])):
             url = r["url"].strip()
-            uk = unique_key_py(url, r.get("unique_key"), cfg.keep_fragment)
+            if cfg.use_extended_unique_key:
+                computed = extended_unique_key_py(
+                    url, r.get("method", "GET"), r.get("payload"),
+                    cfg.keep_fragment,
+                )
+                uk = r.get("unique_key") or computed
+                # corpus join key stays the canonical URL (engine: separate
+                # _fetch_hash column recomputed from url)
+                fetch_key = unique_key_py(url, None, cfg.keep_fragment)
+            else:
+                uk = unique_key_py(url, r.get("unique_key"), cfg.keep_fragment)
+                fetch_key = uk  # engine joins the corpus on url_hash itself
             host = host_of_py(url)
             if host is None:
                 continue
@@ -172,7 +201,8 @@ def simulate(
             ff = bool(r.get("forefront", False))
             base = (step + 1) << STEP_SHIFT
             row = _Row(url, uk, uh, host, -base if ff else base,
-                       r.get("depth", 0), ff, bool(r.get("no_retry", False)))
+                       r.get("depth", 0), ff, bool(r.get("no_retry", False)),
+                       fetch_key=fetch_key)
             frontier[uh] = row
 
     enqueue(seeds, step=0)
@@ -234,34 +264,60 @@ def simulate(
         # 3. fetch + handle
         new_links: list[dict] = []
         touched_hosts: set[str] = set()
+        sm = cfg.status
         for r in candidates:
             touched_hosts.add(r.host)
-            hit = corpus_by_key.get(r.unique_key)
+            hit = corpus_by_key.get(r.fetch_key)
             blocked = False
             if hit is not None and cfg.detect_blocked:
                 from crawlee_spark.functions.text import is_blocked_page_py
 
                 blocked = is_blocked_page_py(hit[1].get("html", ""))
-            success = (
-                hit is not None
-                and cfg.failures.outcome(r.url_hash, r.retry_count)
-                and not blocked
-            )
-            if success:
+            # status-class table — EXACT mirror of the engine's err_col
+            # precedence: missing -> network fail -> content block -> 5xx ->
+            # additional -> session codes -> 406 -> success
+            status = 0 if hit is None else sm.status_of(r.url_hash)
+            if hit is None:
+                err = "404-not-found"
+            elif not cfg.failures.outcome(r.url_hash, r.retry_count):
+                err = "fetch-failed"
+            elif blocked:
+                err = "session-blocked"
+            elif status >= 500 and status not in sm.ignore_error_codes:
+                err = "http-5xx"
+            elif status in sm.additional_error_codes:
+                err = "http-error"
+            elif status in sm.session_blocked_codes and status not in sm.ignore_error_codes:
+                err = "session-blocked"
+            elif status == 406:
+                err = "unsupported-content-type"
+            else:
+                err = None
+            if err is None:
                 crawl_order.append((step, r.unique_key))
                 orig_url, page = hit
+                loaded = page.get("redirect_to") or r.url
                 new_links.extend(
-                    enqueue_links_py(r.url, page.get("html", ""), r.depth, cfg.enqueue)
+                    enqueue_links_py(r.url, page.get("html", ""), r.depth,
+                                     cfg.enqueue, loaded_url=loaded)
                 )
                 r.order_no = None
                 r.handled_step = step
                 handled_count += 1
                 bump(r.host, "handled")
             else:
-                err = ("404-not-found" if hit is None
-                       else "session-blocked" if blocked else "fetch-failed")
-                if (not r.no_retry) and r.retry_count < cfg.max_retries:
-                    r.retry_count += 1
+                rot = err == "session-blocked"
+                if rot:
+                    can = (not r.no_retry) and r.rotation_count < sm.max_session_rotations
+                elif err == "unsupported-content-type":
+                    can = False
+                else:
+                    can = (not r.no_retry) and r.retry_count < cfg.max_retries
+                if can:
+                    if rot:
+                        r.rotation_count += 1
+                    else:
+                        r.retry_count += 1
                     r.order_no = (step + 1) << STEP_SHIFT
                     r.forefront = False
                     r.error = err

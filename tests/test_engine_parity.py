@@ -137,3 +137,97 @@ def test_parity_blocked_and_salted(spark, tmp_path):
     assert eng.crawl_order() == sim.crawl_order
     assert eng.url_seen() == sim.url_seen
     assert any(v == "session-blocked" for v in sim.dead.values())
+
+
+def test_parity_redirects(spark, tmp_path):
+    """loadedUrl model: redirect pages serve the target's html, relative
+    hrefs resolve against the POST-redirect URL, and same-domain base
+    resolution drops links when the redirect crossed registrable domains
+    (enqueue_links.ts:394-430)."""
+    from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions
+
+    rows = list(datagen.gen_corpus_rows(N_PAGES, N_HOSTS, seed=42,
+                                        with_bytes=False, redirect_every=6))
+    assert any(r["redirect_to"] for r in rows)
+    corpus_py = {r["url"]: {"html": r["html"], "redirect_to": r["redirect_to"]}
+                 for r in rows}
+    seeds_py = datagen.gen_seed_rows(N_PAGES, N_HOSTS, seed=42, n_seeds=N_SEEDS)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"], "redirect_to": r["redirect_to"]}
+         for r in rows],
+        "url string, html string, redirect_to string",
+    )
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string"
+    )
+    for strategy in ("same-domain", "same-hostname"):
+        eo = EnqueueLinksOptions(strategy=strategy)
+        sim = simulate(corpus_py, seeds_py, SimConfig(enqueue=eo))
+        eng = CrawlEngine(spark, str(tmp_path / f"crawl_{strategy}"),
+                          CrawlConfig(num_buckets=8, enqueue=eo))
+        eng.add_seeds(seeds_df)
+        eng.run(corpus_df)
+        assert eng.crawl_order() == sim.crawl_order, strategy
+        assert eng.url_seen() == sim.url_seen, strategy
+    # fetch log records post-redirect loaded_url
+    log = eng.fetch_log.read()
+    redirected = log.filter("loaded_url <> url and status = 'ok'")
+    assert redirected.count() > 0
+
+
+def test_parity_extended_unique_key(spark, tmp_path, corpus_fixture):
+    """POST seeds with distinct payloads dedup separately under
+    useExtendedUniqueKey (request.ts:361-384) — end-to-end, not just the
+    standalone expression."""
+    corpus_py, seeds_py, corpus_df, _ = corpus_fixture
+    url0 = seeds_py[0]["url"]
+    seeds2 = [dict(s) for s in seeds_py] + [
+        {"url": url0, "forefront": False, "depth": 0, "label": None,
+         "method": "POST", "payload": b"body-A"},
+        {"url": url0, "forefront": False, "depth": 0, "label": None,
+         "method": "POST", "payload": b"body-B"},
+    ]
+    seeds_df2 = spark.createDataFrame(
+        [(s["url"], s["forefront"], s["depth"], s.get("label"),
+          s.get("method", "GET"), s.get("payload")) for s in seeds2],
+        "url string, forefront boolean, depth int, label string, "
+        "method string, payload binary",
+    )
+    sim = simulate(corpus_py, seeds2, SimConfig(use_extended_unique_key=True))
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"),
+                      CrawlConfig(num_buckets=8, use_extended_unique_key=True))
+    eng.add_seeds(seeds_df2)
+    eng.run(corpus_df)
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    # all three variants of url0 exist as separate frontier entries
+    posts = [k for k in sim.url_seen if k.startswith("POST(")]
+    assert len(posts) == 2
+    assert any(k.startswith("GET():") for k in sim.url_seen)
+
+
+def test_parity_status_classes(spark, tmp_path, corpus_fixture):
+    """HTTP status table: 5xx retried on the retry budget, 429 retried on
+    the ROTATION budget (rotation-exhaustion death), 406 no-retry dead, 404
+    passes to the handler (http-crawler.ts:643-667, 789-808;
+    basic-crawler.ts:1435-1452)."""
+    from crawlee_spark.engine import StatusModelConf
+
+    sm = StatusModelConf(status_mods={503: 13, 429: 11, 406: 17, 404: 7},
+                         max_session_rotations=2)
+    corpus_py, seeds_py, corpus_df, seeds_df = corpus_fixture
+    sim = simulate(corpus_py, seeds_py, SimConfig(status=sm))
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"),
+                      CrawlConfig(num_buckets=8, status=sm))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    errs = set(sim.dead.values())
+    # the corpus is big enough that every class occurs
+    assert "http-5xx" in errs or "session-blocked" in errs \
+        or "unsupported-content-type" in errs
+    # 404 pages are HANDLED (they ran the handler), never dead
+    log = eng.fetch_log.read()
+    ok404 = log.filter("status = 'ok' and status_code = 404")
+    assert ok404.count() > 0
