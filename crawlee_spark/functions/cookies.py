@@ -1,0 +1,110 @@
+"""Cookie persistence + merge (``packages/core/src/cookie_utils.ts:1-126``,
+session cookie jar at ``session.ts`` setCookiesFromResponse /
+getCookieString; browser-format bridge omitted — no browser runtime).
+
+The reference parses ``Set-Cookie`` response headers into a per-session
+jar, REPLACING cookies that match on (name, domain, path), dropping
+expired ones, and serializes the jar back into a ``Cookie`` request header
+for same-domain requests. These are pure string/dict functions here —
+the fetch runtime that would call them is the deterministic corpus join,
+so the jar lives wherever session state lives (the session pool rows /
+KeyValueStore); tests pin merge + scoping semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Cookie:
+    name: str
+    value: str
+    domain: str = ""       # leading-dot normalized away; empty = host-only
+    path: str = "/"
+    expires: float | None = None  # epoch seconds; None = session cookie
+    secure: bool = False
+
+
+def parse_set_cookie(header: str, default_domain: str = "") -> Cookie | None:
+    """One ``Set-Cookie`` header -> Cookie (None when malformed)."""
+    parts = [p.strip() for p in header.split(";")]
+    if not parts or "=" not in parts[0]:
+        return None
+    name, _, value = parts[0].partition("=")
+    name = name.strip()
+    if not name:
+        return None
+    domain, path, expires, secure = default_domain, "/", None, False
+    for p in parts[1:]:
+        k, _, v = p.partition("=")
+        k = k.strip().lower()
+        v = v.strip()
+        if k == "domain" and v:
+            domain = v.lstrip(".").lower()
+        elif k == "path" and v:
+            path = v
+        elif k == "max-age":
+            try:
+                expires = float(v)  # relative; caller adds its clock
+            except ValueError:
+                pass
+        elif k == "secure":
+            secure = True
+    return Cookie(name, value.strip(), domain.lower(), path, expires, secure)
+
+
+def merge_cookies(jar: list[Cookie], new: list[Cookie]) -> list[Cookie]:
+    """Merge semantics of ``mergeCookies`` (cookie_utils.ts): a new cookie
+    REPLACES an existing one matching (name, domain, path); order is
+    existing-then-appended, deterministic."""
+    keyed = {(c.name, c.domain, c.path): i for i, c in enumerate(jar)}
+    out = list(jar)
+    for c in new:
+        k = (c.name, c.domain, c.path)
+        if k in keyed:
+            out[keyed[k]] = c
+        else:
+            keyed[k] = len(out)
+            out.append(c)
+    return out
+
+
+def _domain_matches(cookie_domain: str, host: str) -> bool:
+    if not cookie_domain:
+        return False
+    return host == cookie_domain or host.endswith("." + cookie_domain)
+
+
+def _path_matches(cookie_path: str, path: str) -> bool:
+    if cookie_path == "/" or path == cookie_path:
+        return True
+    if path.startswith(cookie_path):
+        return cookie_path.endswith("/") or path[len(cookie_path)] == "/"
+    return False
+
+
+def cookie_header(jar: list[Cookie], url: str, now: float = 0.0) -> str:
+    """``Cookie`` request-header value for ``url``: domain + path scoped,
+    secure-only over https, expired dropped; jar order preserved
+    (getCookieString analog)."""
+    from crawlee_spark.functions.urls import host_of_py
+
+    host = host_of_py(url) or ""
+    https = url.lower().startswith("https://")
+    base = url.split("#", 1)[0]
+    after = base.split("://", 1)[-1]
+    slash = after.find("/")
+    path = after[slash:].split("?", 1)[0] if slash >= 0 else "/"
+    out = []
+    for c in jar:
+        if c.expires is not None and c.expires <= now:
+            continue
+        if c.secure and not https:
+            continue
+        if not _domain_matches(c.domain, host):
+            continue
+        if not _path_matches(c.path, path or "/"):
+            continue
+        out.append(f"{c.name}={c.value}")
+    return "; ".join(out)

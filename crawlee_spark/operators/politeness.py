@@ -45,6 +45,12 @@ class PolitenessConfig:
     max_requests_per_crawl: int | None = None
     max_per_host_per_step: int = 2**31 - 1
     step_secs: float = 1.0  # logical superstep duration
+    # key the delay state by registrable domain (full PSL) instead of host —
+    # the reference keys delayRequest by tldts getDomain
+    # (``basic-crawler.ts:1111-1138``), so a.x.com and b.x.com share one
+    # delay window; host keying is the cheaper default (no PSL join on the
+    # pending set) and is what the round-1 engine shipped
+    key_by_domain: bool = False
 
     def delay_steps(self, crawl_delay_secs: float | None = None) -> int:
         """Effective per-host spacing in supersteps (max of config and
@@ -76,32 +82,50 @@ def select_fetch_set(
     politeness_state: DataFrame | None = None,
     host_delays: DataFrame | None = None,
     handled_so_far: int = 0,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """The superstep's fetch set under politeness + budgets.
 
     ``pending``: frontier rows with order_no IS NOT NULL.
-    ``politeness_state``: (host, next_allowed_step) or None.
-    ``host_delays``: (host, crawl_delay) from robots, or None.
+    ``politeness_state``: (host, next_allowed_step) or None — 'host' is the
+    politeness KEY: a hostname, or (for the base same-domain delay under
+    ``key_by_domain``) a registrable domain.
+    ``host_delays``: (host, crawl_delay) from robots, or None — robots
+    delays are always HOST-scoped (robots.txt is per host).
+    ``domain_col``: when set (engine attaches the PSL registrable domain
+    under this column), the base delay serializes per DOMAIN — delayRequest
+    keys by tldts getDomain (``basic-crawler.ts:1111-1138``) — while robots
+    crawl-delays keep serializing per host.
     Returns rows of ``pending`` (all columns) selected for this superstep.
     """
     c = pending
-    # 1. host eligibility by politeness state
+    # 1. eligibility by politeness state (host key; plus the domain key
+    # when domain keying is on)
     if politeness_state is not None:
         ps = politeness_state.select("host", "next_allowed_step")
         c = c.join(F.broadcast(ps), on="host", how="left").filter(
             F.col("next_allowed_step").isNull() | (F.col("next_allowed_step") <= step)
         ).drop("next_allowed_step")
+        if domain_col is not None:
+            psd = politeness_state.select(
+                F.col("host").alias("_dkey"), F.col("next_allowed_step").alias("_dnext")
+            )
+            c = c.join(F.broadcast(psd), c[domain_col] == F.col("_dkey"), "left").filter(
+                F.col("_dnext").isNull() | (F.col("_dnext") <= step)
+            ).drop("_dkey", "_dnext")
 
-    # 2. per-host budget (robots crawl-delay can force budget 1)
+    # 2. per-host budget (robots crawl-delay forces budget 1; the base
+    # delay forces it too ONLY under host keying)
+    base_serializes_host = cfg.delay_steps() > 0 and domain_col is None
     if host_delays is not None:
         c = c.join(F.broadcast(host_delays.select("host", "crawl_delay")), on="host", how="left")
         budget_col = F.when(
             (F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
-            | F.lit(cfg.delay_steps() > 0),
+            | F.lit(base_serializes_host),
             F.lit(1),
         ).otherwise(F.lit(cfg.max_per_host_per_step))
     else:
-        budget_col = F.lit(cfg.host_budget())
+        budget_col = F.lit(1 if base_serializes_host else cfg.max_per_host_per_step)
         c = c.withColumn("crawl_delay", F.lit(None).cast("double"))
 
     w = Window.partitionBy("host").orderBy(*_order_cols())
@@ -110,6 +134,16 @@ def select_fetch_set(
         .filter(F.col("_hrank") <= budget_col)
         .drop("_hrank", "crawl_delay")
     )
+
+    # 2b. domain serialization window (base delay under domain keying):
+    # one request per registrable domain per delay window
+    if domain_col is not None and cfg.delay_steps() > 0:
+        wd = Window.partitionBy(domain_col).orderBy(*_order_cols())
+        c = (
+            c.withColumn("_drank", F.row_number().over(wd))
+            .filter(F.col("_drank") <= 1)
+            .drop("_drank")
+        )
 
     # 3. global budgets: rate cap + remaining crawl cap, by canonical order
     caps = []
@@ -133,21 +167,37 @@ def advance_politeness(
     step: int,
     cfg: PolitenessConfig,
     spark=None,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """New politeness state after fetching ``fetched_hosts`` (host,
-    crawl_delay?) at ``step``: next_allowed_step = step + delay_steps(host).
+    crawl_delay?[, domain]) at ``step``: next_allowed_step = step + delay.
 
-    Hosts with zero effective delay carry no state row (keeps the dim tiny:
-    O(hosts-with-delay), broadcastable at any scale)."""
+    Host keying (default): one row per host, delay = max(robots crawl_delay,
+    base same-domain delay). Domain keying (``domain_col`` set): HOST rows
+    carry only the robots crawl-delay, DOMAIN rows carry the base delay —
+    host and domain keys share the namespace (a registrable domain is a
+    valid host string; colliding rows merge via max, which is the correct
+    semantics). Keys with zero delay carry no state row (keeps the dim
+    tiny: O(keys-with-delay), broadcastable at any scale)."""
     fh = fetched_hosts
     if "crawl_delay" not in fh.columns:
         fh = fh.withColumn("crawl_delay", F.lit(None).cast("double"))
     base_delay = F.lit(float(cfg.same_domain_delay_secs))
-    eff = F.greatest(F.coalesce(F.col("crawl_delay"), F.lit(0.0)), base_delay)
-    steps = F.ceil(eff / F.lit(float(cfg.step_secs))).cast("int")
+    step_secs = F.lit(float(cfg.step_secs))
+    if domain_col is None:
+        eff = F.greatest(F.coalesce(F.col("crawl_delay"), F.lit(0.0)), base_delay)
+        steps = F.ceil(eff / step_secs).cast("int")
+        keyed = fh.select("host", steps.alias("_d"))
+    else:
+        host_steps = F.ceil(
+            F.coalesce(F.col("crawl_delay"), F.lit(0.0)) / step_secs
+        ).cast("int")
+        dom_steps = F.ceil(base_delay / step_secs).cast("int")
+        keyed = fh.select("host", host_steps.alias("_d")).unionByName(
+            fh.select(F.col(domain_col).alias("host"), dom_steps.alias("_d"))
+        )
     new_rows = (
-        fh.select("host", steps.alias("_d"))
-        .filter(F.col("_d") > 0)
+        keyed.filter(F.col("_d") > 0)
         .groupBy("host")
         .agg(F.max("_d").alias("_d"))
         .select("host", (F.lit(step) + F.col("_d")).alias("next_allowed_step"))

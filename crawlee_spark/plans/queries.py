@@ -334,6 +334,40 @@ FROM events GROUP BY event_type
 """
 
 
+def q_system_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SystemStatus overload aggregation (``system_status.ts:100-150``):
+    per resource, the time-weighted fraction of overloaded samples (weights
+    = inter-sample intervals, ``weightedAvg`` ``general.ts:46``) vs the
+    ratio limit; events stand in for the snapshot stream."""
+    from crawlee_spark.operators.autoscaling import system_status
+
+    return system_status(_t(spark, sf_dir, "events"), threshold=50.0,
+                         ratio_limit=0.4)
+
+
+ORACLE_SYSTEM_STATUS = """
+WITH weighted AS (
+  SELECT event_type AS resource,
+         coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT), 0) AS w,
+         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS over
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT resource, CAST(sum(w * over) AS BIGINT) AS num,
+         CAST(sum(w) AS BIGINT) AS den
+  FROM weighted GROUP BY resource
+)
+SELECT resource,
+       CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            ELSE 0.0 END AS weighted_ratio,
+       (CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             ELSE 0.0 END) > 0.4 AS is_overloaded
+FROM agg
+"""
+
+
 def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp URL extraction from text (``extract-urls.ts:55-85`` /
     ``URL_NO_COMMAS_REGEX``, simplified to the portable core)."""
@@ -1140,6 +1174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_histogram": q_stats_histogram,
     "url_extract": q_url_extract,
     "robots_filter": q_robots_filter,
+    "system_status": q_system_status,
     # dataset ops
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1178,6 +1213,7 @@ ORACLES: dict[str, str] = {
     "stats_histogram": ORACLE_STATS_HISTOGRAM,
     "url_extract": ORACLE_URL_EXTRACT,
     "robots_filter": ORACLE_ROBOTS_FILTER,
+    "system_status": ORACLE_SYSTEM_STATUS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_remove": ORACLE_DEDUP_MINHASH_REMOVE,

@@ -235,7 +235,25 @@ def simulate(
             continue
 
         # 2. politeness-eligible hosts, per-host budget, global caps
-        eligible = [r for r in pending if next_allowed.get(r.host, 0) <= step]
+        # (key_by_domain: base delay keys/serializes by PSL registrable
+        # domain — delayRequest via getDomain, basic-crawler.ts:1111-1138 —
+        # while robots crawl-delays stay host-scoped)
+        kbd = pol.key_by_domain
+        if kbd:
+            from crawlee_spark.functions.psl import registrable_domain_psl_py
+
+            _dom_cache: dict[str, str] = {}
+
+            def dom(h: str) -> str:
+                if h not in _dom_cache:
+                    _dom_cache[h] = registrable_domain_psl_py(h)
+                return _dom_cache[h]
+
+        eligible = [
+            r for r in pending
+            if next_allowed.get(r.host, 0) <= step
+            and (not kbd or next_allowed.get(dom(r.host), 0) <= step)
+        ]
         if not eligible:
             if not next_allowed:
                 break  # safety: nothing to wait for
@@ -247,8 +265,24 @@ def simulate(
         for host, rows in by_host.items():
             rows.sort(key=_Row.sort_key)
             d = delays.get(host)
-            budget = 1 if (pol.delay_steps(d) > 0) else pol.max_per_host_per_step
+            if kbd:
+                # base delay no longer serializes per host; robots does
+                budget = 1 if (d and d > 0) else pol.max_per_host_per_step
+            else:
+                budget = 1 if (pol.delay_steps(d) > 0) else pol.max_per_host_per_step
             candidates.extend(rows[:budget])
+        if kbd and pol.delay_steps() > 0:
+            # one per registrable domain per delay window
+            candidates.sort(key=_Row.sort_key)
+            seen_dom: set[str] = set()
+            kept = []
+            for r in candidates:
+                dm = dom(r.host)
+                if dm in seen_dom:
+                    continue
+                seen_dom.add(dm)
+                kept.append(r)
+            candidates = kept
         candidates.sort(key=_Row.sort_key)
         caps = []
         g = pol.global_budget()
@@ -330,12 +364,29 @@ def simulate(
                     handled_count += 1
                     bump(r.host, "failed")
 
-        # 4. enqueue extracted links, then advance politeness
+        # 4. enqueue extracted links, then advance politeness. Keys collect
+        # their MAX delay first (a bare-domain host collides with its own
+        # domain key — the engine's groupBy-max merge), then overwrite.
         enqueue(new_links, step)
+        import math as _math
+
+        adv: dict[str, int] = {}
         for h in touched_hosts:
-            d = pol.delay_steps(delays.get(h))
-            if d > 0:
-                next_allowed[h] = step + d
+            if kbd:
+                cd = delays.get(h)
+                dh = _math.ceil(cd / pol.step_secs) if cd and cd > 0 else 0
+                if dh > 0:
+                    adv[h] = max(adv.get(h, 0), dh)
+                dd = pol.delay_steps()
+                if dd > 0:
+                    dm = dom(h)
+                    adv[dm] = max(adv.get(dm, 0), dd)
+            else:
+                d = pol.delay_steps(delays.get(h))
+                if d > 0:
+                    adv[h] = max(adv.get(h, 0), d)
+        for k, d in adv.items():
+            next_allowed[k] = step + d
 
     return SimResult(
         crawl_order=crawl_order,

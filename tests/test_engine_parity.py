@@ -139,6 +139,36 @@ def test_parity_blocked_and_salted(spark, tmp_path):
     assert any(v == "session-blocked" for v in sim.dead.values())
 
 
+def test_parity_domain_keyed_politeness(spark, tmp_path):
+    """key_by_domain: the base sameDomainDelay serializes per PSL
+    registrable domain (delayRequest via getDomain,
+    basic-crawler.ts:1111-1138); subdomains of one domain share a delay
+    window. Small corpus — the delay stretches the crawl over ~33
+    supersteps."""
+    rows = list(datagen.gen_corpus_rows(20, 4, seed=42, with_bytes=False))
+    corpus_py = {r["url"]: {"html": r["html"]} for r in rows}
+    seeds_py = datagen.gen_seed_rows(20, 4, seed=42, n_seeds=4)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows], "url string, html string"
+    )
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string"
+    )
+    p = PolitenessConfig(same_domain_delay_secs=1.0, step_secs=1.0,
+                         key_by_domain=True)
+    sim = simulate(corpus_py, seeds_py, SimConfig(politeness=p))
+    assert len({r["host"] for r in rows}) > len(
+        {d for d in ("example.com", "other.net", "images.org", "crawl.co.uk")}
+    ) - 2  # corpus really has multiple hosts per domain
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"),
+                      CrawlConfig(num_buckets=8, politeness=p))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    assert len(sim.crawl_order) > 0
+
+
 def test_parity_redirects(spark, tmp_path):
     """loadedUrl model: redirect pages serve the target's html, relative
     hrefs resolve against the POST-redirect URL, and same-domain base

@@ -1,0 +1,108 @@
+"""Proxy rotation/tiering (proxy_configuration.ts) and cookie merge/scoping
+(cookie_utils.ts) semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions.cookies import (
+    Cookie,
+    cookie_header,
+    merge_cookies,
+    parse_set_cookie,
+)
+from crawlee_spark.operators.proxies import ProxyConfiguration
+
+
+def test_proxy_flat_rotation_spark_matches_py(spark):
+    cfg = ProxyConfiguration(proxy_urls=[f"http://p{i}:8000" for i in range(3)])
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    got = {r["k"]: r["p"] for r in df.select(
+        "k", cfg.proxy_col(F.col("k")).alias("p")).collect()}
+    for k in range(10):
+        assert got[k] == cfg.new_url_py(k)
+    # session-sticky: same key -> same proxy
+    assert got[1] == got[4] == got[7]
+
+
+def test_proxy_tiers_escalate_on_retry(spark):
+    cfg = ProxyConfiguration(tiered_proxy_urls=[
+        ["http://cheap:1"], ["http://datacenter:2"], ["http://residential:3"],
+    ])
+    df = spark.createDataFrame([(5, rc) for rc in range(5)], "k long, rc int")
+    got = [r["p"] for r in df.select(
+        cfg.proxy_col(F.col("k"), F.col("rc")).alias("p")).collect()]
+    assert got == ["http://cheap:1", "http://datacenter:2",
+                   "http://residential:3", "http://residential:3",
+                   "http://residential:3"]
+    assert cfg.new_url_py(5, 0) == "http://cheap:1"
+    assert cfg.new_url_py(5, 9) == "http://residential:3"
+
+
+def test_proxy_requires_urls():
+    with pytest.raises(ValueError):
+        ProxyConfiguration()
+
+
+def test_engine_logs_proxy_and_stays_parity_neutral(spark, tmp_path):
+    from crawlee_spark import datagen, simulator
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+
+    rows = list(datagen.gen_corpus_rows(20, 4, seed=42, with_bytes=False))
+    seeds = datagen.gen_seed_rows(20, 4, seed=42, n_seeds=4)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows], "url string, html string"
+    )
+    seeds_df = spark.createDataFrame(
+        seeds, "url string, forefront boolean, depth int, label string"
+    )
+    cfg = CrawlConfig(num_buckets=4, proxies=ProxyConfiguration(
+        proxy_urls=["http://p0:1", "http://p1:1"]))
+    eng = CrawlEngine(spark, str(tmp_path / "c"), cfg)
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    sim = simulator.simulate({r["url"]: {"html": r["html"]} for r in rows},
+                             seeds, simulator.SimConfig())
+    assert eng.crawl_order() == sim.crawl_order  # proxy column is pure observability
+    log = eng.fetch_log.read()
+    assert log.filter("proxy_url is null").count() == 0
+    assert set(r["proxy_url"] for r in log.select("proxy_url").distinct().collect()) \
+        <= {"http://p0:1", "http://p1:1"}
+
+
+def test_parse_set_cookie():
+    c = parse_set_cookie("sid=abc123; Domain=.Example.COM; Path=/app; Secure",
+                         default_domain="x.example.com")
+    assert c == Cookie("sid", "abc123", "example.com", "/app", None, True)
+    assert parse_set_cookie("=novalue") is None
+    assert parse_set_cookie("garbage") is None
+    c2 = parse_set_cookie("a=b", default_domain="h.com")
+    assert c2.domain == "h.com" and c2.path == "/"
+
+
+def test_merge_replaces_on_name_domain_path():
+    jar = [Cookie("a", "1", "h.com"), Cookie("b", "2", "h.com")]
+    merged = merge_cookies(jar, [Cookie("a", "NEW", "h.com"),
+                                 Cookie("a", "other-domain", "g.com")])
+    assert merged == [Cookie("a", "NEW", "h.com"), Cookie("b", "2", "h.com"),
+                      Cookie("a", "other-domain", "g.com")]
+
+
+def test_cookie_header_scoping():
+    jar = [
+        Cookie("a", "1", "example.com"),
+        Cookie("sub", "2", "sub.example.com"),
+        Cookie("p", "3", "example.com", "/app"),
+        Cookie("sec", "4", "example.com", "/", None, True),
+        Cookie("gone", "5", "example.com", "/", expires=10.0),
+        Cookie("other", "6", "other.net"),
+    ]
+    # http page on a subdomain: parent-domain cookies match, secure dropped
+    hdr = cookie_header(jar, "http://sub.example.com/app/x", now=100.0)
+    assert hdr == "a=1; sub=2; p=3"
+    # https root path: secure included, /app-scoped and subdomain-only not
+    hdr2 = cookie_header(jar, "https://example.com/", now=100.0)
+    assert hdr2 == "a=1; sec=4"
+    # path prefix must break on a segment boundary
+    assert "p=3" not in cookie_header(jar, "http://example.com/application", now=0)
