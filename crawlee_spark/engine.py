@@ -137,6 +137,16 @@ class CrawlConfig:
     # fetches; handler outputs append to the results table
     # (operators/router.py; reference packages/core/src/router.ts:32-55)
     router: Any = None
+    # pre/post-navigation hooks (http-crawler.ts:96-120, 299-300). Pre hooks
+    # are DF->DF over the selected fetch set BEFORE the corpus join — they
+    # may annotate request columns, e.g. set `skip_navigation` true
+    # (request.ts skipNavigation: handled without a fetch, no link
+    # extraction). Post hooks are DF->DF over fetched rows AFTER navigation
+    # (may rewrite `_html` / `_loaded`) and BEFORE status classification.
+    # Hooks must be 1:1 on rows (no adds/drops) — mirrored per-row in
+    # simulator.SimConfig for parity tests.
+    pre_navigation_hooks: list = field(default_factory=list)
+    post_navigation_hooks: list = field(default_factory=list)
     # deterministic proxy assignment (operators/proxies.py;
     # proxy_configuration.ts) — session-sticky, rotation-aware, logged per
     # fetch; None = direct connection
@@ -395,6 +405,19 @@ class CrawlEngine:
                 domain_col=domain_col,
             )
 
+            # pre-navigation hooks (http-crawler.ts:299 `preNavigationHooks`):
+            # run over the selected batch before any fetch work; a hook may
+            # set `skip_navigation` (request.ts skipNavigation — handled
+            # without navigating, requestHandler sees no response)
+            for hook in cfg.pre_navigation_hooks:
+                fetch_set = hook(fetch_set)
+            if "skip_navigation" not in fetch_set.columns:
+                fetch_set = fetch_set.withColumn("skip_navigation", F.lit(False))
+            else:
+                fetch_set = fetch_set.withColumn(
+                    "skip_navigation",
+                    F.coalesce(F.col("skip_navigation"), F.lit(False)))
+
             # 3. deterministic fetch: canonical-hash join against the corpus.
             # Column-prune the corpus: scheduling never reads bytes (decisive
             # at image scale, SURVEY.md §4) — only html for extraction plus
@@ -426,6 +449,13 @@ class CrawlEngine:
             fetched = fetched.withColumn(
                 "_loaded", F.coalesce(F.col("_redirect"), F.col("url"))
             )
+            # post-navigation hooks (http-crawler.ts:300): may rewrite
+            # `_html` / `_loaded` before status classification + extraction.
+            # Hooks see every fetched row; they must preserve nulls (missing
+            # pages) and should no-op on `skip_navigation` rows — the
+            # simulator mirror only invokes them on real navigations.
+            for hook in cfg.post_navigation_hooks:
+                fetched = hook(fetched)
             if cfg.detect_blocked:
                 from crawlee_spark.functions.text import is_blocked_page
 
@@ -435,8 +465,10 @@ class CrawlEngine:
 
             # status-class table (StatusModelConf docstring has the map)
             sm = cfg.status
-            status_code = F.when(F.col("_html").isNull(), F.lit(0)).otherwise(
-                sm.status_col()
+            status_code = (
+                F.when(F.col("skip_navigation"), F.lit(0))  # no HTTP request
+                .when(F.col("_html").isNull(), F.lit(0))
+                .otherwise(sm.status_col())
             )
             fetched = fetched.withColumn("_status_code", status_code)
             sc = F.col("_status_code")
@@ -448,7 +480,10 @@ class CrawlEngine:
             is_sess = sc.isin(list(sm.session_blocked_codes)) & ~in_ignore \
                 if sm.session_blocked_codes else F.lit(False)
             err_col = (
-                F.when(F.col("_html").isNull(), F.lit("404-not-found"))
+                # skipNavigation: handled without navigating (request.ts) —
+                # success regardless of corpus/status, no extraction below
+                F.when(F.col("skip_navigation"), F.lit(None).cast("string"))
+                .when(F.col("_html").isNull(), F.lit("404-not-found"))
                 .when(~cfg.failures.success_col(), F.lit("fetch-failed"))
                 .when(F.col("_blocked"), F.lit("session-blocked"))
                 .when(is_5xx, F.lit("http-5xx"))
@@ -501,9 +536,10 @@ class CrawlEngine:
             # one place hot-host salting is allowed, SURVEY.md §7(c));
             # loaded_url feeds relative-href resolution + same-domain base
             # resolution (enqueue_links.ts:394-430)
-            pages = successes.select("url", F.col("_loaded").alias("loaded_url"),
-                                     F.col("_html").alias("html"), "depth",
-                                     "host", "url_hash")
+            pages = successes.filter(~F.col("skip_navigation")).select(
+                "url", F.col("_loaded").alias("loaded_url"),
+                F.col("_html").alias("html"), "depth",
+                "host", "url_hash")
             if cfg.parse_salt > 0:
                 from crawlee_spark.operators.skew import salted_repartition
 

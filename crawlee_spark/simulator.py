@@ -93,6 +93,14 @@ class SimConfig:
     max_steps: int = 10_000
     detect_blocked: bool = False  # retryOnBlocked content heuristic
     use_extended_unique_key: bool = False  # request.ts:361-384
+    # pre/post-navigation hook mirrors (engine.CrawlConfig has the DF->DF
+    # form; http-crawler.ts:96-120, 299-300). Pre: callable(row) -> bool|None
+    # (True = skipNavigation, request.ts — handled without a fetch, no link
+    # extraction; None leaves the previous hook's decision). Post:
+    # callable(row, html, loaded_url) -> (html, loaded_url), invoked on real
+    # navigations only, BEFORE blocked detection + extraction.
+    pre_navigation_hooks: list = field(default_factory=list)
+    post_navigation_hooks: list = field(default_factory=list)
 
 
 @dataclass
@@ -301,12 +309,33 @@ def simulate(
         sm = cfg.status
         for r in candidates:
             touched_hosts.add(r.host)
+            skipped = False
+            for h in cfg.pre_navigation_hooks:
+                v = h(r)
+                if v is not None:
+                    skipped = bool(v)
+            if skipped:
+                # skipNavigation: handled without an HTTP request — success
+                # regardless of corpus/status, no extraction (engine err_col's
+                # first WHEN); still consumes rate budget + politeness slot
+                crawl_order.append((step, r.unique_key))
+                r.order_no = None
+                r.handled_step = step
+                handled_count += 1
+                bump(r.host, "handled")
+                continue
             hit = corpus_by_key.get(r.fetch_key)
+            html = loaded = None
+            if hit is not None:
+                html = hit[1].get("html", "")
+                loaded = hit[1].get("redirect_to") or r.url
+                for h in cfg.post_navigation_hooks:
+                    html, loaded = h(r, html, loaded)
             blocked = False
             if hit is not None and cfg.detect_blocked:
                 from crawlee_spark.functions.text import is_blocked_page_py
 
-                blocked = is_blocked_page_py(hit[1].get("html", ""))
+                blocked = is_blocked_page_py(html)
             # status-class table — EXACT mirror of the engine's err_col
             # precedence: missing -> network fail -> content block -> 5xx ->
             # additional -> session codes -> 406 -> success
@@ -329,10 +358,8 @@ def simulate(
                 err = None
             if err is None:
                 crawl_order.append((step, r.unique_key))
-                orig_url, page = hit
-                loaded = page.get("redirect_to") or r.url
                 new_links.extend(
-                    enqueue_links_py(r.url, page.get("html", ""), r.depth,
+                    enqueue_links_py(r.url, html, r.depth,
                                      cfg.enqueue, loaded_url=loaded)
                 )
                 r.order_no = None

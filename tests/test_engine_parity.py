@@ -261,3 +261,50 @@ def test_parity_status_classes(spark, tmp_path, corpus_fixture):
     log = eng.fetch_log.read()
     ok404 = log.filter("status = 'ok' and status_code = 404")
     assert ok404.count() > 0
+
+
+def test_parity_navigation_hooks(spark, tmp_path, corpus_fixture):
+    """pre/post-navigation hooks (http-crawler.ts:96-120, 299-300): a pre
+    hook sets skipNavigation on a hash-derived subset (request.ts — handled
+    without a fetch, no link extraction), a post hook appends a link to every
+    real navigation's HTML (extraction must see the rewrite; the appended
+    target is outside the corpus so it 404s to dead)."""
+    from pyspark.sql import functions as F
+
+    hooked = '<a href="/hooked-by-post-nav">x</a>'
+
+    def eng_pre(df):
+        return df.withColumn(
+            "skip_navigation", F.pmod(F.col("url_hash"), F.lit(5)) == 0)
+
+    def eng_post(df):
+        return df.withColumn(
+            "_html",
+            F.when(F.col("_html").isNotNull() & ~F.col("skip_navigation"),
+                   F.concat(F.col("_html"), F.lit(hooked)))
+            .otherwise(F.col("_html")))
+
+    sim_cfg = SimConfig(
+        pre_navigation_hooks=[lambda r: r.url_hash % 5 == 0],
+        post_navigation_hooks=[lambda r, html, loaded: (html + hooked, loaded)],
+    )
+    cfg = CrawlConfig(num_buckets=8, pre_navigation_hooks=[eng_pre],
+                      post_navigation_hooks=[eng_post])
+
+    corpus_py, seeds_py, corpus_df, seeds_df = corpus_fixture
+    sim = simulate(corpus_py, seeds_py, sim_cfg)
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"), cfg)
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    # the post hook's injected link entered the frontier and died as 404
+    assert any("hooked-by-post-nav" in k for k in sim.url_seen)
+    assert any("hooked-by-post-nav" in k and e == "404-not-found"
+               for k, e in sim.dead.items())
+    # at least one request actually skipped navigation (status ok, code 0,
+    # never extracted): it appears in crawl_order yet contributed no links
+    skipped = [k for (s, k) in sim.crawl_order
+               if (__import__("crawlee_spark.functions.hashing",
+                              fromlist=["xxhash64_str"]).xxhash64_str(k)) % 5 == 0]
+    assert skipped
