@@ -219,9 +219,13 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
     return hashed.select("id", total.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
+                  id_col: str = "id", sig_col: str = "simhash") -> DataFrame:
+    """All (id_a < id_b) pairs whose long signatures are within Hamming
+    distance ``max_hamming`` — the generic blocked join behind SimHash text
+    near-dup AND image pHash near-dup (a 64-bit perceptual hash is the same
+    Hamming-radius problem; reference parity: dedup is outside Crawlee's
+    scope, this is the training-data-pipeline extension).
 
     Pigeonhole bit-chunk blocking (EXACT, not approximate): split the
     signature into ``max_hamming + 1`` contiguous chunks — a pair within
@@ -234,18 +238,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
 
     Scale: candidate volume is sum over chunks of in-bucket pairs. With
     16-bit signatures a 4-bit chunk has only 16 buckets (worthwhile but
-    modest); at corpus scale use ``bits=48`` (md5_hash64 yields 56 usable
-    bits) so each of the 4 chunks has 2^12 buckets. The distinct() dedups
-    pairs that collide on several chunks.
+    modest); at corpus scale use ``bits>=48`` so each chunk has 2^12+
+    buckets. The distinct() dedups pairs that collide on several chunks.
     """
-    s = simhash(docs, bits, id_col, text_col)
+    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
     n_chunks = max_hamming + 1
     base, rem = divmod(bits, n_chunks)
     chunk_structs = []
     start = 0
     for c in range(n_chunks):
         size = base + (1 if c < rem else 0)
-        val = F.shiftright(F.col("simhash"), start).bitwiseAND(
+        val = F.shiftright(F.col("_sig"), start).bitwiseAND(
             F.lit((1 << size) - 1).cast("long")
         )
         chunk_structs.append(
@@ -253,14 +256,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
         )
         start += size
     chunked = s.select(
-        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
-    # pin the chunk rows so the (expensive) tokenization + per-bit fold runs
+        "id", "_sig", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "_sig", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    # pin the chunk rows so an (expensive) upstream signature build runs
     # once, not once per self-join side (same discipline as the LSH bands)
     chunked = chunked.persist()
     try:
         a, b = chunked.alias("a"), chunked.alias("b")
-        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
         out = (
             a.join(b, on=["ck", "cv"])
             .filter(F.col("a.id") < F.col("b.id"))
@@ -276,6 +279,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
     finally:
         chunked.unpersist()
     return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming; the
+    signature build (simhash above) feeds the generic pigeonhole-blocked
+    hamming_pairs join — see its docstring for the scale argument."""
+    return hamming_pairs(simhash(docs, bits, id_col, text_col),
+                         max_hamming, bits, id_col="id", sig_col="simhash")
 
 
 def ngram_jaccard_pairs(

@@ -392,6 +392,90 @@ FROM documents
 """
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap urlset parsing (sources/sitemap.py): per-source sitemap XML
+    is synthesized deterministically from `documents` (entity-escaped locs,
+    optional changefreq, lastmod dates), then parsed back to entries —
+    document order preserved in `pos`, &amp; unescaped, absent tags null.
+    The oracle mirrors generation AND extraction in DuckDB SQL, so the
+    round-trip pins the parser's regex/unescape/ordering semantics."""
+    from crawlee_spark.sources.sitemap import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example/doc/"),
+        did.cast("string"),
+        F.when(did % 7 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("2026-01-01")), (did % 365).cast("int")),
+            "yyyy-MM-dd"),
+        F.lit("</lastmod>"),
+        F.when(did % 3 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .otherwise(F.lit("")),
+        F.lit("<priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    xml = d.select("source", "doc_id", entry.alias("entry")).groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s["entry"])),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    ).select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example/sitemap.xml")).alias("sitemap_url"),
+        "xml",
+    )
+    return parse_sitemap(xml).orderBy("sitemap_url", "pos")
+
+
+ORACLE_SITEMAP_EXTRACT = r"""
+WITH e AS (
+  SELECT source, doc_id,
+    '<url><loc>https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 7 = 0 THEN '?a=1&amp;b=2' ELSE '' END || '</loc>'
+    || '<lastmod>'
+    || strftime(DATE '2026-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d')
+    || '</lastmod>'
+    || CASE WHEN doc_id % 3 = 0 THEN '<changefreq>daily</changefreq>' ELSE '' END
+    || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) || '</priority></url>' AS entry
+  FROM documents
+),
+x AS (
+  SELECT 'https://' || source || '.example/sitemap.xml' AS sitemap_url,
+         '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM e GROUP BY source
+),
+blocks AS (
+  SELECT sitemap_url, regexp_extract_all(xml, '(?s)<url[^>]*>(.*?)</url>', 1) AS bs
+  FROM x
+),
+exploded AS (
+  SELECT sitemap_url, CAST(i - 1 AS BIGINT) AS pos, bs[i] AS b
+  FROM blocks, unnest(generate_series(1, len(bs))) AS t(i)
+)
+SELECT sitemap_url, pos,
+  replace(replace(replace(replace(replace(
+    nullif(regexp_extract(b, '(?s)<loc[^>]*>\s*(.*?)\s*</loc>', 1), ''),
+    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS url,
+  CAST(nullif(regexp_extract(b, '(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>', 1), '')
+       AS DATE) AS lastmod,
+  nullif(regexp_extract(b, '(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>', 1), '')
+       AS changefreq,
+  CAST(nullif(regexp_extract(b, '(?s)<priority[^>]*>\s*(.*?)\s*</priority>', 1), '')
+       AS DOUBLE) AS priority
+FROM exploded
+WHERE nullif(regexp_extract(b, '(?s)<loc[^>]*>\s*(.*?)\s*</loc>', 1), '') IS NOT NULL
+ORDER BY sitemap_url, pos
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 longest-match allow/disallow over synthetic per-source rules
     (no reference analog — spec-derived; see operators/robots.py).
@@ -986,6 +1070,71 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(df)
 
 
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by 48-bit perceptual-hash Hamming distance <= 6
+    via the pigeonhole-blocked equi-join (operators/dedup.py::hamming_pairs
+    — 7 chunks, never a BroadcastNestedLoopJoin; the oracle is the NAIVE
+    all-pairs join, so green proves the blocked plan exact).
+
+    The pHash column is synthesized deterministically from `documents`
+    (input_hint table shape: 64-bit perceptual hash per image; no external
+    data): every 10 consecutive doc_ids share a base signature and each row
+    flips (doc_id % 4) hash-derived bit positions — the near-dup structure a
+    real pHash corpus has (clusters of re-encodes/resizes a few bits apart),
+    with the flip arithmetic mirrored exactly in the DuckDB oracle.
+
+    Scale: identical shape to dedup_simhash — candidates come from 7
+    equi-join buckets, volume ∝ true dup clusters, not n²."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mask48 = F.lit((1 << 48) - 1).cast("long")
+    base = T.md5_hash64(
+        F.concat(F.lit("img-grp#"), (F.col("doc_id") - F.col("doc_id") % 10).cast("string"))
+    ).bitwiseAND(mask48)
+
+    def flip(i: int):
+        p = T.md5_hash64(
+            F.concat(F.lit("img-flip#"), F.col("doc_id").cast("string"),
+                     F.lit(f"#{i}"))
+        ) % 48
+        return F.when(
+            F.col("doc_id") % 4 > i,
+            # F.shiftleft only takes a literal shift; the SQL builtin
+            # accepts a column for both operands
+            F.call_function("shiftleft", F.lit(1).cast("long"), p.cast("int")),
+        ).otherwise(F.lit(0).cast("long"))
+
+    phash = base.bitwiseXOR(flip(0)).bitwiseXOR(flip(1)).bitwiseXOR(flip(2))
+    sigs = docs.select(F.col("doc_id").alias("id"), phash.alias("phash"))
+    return D.hamming_pairs(sigs, max_hamming=6, bits=48,
+                           id_col="id", sig_col="phash")
+
+
+def _oracle_image_phash(max_hamming: int = 6) -> str:
+    grp = _H14.format(x="'img-grp#' || CAST(doc_id - doc_id % 10 AS VARCHAR)")
+    flips = " , ".join(
+        f"""CASE WHEN doc_id % 4 > {i}
+             THEN (CAST(1 AS BIGINT) << ({_H14.format(
+                 x=f"'img-flip#' || CAST(doc_id AS VARCHAR) || '#{i}'")} % 48))
+             ELSE CAST(0 AS BIGINT) END"""
+        for i in range(3)
+    )
+    f0, f1, f2 = flips.split(" , ")
+    return f"""
+WITH ph AS (
+  SELECT doc_id AS id,
+         xor(xor(xor({grp} & 281474976710655, {f0}), {f1}), {f2}) AS phash
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.id < b.id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
+ORACLE_IMAGE_PHASH_NEARDUP = _oracle_image_phash()
+
+
 def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BSP crawl on a deterministic synthetic corpus; returns the fetch
     log (step, unique_key, status). Simulator-verified in
@@ -1173,6 +1322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_window": q_rate_window,
     "stats_histogram": q_stats_histogram,
     "url_extract": q_url_extract,
+    "sitemap_extract": q_sitemap_extract,
     "robots_filter": q_robots_filter,
     "system_status": q_system_status,
     # dataset ops
@@ -1193,6 +1343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_to_text": q_html_to_text,
     "social_extract": q_social_extract,
     "extended_unique_key": q_extended_unique_key,
+    "image_phash_neardup": q_image_phash_neardup,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -1212,6 +1363,7 @@ ORACLES: dict[str, str] = {
     "rate_window": ORACLE_RATE_WINDOW,
     "stats_histogram": ORACLE_STATS_HISTOGRAM,
     "url_extract": ORACLE_URL_EXTRACT,
+    "sitemap_extract": ORACLE_SITEMAP_EXTRACT,
     "robots_filter": ORACLE_ROBOTS_FILTER,
     "system_status": ORACLE_SYSTEM_STATUS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -1231,6 +1383,7 @@ ORACLES: dict[str, str] = {
     "html_to_text": ORACLE_HTML_TO_TEXT,
     "social_extract": ORACLE_SOCIAL_EXTRACT,
     "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
+    "image_phash_neardup": ORACLE_IMAGE_PHASH_NEARDUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,
