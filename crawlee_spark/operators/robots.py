@@ -150,6 +150,30 @@ def crawl_delays_py(rules_rows: list[dict], user_agent: str = "*") -> dict[str, 
     return out
 
 
+def sitemap_urls_py(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body, in file order.
+
+    Per sitemaps.org (and RFC 9309 §2.2.4 "other records"), Sitemap lines
+    are group-INDEPENDENT: they apply regardless of surrounding User-agent
+    blocks, so this parses the raw text, not the grouped rule rows. The
+    value is an absolute URL; comments strip at the first ``#`` — the same
+    rule ``parse_robots_txt`` applies (canonicalization strips fragments
+    from the URL later anyway).
+
+    Spark mirror: ``sources/sitemap.py::sitemaps_from_robots`` (one
+    multiline regex, whole-stage codegen).
+    """
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        directive, sep, value = line.partition(":")
+        if sep and directive.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out
+
+
 # -- Spark-side filter ------------------------------------------------------
 
 

@@ -92,6 +92,36 @@ def sitemap_index_locs(df: DataFrame, xml_col: str = "xml",
     ).filter(F.col("child_url").isNotNull())
 
 
+# Sitemap: directives are group-independent records (sitemaps.org; RFC 9309
+# §2.2.4 "other records") — one multiline case-insensitive regex over the raw
+# body, stopping at '#' (comment) or end of line. Mirror of
+# operators/robots.py::sitemap_urls_py (line-split + partition at ':').
+_SITEMAP_DIRECTIVE = r"(?mi)^[ \t]*sitemap[ \t]*:([^#\r\n]*)"
+
+
+def sitemaps_from_robots(df: DataFrame, text_col: str = "robots_txt",
+                         host_col: str = "host") -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies -> seed sitemap URLs.
+
+    Input: rows (host, robots_txt). Output: (host, pos, sitemap_url) with
+    ``pos`` = 0-based file order. Whole-stage codegen (regexp_extract_all +
+    posexplode); empty values filtered (a bare ``Sitemap:`` line is ignored,
+    matching the py mirror). The result feeds the same fetch->parse_sitemap
+    loop as explicit sitemap seeds.
+    """
+    blocks = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_SITEMAP_DIRECTIVE), 1)
+        ).alias("pos", "_v"),
+    )
+    return blocks.select(
+        "host",
+        F.col("pos").cast("long").alias("pos"),
+        F.trim(F.col("_v")).alias("sitemap_url"),
+    ).filter(F.col("sitemap_url") != "")
+
+
 def sitemap_requests(df: DataFrame, xml_col: str = "xml",
                      src_col: str = "sitemap_url") -> DataFrame:
     """Parsed sitemap entries as seed request rows for the frontier.

@@ -63,6 +63,37 @@ def test_double_escape(spark):
     assert r["url"] == "https://a.test/%3F?q=&amp;"
 
 
+ROBOTS = """# robots for a.test
+User-agent: *
+Disallow: /private
+Sitemap: https://a.test/sitemap.xml
+sitemap : https://a.test/sitemap-2.xml  # trailing comment
+SITEMAP:https://a.test/sitemap-3.xml
+# Sitemap: https://a.test/commented-out.xml
+Sitemap:
+Crawl-delay: 2
+"""
+
+
+def test_sitemaps_from_robots_parity(spark):
+    """Spark regex path == py mirror, order preserved, comments/case/empty
+    handled identically (Sitemap lines are group-independent records)."""
+    from crawlee_spark.operators.robots import sitemap_urls_py
+    from crawlee_spark.sources.sitemap import sitemaps_from_robots
+
+    expected = sitemap_urls_py(ROBOTS)
+    assert expected == [
+        "https://a.test/sitemap.xml",
+        "https://a.test/sitemap-2.xml",
+        "https://a.test/sitemap-3.xml",
+    ]
+    df = spark.createDataFrame([("a.test", ROBOTS), ("b.test", "User-agent: *\n")],
+                               "host string, robots_txt string")
+    rows = sitemaps_from_robots(df).orderBy("host", "pos").collect()
+    assert [r["sitemap_url"] for r in rows] == expected  # b.test yields none
+    assert [r["pos"] for r in rows] == [0, 1, 2]
+
+
 def test_sitemap_requests_into_frontier(spark, tmp_path):
     """Seed rows reach the frontier through the same canonicalize+dedup
     MERGE as list seeds; duplicate locs across sitemaps collapse."""
