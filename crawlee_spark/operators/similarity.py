@@ -132,3 +132,49 @@ def ann_lsh(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 50,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket PLUS every
+    Hamming-1 bucket (one hyperplane bit flipped) — the standard recall
+    knob (Lv et al., VLDB'07): a near neighbor on the wrong side of ONE
+    low-margin hyperplane is recovered without adding hash tables.
+
+    Plan shape is unchanged from ``ann_lsh``: the probe fan-out happens on
+    the tiny query side (explode to ``planes+1`` rows per query, still
+    broadcast); the corpus keeps its single bucket and is scanned once —
+    candidates grow ~(planes+1)× per query, never corpus × queries. Each
+    corpus vector lives in exactly one bucket and probe buckets are
+    distinct, so no (query, neighbor) pair duplicates — no dedup stage.
+    """
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    bucketed = v.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes, dim))
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(planes)],
+    )
+    q = (
+        bucketed.filter(F.col("id") % query_mod == 0)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                F.explode(probe_arr).alias("probe"))
+    )
+    joined = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("probe")).filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_col(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -767,6 +767,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      planes=8, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10: query bucket + every Hamming-1 bucket
+    (the recall knob; probe fan-out on the broadcast query side only)."""
+    return S.ann_lsh_multiprobe(_t(spark, sf_dir, "embeddings"), k=10,
+                                query_mod=50, planes=8, dim=64)
+
+
 def _oracle_ann_lsh(planes: int = 8, dim: int = 64) -> str:
     proj = " + ".join(
         f"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -792,7 +799,7 @@ scored AS (
                     list_transform(q.qv, x -> x * x)), (x, y) -> x + y)) *
                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                     list_transform(a.v, x -> x * x)), (x, y) -> x + y))), 6) AS cosine
-  FROM bucketed a JOIN q ON a.bucket = q.bucket AND a.id <> q.query_id
+  FROM bucketed a JOIN q ON {{join_cond}} AND a.id <> q.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -802,7 +809,13 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
-ORACLE_ANN_LSH = _oracle_ann_lsh()
+ORACLE_ANN_LSH = _oracle_ann_lsh().format(join_cond="a.bucket = q.bucket")
+# multi-probe: candidate set = buckets within Hamming 1 of the query's —
+# identical to probing {bucket} ∪ {bucket XOR 1<<p} (declarative mirror of
+# the Spark probe-explode; theta-join is fine for a small-sf oracle)
+ORACLE_ANN_LSH_MULTIPROBE = _oracle_ann_lsh().format(
+    join_cond="bit_count(xor(a.bucket, q.bucket)) <= 1"
+)
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,6 +1098,14 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical shape to dedup_simhash — candidates come from 7
     equi-join buckets, volume ∝ true dup clusters, not n²."""
+    return D.hamming_pairs(_phash_sigs(spark, sf_dir), max_hamming=6,
+                           bits=48, id_col="id", sig_col="phash")
+
+
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic pHash signature per document (see
+    q_image_phash_neardup docstring for the cluster+bit-flip construction;
+    arithmetic mirrored in _oracle_image_phash)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     mask48 = F.lit((1 << 48) - 1).cast("long")
     base = T.md5_hash64(
@@ -1104,9 +1125,20 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
 
     phash = base.bitwiseXOR(flip(0)).bitwiseXOR(flip(1)).bitwiseXOR(flip(2))
-    sigs = docs.select(F.col("doc_id").alias("id"), phash.alias("phash"))
-    return D.hamming_pairs(sigs, max_hamming=6, bits=48,
-                           id_col="id", sig_col="phash")
+    return docs.select(F.col("doc_id").alias("id"), phash.alias("phash"))
+
+
+def q_image_phash_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup REMOVAL: survivors after dropping the higher id of
+    every pHash pair at Hamming <= 6 (the greedy keep-first sweep a
+    training-image corpus runs after candidate generation — same shape as
+    q:dedup_minhash_remove: distinct drop-set + left_anti, both shuffle-
+    partitioned on the id key; pair volume ∝ dup clusters, not n²)."""
+    pairs = D.hamming_pairs(_phash_sigs(spark, sf_dir), max_hamming=6,
+                            bits=48, id_col="id", sig_col="phash")
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
 
 
 def _oracle_image_phash(max_hamming: int = 6) -> str:
@@ -1133,6 +1165,12 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 
 
 ORACLE_IMAGE_PHASH_NEARDUP = _oracle_image_phash()
+
+ORACLE_IMAGE_PHASH_REMOVE = f"""
+WITH pairs AS ({ORACLE_IMAGE_PHASH_NEARDUP})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+"""
 
 
 def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,6 +1374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -1344,6 +1383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "social_extract": q_social_extract,
     "extended_unique_key": q_extended_unique_key,
     "image_phash_neardup": q_image_phash_neardup,
+    "image_phash_remove": q_image_phash_remove,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -1376,6 +1416,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
+    "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_tokens": ORACLE_TEXT_TOKENS,
@@ -1384,6 +1425,7 @@ ORACLES: dict[str, str] = {
     "social_extract": ORACLE_SOCIAL_EXTRACT,
     "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
     "image_phash_neardup": ORACLE_IMAGE_PHASH_NEARDUP,
+    "image_phash_remove": ORACLE_IMAGE_PHASH_REMOVE,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,
