@@ -34,6 +34,20 @@ from crawlee_spark.functions.text import (
 )
 
 
+# Pair outputs are pinned with an eager localCheckpoint while the persisted
+# band/chunk rows are still cached, so the expensive signature build runs
+# exactly once (not once per self-join side) and the cache is released
+# immediately after. At real cluster scale swap localCheckpoint for a
+# reliable checkpoint (executor loss drops local blocks). Inspection escape
+# hatch: scripts/dump_plans.py sets CHECKPOINT_PAIRS=False so `.explain`
+# shows the actual join plan instead of a checkpoint scan.
+CHECKPOINT_PAIRS = True
+
+
+def _pin_pairs(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True) if CHECKPOINT_PAIRS else df
+
+
 def exact_dedup(docs: DataFrame, key_expr=None, id_col: str = "doc_id") -> DataFrame:
     """Keep-first exact dedup: rows grouped by content hash, survivor = min id.
 
@@ -181,7 +195,7 @@ def minhash_lsh_pairs(
             .distinct()
         )
         # materialize while the band rows are pinned, then release
-        out = out.localCheckpoint(eager=True)
+        out = _pin_pairs(out)
     finally:
         band_rows.unpersist()
     return out
@@ -275,7 +289,7 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
             .filter(F.col("hamming") <= max_hamming)
             .distinct()
         )
-        out = out.localCheckpoint(eager=True)
+        out = _pin_pairs(out)
     finally:
         chunked.unpersist()
     return out
@@ -417,7 +431,7 @@ def embedding_near_dup_lsh(
             .select("id_a", "id_b", cosine.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-        out = out.localCheckpoint(eager=True)
+        out = _pin_pairs(out)
     finally:
         rows.unpersist()
     return out

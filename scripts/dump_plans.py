@@ -14,8 +14,13 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 from pyspark.sql import functions as F
 
+from crawlee_spark.operators import dedup
 from crawlee_spark.plans.queries import QUERIES
 from crawlee_spark.session import get_spark
+
+# show the real join plans, not a localCheckpoint scan (inspection only;
+# the shipped operators keep the eager pin — see dedup.CHECKPOINT_PAIRS)
+dedup.CHECKPOINT_PAIRS = False
 
 # AQE off for INSPECTION ONLY: AdaptiveSparkPlan hides WholeStageCodegen
 # annotations until execution; the shipped engine keeps AQE on (session.py).
@@ -51,6 +56,30 @@ CHECKS = {
     ],
     "ann_topk": [
         ("query side broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
+    # round-2 plan fixes: every blocked dedup join must be an EQUI-join —
+    # a BroadcastNestedLoopJoin anywhere means the O(n^2) path came back
+    "dedup_simhash": [
+        ("no nested-loop (pigeonhole equi-join)", r"BroadcastNestedLoopJoin", "absent"),
+        ("hash/sort-merge join on chunks", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("codegen", "codegen"),
+    ],
+    "image_phash_neardup": [
+        ("no nested-loop (pigeonhole equi-join)", r"BroadcastNestedLoopJoin", "absent"),
+        ("hash/sort-merge join on chunks", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "dedup_embedding_lsh": [
+        ("no nested-loop (bucket equi-join)", r"BroadcastNestedLoopJoin", "absent"),
+        ("hash/sort-merge join on buckets", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "ann_lsh_multiprobe": [
+        ("no nested-loop (probe equi-join)", r"BroadcastNestedLoopJoin", "absent"),
+        ("probe side broadcast", r"BroadcastHashJoin"),
+    ],
+    "rate_window": [
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("no global orderBy window", r"Window \[", "absent"),
+        ("codegen", "codegen"),
     ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
