@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "ann_topk",
     "ann_lsh",
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "image_phash_neardup",
     "text_langid",
     "text_quality",
     "text_fingerprint",

@@ -329,20 +329,20 @@ class CrawlEngine:
             F.max("next_allowed_step").alias("m")).first()
         return int(row["m"]) if row["m"] is not None else 0
 
-    def _robots_delays(self, robots: DataFrame | None) -> dict[str, float]:
-        """Per-host crawl delays, collected ONCE per robots frame (memoized —
-        the rules dim is driver-small by design)."""
+    def _robots_delays_dim(self, robots: DataFrame | None) -> DataFrame | None:
+        """(host, crawl_delay) dim for this robots frame, or None when no
+        host has a Crawl-delay line. Fully distributed (no per-host rows on
+        the driver — the round-1 ``crawl_delays_py`` collect scaled O(hosts));
+        one emptiness probe per robots frame, memoized."""
         if robots is None:
-            return {}
+            return None
         # memo keyed by a STRONG reference compared with `is` — an id()-keyed
         # memo can spuriously hit after the old DataFrame is garbage-collected
         # and CPython reuses its id for a different robots frame
         memo = getattr(self, "_delays_memo", None)
         if memo is None or memo[0] is not robots:
-            delays = robots_op.crawl_delays_py(
-                [r.asDict() for r in robots.collect()], self.cfg.user_agent
-            )
-            self._delays_memo = (robots, delays)
+            dim = robots_op.crawl_delays_dim(robots, self.cfg.user_agent)
+            self._delays_memo = (robots, dim if not dim.isEmpty() else None)
         return self._delays_memo[1]
 
     def run_superstep(self, corpus: DataFrame, robots: DataFrame | None = None) -> dict[str, Any]:
@@ -379,11 +379,7 @@ class CrawlEngine:
                 dis_rows = disallowed.groupBy("bucket").count().collect()
                 stats["robots_dead"] = int(sum(r["count"] for r in dis_rows))
                 disallowed_buckets = [int(r["bucket"]) for r in dis_rows]
-                delays = self._robots_delays(robots)
-                if delays:
-                    host_delays = self.spark.createDataFrame(
-                        list(delays.items()), "host string, crawl_delay double"
-                    )
+                host_delays = self._robots_delays_dim(robots)
             else:
                 allowed = pending
 

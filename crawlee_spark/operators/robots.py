@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # -- robots.txt parsing (RFC 9309 §2.1-2.2) ---------------------------------
@@ -214,6 +214,30 @@ def rules_dim(robots: DataFrame, user_agent: str = "*") -> DataFrame:
         ).alias("r"),
     )
     return compiled.groupBy("host").agg(F.collect_list("r").alias("rules"))
+
+
+def crawl_delays_dim(robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """(host, crawl_delay) dim — distributed twin of ``crawl_delays_py``.
+
+    Group selection per RFC 9309: the exact user-agent group when the host
+    has ANY row for it (delay-bearing or not), else the ``*`` group; the
+    effective delay is ``max()`` over the chosen group's Crawl-delay lines;
+    hosts without one drop out. Stays a DataFrame end-to-end so the engine
+    never collects per-host delay rows (at 10^6+ hosts the py dict would be
+    driver-resident state); the py twin remains the simulator's spec.
+    """
+    grp = robots.filter(F.col("user_agent").isin([user_agent, "*"]))
+    per_ua = grp.groupBy("host", "user_agent").agg(
+        F.max("crawl_delay").alias("crawl_delay")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.when(F.col("user_agent") == user_agent, 0).otherwise(1)
+    )
+    return (
+        per_ua.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & F.col("crawl_delay").isNotNull())
+        .select("host", F.col("crawl_delay").cast("double").alias("crawl_delay"))
+    )
 
 
 def filter_allowed(candidates: DataFrame, robots: DataFrame, user_agent: str = "*") -> DataFrame:

@@ -13,9 +13,9 @@ Two paths, both `queries()` entries with oracles:
   planes), standing in for seeded Gaussians.
 
 All JVM-side higher-order array functions; no Python in the hot path.
-An IVF variant would assign to k-means centroids instead of hyperplane
-buckets — same join shape; hyperplane LSH is chosen because it needs no
-training pass.
+``ann_ivf`` adds the third standard shape: an IVF-Flat inverted file over
+deterministic sampled centroids (no training pass, oracle-reproducible
+arithmetic), with ``n_probe`` as the recall knob.
 """
 
 from __future__ import annotations
@@ -121,6 +121,86 @@ def ann_lsh(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
     joined = bucketed.join(F.broadcast(q), on="bucket").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_col(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_ivf(
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 50,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    centroid_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: an inverted file over sampled centroids.
+
+    The third standard ANN shape next to brute force and hyperplane LSH
+    (see module docstring): every corpus vector is assigned to its nearest
+    centroid (one inverted list per centroid); a query probes its
+    ``n_probe`` nearest centroids and ranks exactly within those lists.
+
+    Centroids are a DETERMINISTIC sample of the corpus itself
+    (``id % centroid_mod == 1``, first ``n_centroids`` by id) rather than
+    k-means means: a float mean computed by a parallel aggregate is
+    order-nondeterministic in IEEE arithmetic, which would break the
+    value-hash oracle; sampled centroids (IVF over a training sample) keep
+    every arithmetic step a sequential per-row fold that DuckDB reproduces
+    bit-for-bit.
+
+    Scale shape: centroids are tiny and broadcast twice (corpus assignment,
+    query probing); the corpus is scanned once for assignment and shuffled
+    once on ``c_id``; candidates ∝ n_probe/n_centroids of the corpus per
+    query. At real scale n_centroids grows ~sqrt(corpus) and assignment
+    cost corpus × centroids is the classic IVF build tradeoff.
+    """
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    cent = (
+        v.filter(F.col("id") % centroid_mod == 1)
+        .orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    # nearest centroid per corpus vector: argmax over UNROUNDED cosine
+    # (sequential fold, same evaluation order as the oracle's list_reduce),
+    # tie-broken by centroid id via lexicographic struct max
+    raw_cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    assigned = (
+        v.join(F.broadcast(cent))
+        .select("id", "v", F.col("c_id"), raw_cos.alias("_cos"))
+        .groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by(F.col("c_id"), F.struct(F.col("_cos"), -F.col("c_id"))).alias("c_id"),
+        )
+    )
+    q = (
+        v.filter(F.col("id") % query_mod == 0)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    q_cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("c_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qv", "c_id", q_cos.alias("_cos"))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "c_id")
+    )
+    joined = assigned.join(F.broadcast(probes), on="c_id").filter(
         F.col("id") != F.col("query_id")
     )
     scored = joined.select(

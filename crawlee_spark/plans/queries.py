@@ -818,6 +818,59 @@ ORACLE_ANN_LSH_MULTIPROBE = _oracle_ann_lsh().format(
 )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-10: inverted lists over deterministic sampled centroids,
+    queries probe their 4 nearest lists (operators/similarity.py::ann_ivf)."""
+    return S.ann_ivf(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50,
+                     n_centroids=32, n_probe=4, centroid_mod=37)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Unrounded cosine between two DuckDB double-list expressions, evaluated
+    as the same sequential left fold as the Spark ``F.aggregate`` path."""
+    return f"""((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])),
+                (x, y) -> x + y)) /
+               (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform({a}, x -> x * x)), (x, y) -> x + y)) *
+                sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform({b}, x -> x * x)), (x, y) -> x + y))))"""
+
+
+ORACLE_ANN_IVF = f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT id AS c_id, v AS cv FROM v WHERE id % 37 = 1 ORDER BY id LIMIT 32
+),
+assigned AS (
+  SELECT v.id, any_value(v.v) AS v,
+         first(c.c_id ORDER BY {_cos_sql('v.v', 'c.cv')} DESC, c.c_id ASC) AS c_id
+  FROM v CROSS JOIN cent c GROUP BY v.id
+),
+probes AS (
+  SELECT query_id, qv, c_id FROM (
+    SELECT q.id AS query_id, q.v AS qv, c.c_id,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {_cos_sql('q.v', 'c.cv')} DESC, c.c_id ASC) AS pr
+    FROM v q CROSS JOIN cent c WHERE q.id % 50 = 0
+  ) WHERE pr <= 4
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round({_cos_sql('p.qv', 'a.v')}, 6) AS cosine
+  FROM assigned a JOIN probes p ON a.c_id = p.c_id AND a.id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID per document."""
     d = _t(spark, sf_dir, "documents")
@@ -1375,6 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -1417,6 +1471,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
+    "ann_ivf": ORACLE_ANN_IVF,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_tokens": ORACLE_TEXT_TOKENS,

@@ -81,6 +81,13 @@ CHECKS = {
         ("no global orderBy window", r"Window \[", "absent"),
         ("codegen", "codegen"),
     ],
+    "ann_ivf": [
+        # corpus->centroid assignment is corpus x 32 centroids with the
+        # centroid side broadcast (the standard IVF build); the candidate
+        # join must be an equi-join on c_id
+        ("centroid side broadcast", r"BroadcastExchange"),
+        ("candidate equi-join on c_id", r"BroadcastHashJoin.*c_id|SortMergeJoin.*c_id"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
@@ -107,6 +114,26 @@ for name, checks in CHECKS.items():
     n_ex = len(re.findall(r"Exchange", simple))
     n_cg = len(set(re.findall(r"\*\((\d+)\)", simple)))
     report.append(f"  exchanges={n_ex} codegen_spans={n_cg}")
+
+# frontier normalize: the URL parse must be evaluated ONCE per row behind
+# the Generate barrier (explode of a single-element struct array) — without
+# it Catalyst inlines the parse tree into every derived column (~4x slower;
+# measured on the 2M-row frontier microbench). The substring_index count in
+# the executed plan is the duplication canary: one parse is ~130 textual
+# occurrences (the parse tree reuses its own sub-pieces), the regressed
+# inlined form is ~460.
+from crawlee_spark.operators.frontier import normalize_requests
+
+raw = spark.range(10_000).select(
+    F.concat(F.lit("https://h"), (F.col("id") % 100).cast("string"),
+             F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url"))
+norm = normalize_requests(raw, step=1, num_buckets=32)
+np_plan = norm._jdf.queryExecution().executedPlan().toString()
+n_si = np_plan.count("substring_index")
+report.append("== frontier normalize_requests ==")
+report.append(f"  [{'OK' if 'Generate' in np_plan else 'MISS'}] Generate barrier present")
+report.append(f"  [{'OK' if n_si <= 200 else 'MISS'}] single URL parse "
+              f"(substring_index occurrences={n_si}, regression threshold 200)")
 
 print("\n".join(report))
 

