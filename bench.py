@@ -76,10 +76,14 @@ def frontier_throughput(spark, n_rows: int) -> tuple[float, int]:
         F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/p/"),
                  base_id.cast("string"), F.lit("/")),
     ).otherwise(base)
-    raw = spark.range(n_rows).select(messy.alias("url"))
+    # sources split 4x finer than the core count: the last task wave can't
+    # stall the stage (the straggler tail is the dominant loss at high
+    # parallelism; same role as a smaller files.maxPartitionBytes on parquet)
+    par = spark.sparkContext.defaultParallelism * 4
+    raw = spark.range(0, n_rows, 1, par).select(messy.alias("url"))
 
     existing = (
-        spark.range(200_000)
+        spark.range(0, 200_000, 1, par)
         .select(
             F.concat(F.lit("https://"), F.concat(
                 F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"),
