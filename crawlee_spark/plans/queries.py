@@ -278,26 +278,17 @@ def q_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 60 s request-rate over the events stream (the reference's
     60×1 s rate buckets, ``autoscaled_pool.ts:212, 689-703``).
 
-    Two-phase bucketed plan — per-second counts exploded onto the 60 target
-    seconds they cover, summed, hash-joined back — instead of a global
-    ``Window.orderBy(ts)`` that funnels every event through one task (the
-    plan-level scale-killer flagged in round 1). Same result as the oracle's
-    RANGE window."""
-    e = _t(spark, sf_dir, "events")
-    sec = F.unix_timestamp(F.col("ts")).alias("_sec")
-    ev = e.select("event_id", sec)
-    per_sec = ev.groupBy("_sec").agg(F.count("*").alias("_cnt"))
-    win = (
-        per_sec.select(
-            F.explode(F.sequence(F.col("_sec"), F.col("_sec") + F.lit(59))).alias("_tsec"),
-            "_cnt",
-        )
-        .groupBy("_tsec")
-        .agg(F.sum("_cnt").alias("rpm"))
-    )
-    return (
-        ev.join(win, ev["_sec"] == win["_tsec"])
-        .select("event_id", F.col("rpm").cast("long").alias("rpm"))
+    Blocked prefix-sum plan (``operators/politeness.py``
+    ``requests_per_minute_blocked``): per-second counts -> per-block
+    (60 s) prefix sums + previous-block carry-in, so shuffle volume is ~2×
+    the per-second table regardless of window size. Replaces both the
+    round-1 global ``Window.orderBy(ts)`` (single-task WindowExec) and the
+    60×-explode variant. Same result as the oracle's RANGE window."""
+    from crawlee_spark.operators.politeness import requests_per_minute_blocked
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return requests_per_minute_blocked(e).select(
+        "event_id", F.col("rpm").cast("long").alias("rpm")
     )
 
 

@@ -77,8 +77,12 @@ CHECKS = {
         ("probe side broadcast", r"BroadcastHashJoin"),
     ],
     "rate_window": [
+        # the blocked variant DOES use a Window — but partitioned by the
+        # 60 s block (≤ window_secs rows per partition); what must never
+        # appear is the empty-partition-spec funnel, whose physical
+        # signature is Exchange SinglePartition
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
-        ("no global orderBy window", r"Window \[", "absent"),
+        ("block-partitioned window", r"Window \[.*partitionBy|Window.*_blk"),
         ("codegen", "codegen"),
     ],
     "ann_ivf": [

@@ -114,3 +114,20 @@ def test_requests_per_minute_window(spark):
     got = [r["rpm"] for r in requests_per_minute(log).orderBy("ts").collect()]
     # windows: [t-59, t] inclusive; at t=61 the window [2,61] holds 10/50/59/61
     assert got == [1, 2, 3, 4, 4, 1]
+
+
+def test_requests_per_minute_blocked_matches_explode(spark):
+    """Blocked prefix-sum variant == explode variant on a randomized log
+    (several window sizes incl. W=1; spreads crossing many blocks)."""
+    import random
+
+    from crawlee_spark.operators.politeness import requests_per_minute_blocked
+
+    random.seed(7)
+    for n, spread, w in ((400, 300, 60), (400, 5000, 60), (200, 40, 7), (200, 500, 1)):
+        rows = [(i, float(random.randint(0, spread))) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, ts double")
+        a = {r["id"]: r["rpm"] for r in requests_per_minute(df, window_secs=w).collect()}
+        b = {r["id"]: r["rpm"]
+             for r in requests_per_minute_blocked(df, window_secs=w).collect()}
+        assert a == b
