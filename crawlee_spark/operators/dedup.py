@@ -23,6 +23,8 @@ in this module.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,11 @@ from crawlee_spark.functions.text import (
 # hatch: scripts/dump_plans.py sets CHECKPOINT_PAIRS=False so `.explain`
 # shows the actual join plan instead of a checkpoint scan.
 CHECKPOINT_PAIRS = True
+
+# embedding quantization scale (power of two => exact double multiply; with
+# |x| < 1 and dim 64 every int64 dot/norm stays far below 2^53, so the
+# int->double conversions downstream are exact too)
+QUANT_SCALE = 1 << 20
 
 
 def _pin_pairs(df: DataFrame) -> DataFrame:
@@ -351,84 +358,98 @@ def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
     tables: int = 4,
-    planes: int = 8,
+    planes: int = 12,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-dup pairs via multi-table hyperplane LSH — the SCALE path
-    (the brute-force twin below is the small-scale ground truth).
+    """Cosine near-dup pairs via QUANTIZED multi-table hyperplane LSH — the
+    SCALE path (the brute-force twin below is the small-scale ground truth).
 
-    Each vector hashes into ``tables`` independent sign-bucket ids (one per
-    random-hyperplane table, deterministic integer pseudo-noise so the
-    DuckDB oracle derives identical buckets); candidates share (table,
-    bucket) in ANY table; the exact cosine verify keeps true pairs. Join
-    shape is the MinHash band join: equi-join on uniform bucket keys,
-    shuffle O(vectors x tables), never O(n^2). Recall < 1 by construction
-    (1-(1-p^planes)^tables for pair collision prob p = 1 - angle/pi);
-    ``tables`` is the recall knob, and the oracle mirrors the bucketing so
-    the green check pins the exact candidate set.
+    Vectors are quantized to int64 once (``floor(x * 2^20)`` — the scale is
+    a power of two, so the double multiply is exact and both engines floor
+    the same bits). Everything downstream is integer arithmetic, which makes
+    the result independent of summation order: projections, bucket ids,
+    dot products and norms are exact int64 in BOTH Spark (Arrow-vectorized
+    numpy matmul inside a pandas UDF — no per-row Python) and the DuckDB
+    oracle (integer list_reduce). The reported cosine is the quantized
+    cosine ``dot_q / (|a_q| * |b_q|)`` — within ~1e-6 of the true cosine at
+    this scale, and bit-identical across engines because int64→double
+    conversions (<2^53 here) and IEEE sqrt/divide are correctly rounded.
+
+    Candidates share (table, bucket) in ANY table; join shape is the MinHash
+    band join: equi-join on bucket keys, shuffle O(vectors × tables), never
+    O(n²). Recall < 1 by construction (1-(1-p^planes)^tables for pair
+    collision prob p = 1 - angle/pi); ``tables`` is the recall knob, and the
+    oracle mirrors the bucketing so the green check pins the exact
+    candidate set.
     """
-    from crawlee_spark.operators.similarity import _as_double, cosine_col
+    from crawlee_spark.operators.similarity import _as_double
 
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    scale = QUANT_SCALE
+    w_mat = np.array(
+        [[(t * 7919 + p * 1009 + d * 9176 + 12345) % 97 - 48 for d in range(dim)]
+         for t in range(tables) for p in range(planes)],
+        dtype=np.int64,
+    )
+    pow2 = np.int64(1) << np.arange(planes, dtype=np.int64)
+    n_tables = tables
 
-    def _bucket(vec, t: int):
-        bucket = F.lit(0).cast("long")
-        for p in range(planes):
-            weights = F.array(*[
-                F.lit(float((t * 7919 + p * 1009 + d * 9176 + 12345) % 97 - 48))
-                for d in range(dim)
-            ])
-            proj = F.aggregate(
-                F.zip_with(vec, weights, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return bucket
+    @F.pandas_udf("array<long>")
+    def _buckets(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        q_rows = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        bits = (q_rows @ w_mat.T >= 0).astype(np.int64)
+        return pd.Series(list(bits.reshape(len(q_rows), n_tables, planes) @ pow2))
 
-    structs = [
-        F.struct(F.lit(t).alias("tb"), _bucket(F.col("v"), t).alias("bk"))
-        for t in range(tables)
-    ]
-    rows = v.select("id", F.explode(F.array(*structs)).alias("b")).select(
-        "id", F.col("b.tb").alias("tb"), F.col("b.bk").alias("bk")
+    @F.pandas_udf("double")
+    def _qcosine(qa: pd.Series, qb: pd.Series) -> pd.Series:
+        if len(qa) == 0:
+            return pd.Series([], dtype=float)
+        a_rows = np.stack([np.asarray(x, dtype=np.int64) for x in qa])
+        b_rows = np.stack([np.asarray(x, dtype=np.int64) for x in qb])
+        dot = np.einsum("ij,ij->i", a_rows, b_rows)
+        na = np.einsum("ij,ij->i", a_rows, a_rows)
+        nb = np.einsum("ij,ij->i", b_rows, b_rows)
+        return pd.Series(
+            dot.astype(np.float64)
+            / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
+        )
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(scale)))
+        ).alias("q"),
+    )
+    rows = v.select("id", F.posexplode(_buckets(F.col("q")))).select(
+        "id", F.col("pos").cast("int").alias("tb"), F.col("col").alias("bk")
     )
     # eager: a lazy persist would leave both sides of the self-join racing
-    # to materialize the (expensive) projection folds within one job
+    # to materialize the projection batches within one job
     rows = rows.persist()
     rows.count()
     try:
         a, b = rows.alias("a"), rows.alias("b")
         # dedup candidate PAIRS before the exact verify: a pair colliding in
-        # several tables would otherwise pay the 64-dim cosine fold once per
-        # table (measured 4x the verify cost at sf0.1); the distinct also
-        # shrinks the vector join-back below
+        # several tables would otherwise pay the verify once per table; the
+        # distinct also shrinks the vector join-back below
         cand = (
             a.join(b, on=["tb", "bk"])
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-        # norms precomputed PER VECTOR (one fold per vector, not two per
-        # candidate pair — same IEEE value, the fold runs over the same
-        # array either way, so the oracle still matches bit-for-bit)
-        from crawlee_spark.operators.similarity import _dot, _norm
-
-        va = v.select(F.col("id").alias("id_a"), F.col("v").alias("_va"),
-                      _norm(F.col("v")).alias("_na"))
-        vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"),
-                      _norm(F.col("v")).alias("_nb"))
-        cosine = F.round(
-            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-        )
+        va = v.select(F.col("id").alias("id_a"), F.col("q").alias("_qa"))
+        vb = v.select(F.col("id").alias("id_b"), F.col("q").alias("_qb"))
         out = (
             cand.join(va, on="id_a")
             .join(vb, on="id_b")
-            .select("id_a", "id_b", cosine.alias("cosine"))
+            .select(
+                "id_a", "id_b",
+                _qcosine(F.col("_qa"), F.col("_qb")).alias("cosine"),
+            )
             .filter(F.col("cosine") >= threshold)
         )
         out = _pin_pairs(out)

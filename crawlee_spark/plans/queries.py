@@ -689,38 +689,54 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding`` (bucket equi-join + exact verify; the oracle mirrors
     the bucketing so the candidate set is pinned exactly)."""
     return D.embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"),
-                                    threshold=0.4, tables=4, planes=8, dim=64)
+                                    threshold=0.4, tables=4, planes=12, dim=64)
 
 
 def _oracle_embedding_lsh(threshold: float = 0.4, tables: int = 4,
-                          planes: int = 8, dim: int = 64) -> str:
+                          planes: int = 12, dim: int = 64) -> str:
+    # quantized mirror of D.embedding_near_dup_lsh: vectors -> int64 via
+    # floor(x * 2^20) (power-of-two scale, exact double multiply), then all
+    # projections / dots / norms are exact INTEGER folds — bit-identical to
+    # Spark's numpy int64 matmul regardless of summation order. The cosine
+    # is int64->double (exact below 2^53) with IEEE sqrt/divide.
     def proj(t: int) -> str:
         return " + ".join(
-            f"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            f"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, {dim}),
-                    d -> v[d+1] * (({t} * 7919 + {p} * 1009 + d * 9176 + 12345) % 97 - 48))),
+                    d -> q[d+1] * (({t} * 7919 + {p} * 1009 + d * 9176 + 12345) % 97 - 48))),
                   (x, y) -> x + y) >= 0
                  THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"""
             for p in range(planes)
         )
 
     table_selects = " UNION ALL ".join(
-        f"SELECT id, v, {t} AS tb, ({proj(t)}) AS bk FROM v" for t in range(tables)
+        f"SELECT id, q, {t} AS tb, ({proj(t)}) AS bk FROM v" for t in range(tables)
     )
+    qdot = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, len(a.q)+1), i -> a.q[i] * b.q[i])), (x, y) -> x + y)"""
+    qnorm = """sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform({side}.q, x -> x * x)), (x, y) -> x + y) AS DOUBLE))"""
+    qcos = (f"(CAST({qdot} AS DOUBLE) / "
+            f"(({qnorm.format(side='a')}) * ({qnorm.format(side='b')})))")
     return f"""
 WITH v AS (
-  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
   FROM embeddings
 ),
 bkt AS ({table_selects})
-SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-       round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) AS cosine
+SELECT DISTINCT a.id AS id_a, b.id AS id_b, {qcos} AS cosine
 FROM bkt a JOIN bkt b ON a.tb = b.tb AND a.bk = b.bk AND a.id < b.id
-WHERE round(({_DOT_SQL}) / (({_NORM_SQL.format(side='a')}) * ({_NORM_SQL.format(side='b')})), 6) >= {threshold}
+WHERE {qcos} >= CAST({threshold} AS DOUBLE)
 """
 
 
-ORACLE_DEDUP_EMBEDDING_LSH = _oracle_embedding_lsh()
+# planes=12 (4096 buckets/table): the synthetic embeddings cluster, so at
+# 8 planes the skewed sign-buckets produced ~172k candidate pairs from 2k
+# vectors at sf0.1 — 4 more planes cut the collision mass ~10x; 4 tables
+# keep multi-table recall for the high-cosine pairs that matter for dedup
+ORACLE_DEDUP_EMBEDDING_LSH = _oracle_embedding_lsh(planes=12)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,3 +89,38 @@ def test_ivf_partition_and_probe_containment(spark):
                              centroid_mod=13))
     assert narrow1 == narrow2
     assert len(narrow1) > 0
+
+
+def test_quantized_embedding_lsh_finds_true_dups(spark):
+    """Quantized hyperplane LSH (operators/dedup.py) must find every true
+    near-duplicate pair: identical-direction vectors collide in EVERY table
+    (all sign projections equal), so recall on exact/near-exact dups is 1
+    regardless of the planes/tables knobs. Also pins the quantized-cosine
+    error bound vs the float cosine (|Δ| ≤ ~dim·2⁻²⁰ after normalization)."""
+    import math
+
+    from crawlee_spark.operators.dedup import embedding_near_dup_lsh
+
+    base = [
+        [float((i * 37 + d * 101 + 13) % 19 - 9) / 10.0 for d in range(16)]
+        for i in range(30)
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # true dups: exact copy of v0, and v1 with one component nudged
+    rows.append((100, list(base[0])))
+    nudged = list(base[1])
+    nudged[0] += 1e-4
+    rows.append((101, nudged))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = embedding_near_dup_lsh(emb, threshold=0.999, tables=2, planes=6, dim=16)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert (0, 100) in got and (1, 101) in got
+
+    # quantized cosine of the exact copy is 1 up to int rounding
+    assert abs(got[(0, 100)] - 1.0) < 1e-5
+    # cross-check one pair against the float cosine
+    a, b = base[1], nudged
+    dot = sum(x * y for x, y in zip(a, b))
+    ref = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    assert abs(got[(1, 101)] - ref) < 1e-4
