@@ -41,6 +41,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "top_terms",
+    "stratified_sample",
+    "hash_split",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

@@ -214,30 +214,37 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
     H(token)) is >= 0. md5_hash64 yields 56 usable bits, so any bits <= 56
     works; empty docs get the all-ones signature (matches the oracle).
 
-    The token-hash array is materialized in its own projection and the
-    per-bit folds reference the COLUMN: Catalyst's CollapseProject keeps a
-    non-cheap expression used `bits` times un-inlined, so each token is
-    md5-hashed exactly once per row (inlining it would multiply the hashing
-    work by `bits`; an array-accumulator zip_with fold avoids the re-hash
-    too but allocates a bits-wide array per token step — measured 5x slower
-    than scalar folds).
+    Shape: explode tokens to (id, token_hash) rows, then ONE hash
+    aggregation with ``bits`` codegen'd conditional sums (bit j's count) +
+    a token count, folded into the signature afterwards. The previous form
+    (token-hash array + ``bits`` interpreted ``size(filter(...))`` HOF
+    scans per row) cost ~bits×tokens lambda evaluations per doc — measured
+    2.1 s for 5000×54-token docs at sf0.1 vs ~0.5 s for this plan. The agg
+    is map-side partial (combine before shuffle), so the exchange carries
+    one row per doc regardless of token count — the 100 TB shape.
     """
-    hashed = docs.select(
+    toks = docs.select(
         F.col(id_col).alias("id"),
-        F.transform(tokens_of(F.col(text_col)), lambda t: md5_hash64(t)).alias("_hs"),
-    )
-
-    # sign of the ±1 sum for bit j == sign of (2*set_count - n_tokens):
-    # a size(filter(...)) per bit beats a per-bit long fold (no lambda
-    # accumulator chain) and an array-accumulator zip_with (no allocs)
-    n_tokens = F.size(F.col("_hs"))
+        F.explode_outer(tokens_of(F.col(text_col))).alias("_t"),
+    ).select("id", md5_hash64(F.col("_t")).alias("_h"))
+    aggs = [F.count(F.col("_h")).alias("_n")] + [
+        F.sum(
+            F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1).cast("long"))
+        ).alias(f"_c{j}")
+        for j in range(bits)
+    ]
+    counted = toks.groupBy("id").agg(*aggs)
+    # sign of the ±1 sum for bit j == sign of (2*set_count - n_tokens);
+    # empty docs (explode_outer null row -> _n = 0, sums null) get 0 >= 0
+    # for every bit -> the all-ones signature, matching the oracle
     total = None
     for j in range(bits):
-        m = F.lit(1 << j).cast("long")
-        cnt = F.size(F.filter(F.col("_hs"), lambda h: h.bitwiseAND(m) != F.lit(0)))
-        bit = F.when(2 * cnt - n_tokens >= 0, m).otherwise(F.lit(0).cast("long"))
+        c = F.coalesce(F.col(f"_c{j}"), F.lit(0).cast("long"))
+        bit = F.when(2 * c - F.col("_n") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         total = bit if total is None else total + bit
-    return hashed.select("id", total.alias("simhash"))
+    return counted.select("id", total.alias("simhash"))
 
 
 def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,

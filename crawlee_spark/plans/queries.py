@@ -1407,6 +1407,51 @@ SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 50 events per event_type by md5
+    hash order (``operators/sampling.py::sample_per_group``) — the
+    reproducible-subsampling primitive of a training-data pipeline. Plan:
+    per-group window (WindowGroupLimit partial/final), never a global sort."""
+    from crawlee_spark.operators.sampling import sample_per_group
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return sample_per_group(e, ["event_type"], 50, ["event_id"])
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= 50
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% train split of documents by key hash
+    (``operators/sampling.py::hash_split``): md5(doc_id) below the
+    32-hex-digit threshold for frac=0.25. A pure filter — pushes down,
+    disjoint/exhaustive with its complement, and a row's side never changes
+    as the corpus grows."""
+    from crawlee_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_split(d, 0.25, ["doc_id"])
+
+
+def _oracle_hash_split(frac: float = 0.25) -> str:
+    from crawlee_spark.operators.sampling import split_threshold
+
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '{split_threshold(frac)}'
+"""
+
+
+ORACLE_HASH_SPLIT = _oracle_hash_split()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1445,6 +1490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extended_unique_key": q_extended_unique_key,
     "image_phash_neardup": q_image_phash_neardup,
     "image_phash_remove": q_image_phash_remove,
+    "stratified_sample": q_stratified_sample,
+    "hash_split": q_hash_split,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -1488,6 +1535,8 @@ ORACLES: dict[str, str] = {
     "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
     "image_phash_neardup": ORACLE_IMAGE_PHASH_NEARDUP,
     "image_phash_remove": ORACLE_IMAGE_PHASH_REMOVE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "hash_split": ORACLE_HASH_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -1,0 +1,60 @@
+"""Deterministic hash sampling (operators/sampling.py). Exact output values
+are pinned by the DuckDB oracle gate (q:stratified_sample, q:hash_split);
+these tests pin the INVARIANTS no single-query oracle can express:
+split disjointness/exhaustiveness, stability under corpus growth, and
+per-stratum counts."""
+
+from __future__ import annotations
+
+from crawlee_spark.operators.sampling import (
+    hash_split,
+    sample_per_group,
+    split_threshold,
+)
+
+
+def _docs(spark, n):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_split_disjoint_exhaustive_and_stable(spark):
+    df = _docs(spark, 300)
+    train = {r["doc_id"] for r in hash_split(df, 0.3, ["doc_id"]).collect()}
+    test = {r["doc_id"]
+            for r in hash_split(df, 0.3, ["doc_id"], complement=True).collect()}
+    assert train | test == set(range(300))
+    assert train & test == set()
+    # ~30% within hash tolerance
+    assert 0.15 < len(train) / 300 < 0.45
+
+    # growth stability: the same rows stay on the same side when rows appear
+    bigger = _docs(spark, 600)
+    train2 = {r["doc_id"] for r in hash_split(bigger, 0.3, ["doc_id"]).collect()}
+    assert train == {i for i in train2 if i < 300}
+
+    # a different salt gives a different (still deterministic) split
+    salted = {r["doc_id"] for r in hash_split(df, 0.3, ["doc_id"], salt="v2").collect()}
+    assert salted != train
+
+
+def test_split_threshold_bounds():
+    assert split_threshold(0.0) == "0" * 32
+    # frac=1.0 must sort AFTER every 32-char lowercase hex digest
+    assert split_threshold(1.0) > "f" * 32
+    assert len(split_threshold(0.25)) == 32
+
+
+def test_sample_per_group_counts_and_determinism(spark):
+    df = _docs(spark, 300)
+    s1 = sample_per_group(df, ["lang"], 10, ["doc_id"])
+    rows = s1.collect()
+    per = {}
+    for r in rows:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert per == {"en": 10, "de": 10, "fr": 10}
+    # repartitioning must not change the sample (hash order, not row order)
+    s2 = sample_per_group(df.repartition(7), ["lang"], 10, ["doc_id"])
+    assert {(r["doc_id"], r["lang"]) for r in rows} == {
+        (r["doc_id"], r["lang"]) for r in s2.collect()
+    }
