@@ -43,6 +43,7 @@ HEADLINE = [
     "top_terms",
     "stratified_sample",
     "hash_split",
+    "dedup_components",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

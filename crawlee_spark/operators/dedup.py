@@ -500,3 +500,65 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; component =
+    the MINIMUM node id reachable through the pair graph. This is the step
+    that turns pairwise near-dup evidence (MinHash/SimHash/embedding LSH)
+    into dedup GROUPS: keep ``id == component``, drop the rest — without it
+    a transitive chain a~b~c keeps b when only (a,b),(b,c) are seen by a
+    pairwise keep-first sweep.
+
+    Iterative min-label propagation over symmetric edges: each round every
+    node takes the min of its own label and its neighbors' labels; fixpoint
+    = min reachable id (exact, order-independent). Rounds needed = graph
+    diameter — dup clusters are near-cliques (diameter 1-2), so 2-3 rounds
+    in practice; ``max_iter`` only guards adversarial path graphs, where
+    the O(log n)-round alternating star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce", SOCC'14) is the drop-in upgrade.
+
+    Scale shape: edges are checkpointed once (the upstream pair generator
+    can be expensive); each round is one equi-join edges⋈labels + a
+    map-side-combining min aggregation, all partitioned by node id; labels
+    are checkpointed per round to cut the iterative lineage (Spark's plan
+    would otherwise double each round). Convergence is detected
+    distributively (any-changed flag, LIMIT 1 probe — no full count).
+
+    DuckDB oracle twin: WITH RECURSIVE min-label reachability (see
+    plans/queries.py ORACLE_DEDUP_COMPONENTS) — the green check pins the
+    iterative Spark loop against a declarative fixpoint.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce(F.col("_nl"), labels["label"])).alias("label"),
+                (F.col("_nl") < labels["label"]).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = stepped.drop("_chg")
+        if stepped.filter(F.col("_chg")).limit(1).count() == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -1407,6 +1407,36 @@ SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup CLUSTERS from the MinHash-LSH pair graph
+    (``operators/dedup.py::connected_components``): component = min doc_id
+    reachable. Spark runs iterative min-label propagation; the oracle is a
+    declarative WITH RECURSIVE fixpoint over the SAME pair SQL — the green
+    check pins the loop against the fixpoint."""
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                num_perm=8, bands=4, shingle_n=3)
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({ORACLE_DEDUP_MINHASH}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 50 events per event_type by md5
     hash order (``operators/sampling.py::sample_per_group``) — the
@@ -1472,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_remove": q_dedup_minhash_remove,
+    "dedup_components": q_dedup_components,
     "top_terms": q_top_terms,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1517,6 +1548,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_remove": ORACLE_DEDUP_MINHASH_REMOVE,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "top_terms": ORACLE_TOP_TERMS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

@@ -85,6 +85,21 @@ CHECKS = {
         ("block-partitioned window", r"Window \[.*partitionBy|Window.*_blk"),
         ("codegen", "codegen"),
     ],
+    "stratified_sample": [
+        # per-group top-n must be a group-partitioned window with the
+        # rank-limit pushed into partial/final WindowGroupLimit — never a
+        # global sort or single-partition funnel
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("window group-limit pushdown", r"WindowGroupLimit"),
+        ("codegen", "codegen"),
+    ],
+    "hash_split": [
+        # a hash split is a pure filter: no exchange at all, and the scan
+        # reads only the projected columns
+        ("no shuffle", r"Exchange", "absent"),
+        ("pruned ReadSchema", r"ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+        ("codegen", "codegen"),
+    ],
     "ann_ivf": [
         # corpus->centroid assignment is corpus x 32 centroids with the
         # centroid side broadcast (the standard IVF build); the candidate

@@ -58,3 +58,23 @@ def test_sample_per_group_counts_and_determinism(spark):
     assert {(r["doc_id"], r["lang"]) for r in rows} == {
         (r["doc_id"], r["lang"]) for r in s2.collect()
     }
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b~c must collapse to ONE component (the case a pairwise keep-first
+    sweep gets wrong), across several disjoint clusters and a long chain
+    (forces >1 propagation round)."""
+    from crawlee_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain -> component 1
+         (10, 11),                  # pair -> component 10
+         (20, 23), (21, 23), (22, 23),  # star -> component 20
+         (30, 31), (31, 32), (32, 33), (33, 34)],  # longer chain -> 30
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20,
+                   30: 30, 31: 30, 32: 30, 33: 30, 34: 30}
