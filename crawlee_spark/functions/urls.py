@@ -55,9 +55,21 @@ def _big():  # F.lit needs an active session; build lazily
     return F.lit(2**30)
 
 
+# the WHITESPACE the three mirrors agree to strip: the reference trims via
+# JS String.trim before URL-parsing (request.ts computeUniqueKey), which
+# removes tabs/newlines too — Spark F.trim strips ONLY spaces, so the
+# mirrors use an explicit trim-set (py: str.strip(WS); DuckDB:
+# trim(url, WS))
+WS = " \t\n\r"
+
+
+def _ws_trim(url: Column) -> Column:
+    return F.btrim(url, F.lit(WS))
+
+
 def _strip_fragment(url: Column) -> Column:
     # everything before the first '#' — non-regex
-    return F.substring_index(F.trim(url), "#", 1)
+    return F.substring_index(_ws_trim(url), "#", 1)
 
 
 def _url_parts(url: Column):
@@ -91,7 +103,7 @@ def _url_parts(url: Column):
 
 def canonicalize(url: Column, keep_fragment: bool = False) -> Column:
     """Canonical URL as a Spark column (NULL when there is no scheme://)."""
-    trimmed = F.trim(url)
+    trimmed = _ws_trim(url)
     valid, scheme, host, port, path, query = _url_parts(url)
     port_part = (
         F.when(port == "", F.lit(""))
@@ -130,7 +142,7 @@ def unique_key(url: Column, explicit: Column | None = None, keep_fragment: bool 
     Mirrors ``request.ts:361-375`` (computeUniqueKey falls back to the raw
     url when normalization fails).
     """
-    canon = F.coalesce(canonicalize(url, keep_fragment), F.trim(url))
+    canon = F.coalesce(canonicalize(url, keep_fragment), _ws_trim(url))
     if explicit is not None:
         return F.coalesce(explicit, canon)
     return canon
@@ -145,7 +157,7 @@ def extended_unique_key(
     sha256(payload), ``request.ts:377-384``; empty when no payload).
     """
     m = F.upper(F.coalesce(method, F.lit("GET"))) if method is not None else F.lit("GET")
-    canon = F.coalesce(canonicalize(url, keep_fragment), F.trim(url))
+    canon = F.coalesce(canonicalize(url, keep_fragment), _ws_trim(url))
     if payload is not None:
         ph = F.when(
             payload.isNull(), F.lit("")
@@ -160,7 +172,7 @@ def extended_unique_key_py(url: str, method: str = "GET",
                            keep_fragment: bool = False) -> str:
     import hashlib
 
-    canon = canonicalize_py(url, keep_fragment) or url.strip()
+    canon = canonicalize_py(url, keep_fragment) or url.strip(WS)
     ph = hashlib.sha256(payload).hexdigest()[:8] if payload else ""
     return f"{method.upper()}({ph}):{canon}"
 
@@ -235,7 +247,7 @@ _SCHEME_PAT = _re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
 
 
 def canonicalize_py(url: str, keep_fragment: bool = False) -> str | None:
-    trimmed = url.strip()
+    trimmed = url.strip(WS)
     hash_idx = trimmed.find("#")
     frag = trimmed[hash_idx + 1 :] if hash_idx >= 0 else ""
     base = trimmed[:hash_idx] if hash_idx >= 0 else trimmed
@@ -279,11 +291,11 @@ def canonicalize_py(url: str, keep_fragment: bool = False) -> str | None:
 def unique_key_py(url: str, explicit: str | None = None, keep_fragment: bool = False) -> str:
     if explicit:
         return explicit
-    return canonicalize_py(url, keep_fragment) or url.strip()
+    return canonicalize_py(url, keep_fragment) or url.strip(WS)
 
 
 def host_of_py(url: str) -> str | None:
-    trimmed = url.strip()
+    trimmed = url.strip(WS)
     base = trimmed.split("#", 1)[0]
     m = _SCHEME_PAT.match(base)
     if not m:

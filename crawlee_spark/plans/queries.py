@@ -87,43 +87,43 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB mirror of functions/urls.py::canonicalize (same regex pipeline).
 _CANON_SQL = r"""
-    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1))
+    lower(regexp_extract(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1))
     || '://' ||
     lower(regexp_extract(
         regexp_replace(regexp_extract(
-            regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+            regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                            '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
             '^([^/?]*)', 1), '^.*@', ''),
         '^([^:]*)', 1))
     ||
     CASE WHEN coalesce(regexp_extract(
             regexp_replace(regexp_extract(
-                regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                 '^([^/?]*)', 1), '^.*@', ''),
             ':([0-9]+)$', 1), '') = '' THEN ''
-         WHEN lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) = 'http'
+         WHEN lower(regexp_extract(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) = 'http'
               AND regexp_extract(regexp_replace(regexp_extract(
-                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                  regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                  '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                   '^([^/?]*)', 1), '^.*@', ''), ':([0-9]+)$', 1) = '80' THEN ''
-         WHEN lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) = 'https'
+         WHEN lower(regexp_extract(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) = 'https'
               AND regexp_extract(regexp_replace(regexp_extract(
-                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                  regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                  '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                   '^([^/?]*)', 1), '^.*@', ''), ':([0-9]+)$', 1) = '443' THEN ''
          ELSE ':' || regexp_extract(regexp_replace(regexp_extract(
-                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                  regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                  '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                   '^([^/?]*)', 1), '^.*@', ''), ':([0-9]+)$', 1)
     END
     ||
     regexp_replace(
         regexp_extract(
-            substr(regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+            substr(regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                   '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                    length(regexp_extract(
-                       regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                       regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                        '^([^/?]*)', 1)) + 1),
             '^([^?]*)', 1),
@@ -132,10 +132,10 @@ _CANON_SQL = r"""
     CASE WHEN coalesce(array_to_string(
             list_sort(list_filter(
                 string_split(coalesce(regexp_extract(
-                    substr(regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                    substr(regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                            length(regexp_extract(
-                               regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                               regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                               '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                                '^([^/?]*)', 1)) + 1),
                     '\?(.*)$', 1), ''), '&'),
@@ -144,10 +144,10 @@ _CANON_SQL = r"""
          ELSE '?' || coalesce(array_to_string(
             list_sort(list_filter(
                 string_split(coalesce(regexp_extract(
-                    substr(regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                    substr(regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                            length(regexp_extract(
-                               regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                               regexp_replace(regexp_replace(trim(url, ' ' || chr(9) || chr(10) || chr(13)), '#.*$', ''),
                                               '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
                                '^([^/?]*)', 1)) + 1),
                     '\?(.*)$', 1), ''), '&'),
