@@ -214,6 +214,10 @@ def gen_corpus_rows(n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool
         row["html"] = render_html(pid, host, targets, thosts, seed)
         row["redirect_to"] = None
         rows.append(row)
+    if redirect_every == 1:
+        # every page a redirect leaves no non-redirect target to point at —
+        # the target-search loop below would never terminate
+        raise ValueError("redirect_every must be 0 or >= 2")
     if redirect_every > 0:
         is_redirect = lambda p: p % redirect_every == redirect_every - 1
         for pid in range(n_pages):

@@ -134,7 +134,7 @@ class CrawlConfig:
     # METHOD(payloadHash):canonicalUrl dedup keys (request.ts:361-384)
     use_extended_unique_key: bool = False
     # label -> handler dispatch applied to each superstep's successful
-    # fetches; handler outputs append to the results table
+    # fetches; handler outputs append to the router_results table
     # (operators/router.py; reference packages/core/src/router.ts:32-55)
     router: Any = None
     # pre/post-navigation hooks (http-crawler.ts:96-120, 299-300). Pre hooks
@@ -197,6 +197,12 @@ class CrawlEngine:
         self.fetch_log = AppendTable(spark, os.path.join(workdir, "fetch_log"))
         self.metrics = AppendTable(spark, os.path.join(workdir, "metrics"))
         self.results = AppendTable(spark, os.path.join(workdir, "results"))
+        # router handler outputs get their OWN table: AppendTable.read()
+        # loads every segment under one inferred schema, so image-validation
+        # rows and handler-defined rows must never share a directory
+        self.router_results = AppendTable(
+            spark, os.path.join(workdir, "router_results")
+        )
         self.state_path = os.path.join(workdir, "crawl_state.json")
         self.step = 0
         self.handled_count = 0
@@ -282,8 +288,6 @@ class CrawlEngine:
             )
 
     # -- one superstep ------------------------------------------------------
-
-    POLITENESS_SCHEMA = "host string, next_allowed_step int, bucket int"
 
     def _politeness_df(self) -> DataFrame | None:
         """Current politeness dim (host, next_allowed_step) or None.
@@ -694,7 +698,7 @@ class CrawlEngine:
 
             # 8c. router/label dispatch over the successful fetches
             # (operators/router.py; reference router.ts:32-55) — handler
-            # outputs append to the results table
+            # outputs append to their own router_results table
             if cfg.router is not None:
                 routed_src = successes.select(
                     "url", F.col("_loaded").alias("loaded_url"),
@@ -702,7 +706,7 @@ class CrawlEngine:
                 )
                 routed = cfg.router(routed_src, strict=False)
                 if routed is not None and not routed.isEmpty():
-                    self.results.append(
+                    self.router_results.append(
                         routed.withColumn("step", F.lit(step)),
                         {"step": step, "router": True}, coalesce=4,
                     )
@@ -748,7 +752,13 @@ class CrawlEngine:
             .when(F.col("_blocked"), F.lit(403))                  # content block
             .otherwise(F.col("_status_code"))
         )
-        results = fetched.select(
+        # skip_navigation rows never issued an HTTP request (skipNavigation,
+        # request.ts) — the reference's session sees no usage/error for them,
+        # so they must not charge error_score or usage here either
+        charged = fetched
+        if "skip_navigation" in fetched.columns:
+            charged = fetched.filter(~F.coalesce(F.col("skip_navigation"), F.lit(False)))
+        results = charged.select(
             "bucket",
             F.pmod(F.col("url_hash"), F.lit(per_bucket)).cast("int").alias("session_id"),
             status.alias("status_code"),

@@ -26,8 +26,18 @@ class Cookie:
     secure: bool = False
 
 
-def parse_set_cookie(header: str, default_domain: str = "") -> Cookie | None:
-    """One ``Set-Cookie`` header -> Cookie (None when malformed)."""
+def parse_set_cookie(header: str, default_domain: str = "",
+                     now: float = 0.0) -> Cookie | None:
+    """One ``Set-Cookie`` header -> Cookie (None when malformed).
+
+    ``expires`` is stored as an absolute clock value on the caller's
+    timeline: ``Max-Age`` is ``now + seconds`` (RFC 6265 §5.3: Max-Age has
+    precedence over Expires), ``Expires`` is the parsed HTTP-date's epoch
+    seconds (a date-expired cookie must be droppable — the reference's
+    tough-cookie jar honors both attributes). Callers that keep ``now=0``
+    get Max-Age as a relative offset, matching ``cookie_header(now=...)``
+    on the same zero-based clock.
+    """
     parts = [p.strip() for p in header.split(";")]
     if not parts or "=" not in parts[0]:
         return None
@@ -36,6 +46,7 @@ def parse_set_cookie(header: str, default_domain: str = "") -> Cookie | None:
     if not name:
         return None
     domain, path, expires, secure = default_domain, "/", None, False
+    saw_max_age = False
     for p in parts[1:]:
         k, _, v = p.partition("=")
         k = k.strip().lower()
@@ -46,8 +57,16 @@ def parse_set_cookie(header: str, default_domain: str = "") -> Cookie | None:
             path = v
         elif k == "max-age":
             try:
-                expires = float(v)  # relative; caller adds its clock
+                expires = now + float(v)
+                saw_max_age = True
             except ValueError:
+                pass
+        elif k == "expires" and v and not saw_max_age:
+            from email.utils import parsedate_to_datetime
+
+            try:
+                expires = parsedate_to_datetime(v).timestamp()
+            except (ValueError, TypeError):
                 pass
         elif k == "secure":
             secure = True

@@ -110,15 +110,18 @@ def registrable_domain_psl_py(host: str) -> str:
 
 # -- Spark path -------------------------------------------------------------
 
-_DIMS_CACHE: dict[int, list[tuple[int, DataFrame]]] = {}
+# cached ON the session object: an id(spark)-keyed module dict would pin
+# every SparkSession (including stopped ones) for the process lifetime and
+# could spuriously hit after id reuse — same fix as engine._robots_delays_dim
+_DIMS_ATTR = "_crawlee_psl_dims"
 
 
 def _dims(spark: SparkSession) -> list[tuple[int, DataFrame]]:
     """Per-label-count rule dims (suffix, is_exact, is_wild_parent, is_exc),
     built once per session and broadcast at join time."""
-    key = id(spark)
-    if key in _DIMS_CACHE:
-        return _DIMS_CACHE[key]
+    cached = getattr(spark, _DIMS_ATTR, None)
+    if cached is not None:
+        return cached
     r = rules()
     by_k: dict[int, dict[str, list[bool]]] = {}
     for s in r.exact:
@@ -134,7 +137,10 @@ def _dims(spark: SparkSession) -> list[tuple[int, DataFrame]]:
             rows, f"_sfx{k} string, _ex{k} boolean, _wp{k} boolean, _xc{k} boolean"
         )
         out.append((k, df))
-    _DIMS_CACHE[key] = out
+    try:
+        setattr(spark, _DIMS_ATTR, out)
+    except AttributeError:
+        pass  # exotic session proxies without attribute support: just rebuild
     return out
 
 

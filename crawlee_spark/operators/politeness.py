@@ -71,6 +71,11 @@ class PolitenessConfig:
         return max(1, int(self.max_requests_per_minute * self.step_secs / 60.0))
 
 
+# registrable-domain politeness keys live in the same state table as host
+# keys, namespaced by this prefix (':' cannot occur in a parsed host)
+DOMAIN_KEY_PREFIX = "d:"
+
+
 def _order_cols():
     return [F.col(c).asc() for c in ORDER_COLS]
 
@@ -110,7 +115,8 @@ def select_fetch_set(
             psd = politeness_state.select(
                 F.col("host").alias("_dkey"), F.col("next_allowed_step").alias("_dnext")
             )
-            c = c.join(F.broadcast(psd), c[domain_col] == F.col("_dkey"), "left").filter(
+            dkey = F.concat(F.lit(DOMAIN_KEY_PREFIX), c[domain_col])
+            c = c.join(F.broadcast(psd), dkey == F.col("_dkey"), "left").filter(
                 F.col("_dnext").isNull() | (F.col("_dnext") <= step)
             ).drop("_dkey", "_dnext")
 
@@ -174,11 +180,15 @@ def advance_politeness(
 
     Host keying (default): one row per host, delay = max(robots crawl_delay,
     base same-domain delay). Domain keying (``domain_col`` set): HOST rows
-    carry only the robots crawl-delay, DOMAIN rows carry the base delay —
-    host and domain keys share the namespace (a registrable domain is a
-    valid host string; colliding rows merge via max, which is the correct
-    semantics). Keys with zero delay carry no state row (keeps the dim
-    tiny: O(keys-with-delay), broadcastable at any scale)."""
+    carry only the robots crawl-delay, DOMAIN rows carry the base delay and
+    are stored under ``DOMAIN_KEY_PREFIX + domain`` — hosts cannot contain
+    ':' (ports are stripped at parse), so the namespaces never collide. An
+    APEX host (host == its registrable domain, e.g. example.com) with a
+    robots Crawl-delay would otherwise merge into the domain key via the
+    groupBy-max and block every sibling subdomain for the robots delay,
+    while the contract is that robots delays serialize per HOST only. Keys
+    with zero delay carry no state row (keeps the dim tiny:
+    O(keys-with-delay), broadcastable at any scale)."""
     fh = fetched_hosts
     if "crawl_delay" not in fh.columns:
         fh = fh.withColumn("crawl_delay", F.lit(None).cast("double"))
@@ -194,7 +204,10 @@ def advance_politeness(
         ).cast("int")
         dom_steps = F.ceil(base_delay / step_secs).cast("int")
         keyed = fh.select("host", host_steps.alias("_d")).unionByName(
-            fh.select(F.col(domain_col).alias("host"), dom_steps.alias("_d"))
+            fh.select(
+                F.concat(F.lit(DOMAIN_KEY_PREFIX), F.col(domain_col)).alias("host"),
+                dom_steps.alias("_d"),
+            )
         )
     new_rows = (
         keyed.filter(F.col("_d") > 0)

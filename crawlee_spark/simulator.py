@@ -260,7 +260,7 @@ def simulate(
         eligible = [
             r for r in pending
             if next_allowed.get(r.host, 0) <= step
-            and (not kbd or next_allowed.get(dom(r.host), 0) <= step)
+            and (not kbd or next_allowed.get("d:" + dom(r.host), 0) <= step)
         ]
         if not eligible:
             if not next_allowed:
@@ -392,8 +392,9 @@ def simulate(
                     bump(r.host, "failed")
 
         # 4. enqueue extracted links, then advance politeness. Keys collect
-        # their MAX delay first (a bare-domain host collides with its own
-        # domain key — the engine's groupBy-max merge), then overwrite.
+        # their MAX delay first (mirrors the engine's groupBy-max merge);
+        # host and domain keys are separate namespaces ("d:" prefix), so an
+        # apex host never merges into its own domain key.
         enqueue(new_links, step)
         import math as _math
 
@@ -406,7 +407,10 @@ def simulate(
                     adv[h] = max(adv.get(h, 0), dh)
                 dd = pol.delay_steps()
                 if dd > 0:
-                    dm = dom(h)
+                    # "d:"-prefixed namespace (politeness.DOMAIN_KEY_PREFIX):
+                    # an apex host's robots delay must NOT merge into the
+                    # domain key and stall sibling subdomains
+                    dm = "d:" + dom(h)
                     adv[dm] = max(adv.get(dm, 0), dd)
             else:
                 d = pol.delay_steps(delays.get(h))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crawlee_spark.functions import urls as U
+
 # one <url>...</url> (or <sitemap>...</sitemap>) block; DOTALL via (?s)
 _URL_BLOCK = r"(?s)<url\b[^>]*>(.*?)</url>"
 _SITEMAP_BLOCK = r"(?s)<sitemap\b[^>]*>(.*?)</sitemap>"
@@ -118,7 +120,10 @@ def sitemaps_from_robots(df: DataFrame, text_col: str = "robots_txt",
     return blocks.select(
         "host",
         F.col("pos").cast("long").alias("pos"),
-        F.trim(F.col("_v")).alias("sitemap_url"),
+        # btrim over the WS set — the py mirror (robots.sitemap_urls_py)
+        # str.strip()s, and F.trim removes only spaces (tab-padded
+        # directives would diverge)
+        F.btrim(F.col("_v"), F.lit(U.WS)).alias("sitemap_url"),
     ).filter(F.col("sitemap_url") != "")
 
 

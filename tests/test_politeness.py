@@ -131,3 +131,35 @@ def test_requests_per_minute_blocked_matches_explode(spark):
         b = {r["id"]: r["rpm"]
              for r in requests_per_minute_blocked(df, window_secs=w).collect()}
         assert a == b
+
+
+def test_apex_host_robots_delay_does_not_stall_domain(spark):
+    """Under key_by_domain, an APEX host's (host == registrable domain)
+    robots Crawl-delay must serialize only that HOST — sibling subdomains of
+    the same registrable domain stay eligible once the (short) base domain
+    delay passes. Regression: host and domain politeness keys used to share
+    one namespace, so the groupBy-max merged the 60-step robots delay into
+    the domain key and stalled every sibling."""
+    cfg = PolitenessConfig(same_domain_delay_secs=1.0, key_by_domain=True)
+    fetched = spark.createDataFrame(
+        [("example.com", 60.0, "example.com")],
+        "host string, crawl_delay double, _domain string",
+    )
+    state = advance_politeness(None, fetched, step=1, cfg=cfg, domain_col="_domain")
+    got = {r["host"]: r["next_allowed_step"] for r in state.collect()}
+    # host key carries the robots delay; the d:-prefixed domain key only the
+    # 1-step base delay
+    assert got == {"example.com": 61, "d:example.com": 2}
+
+    pend = _pending(spark, [
+        {"url": "https://a.example.com/x", "host": "a.example.com",
+         "bucket": 0, "url_hash": 1, "order_no": 1, "depth": 0},
+        {"url": "https://example.com/y", "host": "example.com",
+         "bucket": 0, "url_hash": 2, "order_no": 2, "depth": 0},
+    ]).withColumn("_domain", F.lit("example.com"))
+    picked = select_fetch_set(pend, step=2, cfg=cfg, politeness_state=state,
+                              domain_col="_domain")
+    hosts = {r["host"] for r in picked.collect()}
+    # step 2: domain delay expired -> the subdomain is eligible; the apex
+    # host is still serving its robots delay
+    assert hosts == {"a.example.com"}
