@@ -106,3 +106,27 @@ def test_cookie_header_scoping():
     assert hdr2 == "a=1; sec=4"
     # path prefix must break on a segment boundary
     assert "p=3" not in cookie_header(jar, "http://example.com/application", now=0)
+
+
+def test_parse_set_cookie_expires_and_max_age_precedence():
+    """RFC 6265 §5.3: a date-expired cookie must be droppable via Expires,
+    and Max-Age wins over Expires when both appear (either order)."""
+    c = parse_set_cookie(
+        "sid=x; Domain=a.test; Expires=Thu, 01 Jan 1970 00:00:10 GMT",
+        default_domain="a.test",
+    )
+    assert c.expires == 10.0
+    # expired vs the caller clock -> excluded from the request header
+    assert cookie_header([c], "http://a.test/", now=11.0) == ""
+    assert cookie_header([c], "http://a.test/", now=9.0) == "sid=x"
+
+    both = parse_set_cookie(
+        "sid=x; Max-Age=100; Expires=Thu, 01 Jan 1970 00:00:10 GMT",
+        default_domain="a.test", now=5.0,
+    )
+    assert both.expires == 105.0  # Max-Age + now, Expires ignored
+    rev = parse_set_cookie(
+        "sid=x; Expires=Thu, 01 Jan 1970 00:00:10 GMT; Max-Age=100",
+        default_domain="a.test", now=5.0,
+    )
+    assert rev.expires == 105.0
