@@ -40,6 +40,8 @@ HEADLINE = [
     "text_langid",
     "text_quality",
     "text_fingerprint",
+    "text_repetition",
+    "pii_scrub",
     "top_terms",
     "stratified_sample",
     "hash_split",

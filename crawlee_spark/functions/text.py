@@ -213,6 +213,81 @@ def is_blocked_page_py(html: str) -> bool:
     return any(m in (html or "") for m in BLOCKED_MARKERS)
 
 
+def dup_ngram_frac(tokens: Column, n: int) -> Column:
+    """Gopher-style duplicate n-gram fraction: share of word n-grams that
+    repeat an earlier occurrence (``1 - distinct/total``; 0.0 when the doc
+    has fewer than n tokens). Pure in-row array math — zero shuffle.
+
+    DuckDB mirror: ``1 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)``
+    guarded by ``CASE WHEN len(g) = 0 THEN 0.0``.
+    """
+    grams = word_ngrams(tokens, n)
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+
+
+def top_ngram_frac(tokens: Column, n: int) -> Column:
+    """Gopher-style top n-gram fraction: share of all word n-grams claimed
+    by the single most frequent one. Computed without any shuffle: sort the
+    in-row n-gram array, then one ``aggregate`` fold finds the longest run
+    of equal neighbours (= the max multiplicity). O(k log k) per row inside
+    whole-stage codegen; at corpus scale this beats the explode→groupBy
+    formulation (which shuffles every n-gram) by construction — the oracle
+    uses the explode form precisely because it is an independent derivation.
+    """
+    grams = F.array_sort(word_ngrams(tokens, n))
+
+    def step(a: Column, x: Column) -> Column:
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda a: a["best"],
+    )
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(best / F.size(grams))
+
+
+def mean_token_len(tokens: Column) -> Column:
+    """Mean characters per token (Gopher length-band signal).
+
+    DuckDB mirror: ``coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+    / greatest(len(t), 1)`` (list_sum is NULL on empty lists there).
+    """
+    total = F.aggregate(tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return total / F.greatest(F.size(tokens), F.lit(1))
+
+
+# PII scrubbing: the regexes are the portable subset that Java regex (Spark)
+# and RE2 (DuckDB) evaluate identically — no lookaround, no backreferences,
+# greedy char-class quantifiers only (leftmost-first == leftmost-longest for
+# these shapes). Emails are scrubbed BEFORE phones so digit runs inside a
+# just-scrubbed address can never re-match as a phone.
+PHONE_REGEX = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone-like digit runs (training-data PII pass).
+
+    DuckDB mirror: the same two ``regexp_replace(..., 'g')`` steps in the
+    same order (Spark's regexp_replace is global by default).
+    """
+    no_email = F.regexp_replace(text, EMAIL_REGEX, EMAIL_TOKEN)
+    return F.regexp_replace(no_email, PHONE_REGEX, PHONE_TOKEN)
+
+
 def weighted_avg(value: Column, weight: Column) -> Column:
     """sum(v*w)/sum(w) — ``weightedAvg`` (``utils general.ts:46-52``), the
     SystemStatus overload aggregation primitive (``system_status.ts``)."""

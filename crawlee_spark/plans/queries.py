@@ -972,6 +972,120 @@ FROM documents
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition / length gate: top-bigram fraction, duplicate
+    5-gram fraction, mean token length, and the keep decision.
+
+    Zero-shuffle by design: every signal is in-row array math (sorted-run
+    fold for the mode, distinct-count for duplicates) inside whole-stage
+    codegen — at 100 TB this is a single scan-project, while the equivalent
+    explode→groupBy shuffles one row PER n-gram (~doc_len×). The oracle
+    deliberately uses that explode formulation as an independent derivation.
+    Thresholds follow Gopher (Rae et al. 2021 §A1.1), with the duplicate
+    bound relaxed for the synthetic small-vocab corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens_of(F.col("text"))
+    top2 = T.top_ngram_frac(toks, 2)
+    dup5 = T.dup_ngram_frac(toks, 5)
+    mlen = T.mean_token_len(toks)
+    keep = (top2 <= 0.20) & (dup5 <= 0.60) & (mlen >= 3.0) & (mlen <= 10.0)
+    return d.select(
+        "doc_id",
+        F.round(top2, 6).alias("top_bigram_frac"),
+        F.round(dup5, 6).alias("dup_5gram_frac"),
+        F.round(mlen, 6).alias("mean_token_len"),
+        keep.alias("keep"),
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1),
+              i -> array_to_string(toks[i+1:i+2], ' ')) ELSE [] END AS bi,
+         CASE WHEN len(toks) >= 5 THEN list_transform(range(0, len(toks) - 4),
+              i -> array_to_string(toks[i+1:i+5], ' ')) ELSE [] END AS five,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS chlen,
+         len(toks) AS ntok
+  FROM t
+),
+bc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS b FROM g) GROUP BY 1, 2
+),
+mx AS (SELECT doc_id, max(c) AS best FROM bc GROUP BY 1)
+SELECT g.doc_id,
+  round(CASE WHEN len(bi) = 0 THEN 0.0
+        ELSE coalesce(mx.best, 0) / CAST(len(bi) AS DOUBLE) END, 6)
+      AS top_bigram_frac,
+  round(CASE WHEN len(five) = 0 THEN 0.0
+        ELSE 1.0 - len(list_distinct(five)) / CAST(len(five) AS DOUBLE) END, 6)
+      AS dup_5gram_frac,
+  round(chlen / CAST(greatest(ntok, 1) AS DOUBLE), 6) AS mean_token_len,
+  ((CASE WHEN len(bi) = 0 THEN 0.0
+         ELSE coalesce(mx.best, 0) / CAST(len(bi) AS DOUBLE) END) <= 0.20
+   AND (CASE WHEN len(five) = 0 THEN 0.0
+         ELSE 1.0 - len(list_distinct(five)) / CAST(len(five) AS DOUBLE) END) <= 0.60
+   AND chlen / CAST(greatest(ntok, 1) AS DOUBLE) >= 3.0
+   AND chlen / CAST(greatest(ntok, 1) AS DOUBLE) <= 10.0) AS keep
+FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over synthesized contact strings: deterministic
+    email + phone spans derived from (source, doc_id) are embedded into each
+    document prefix, then scrubbed (emails first, then phones) — counts and
+    the scrubbed text are the checked outputs. One scan-project, no Python,
+    no shuffle; the regexes are the Java/RE2-portable subset (see
+    functions/text.py PHONE_REGEX notes).
+    """
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("reach "), F.col("source"), F.lit("@mail.example.com or +1 ("),
+        (F.col("doc_id") % 900 + 100).cast("string"), F.lit(") 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "), F.substring(F.col("text"), 1, 64),
+    )
+    no_email = F.regexp_replace(synth, T.EMAIL_REGEX, T.EMAIL_TOKEN)
+    return d.select(
+        "doc_id",
+        F.size(T.emails_from_text(synth)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(T.PHONE_REGEX), 0))
+            .cast("long").alias("n_phones"),
+        T.scrub_pii(synth).alias("scrubbed"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH s AS (
+  SELECT doc_id,
+    'reach ' || source || '@mail.example.com or +1 (' ||
+    CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-' ||
+    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' re: ' || substr(text, 1, 64) AS synth
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(synth,
+       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+  CAST(len(regexp_extract_all(
+       regexp_replace(synth,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '\+?[0-9][0-9 ()\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+  regexp_replace(
+      regexp_replace(synth,
+          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+?[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM s
+"""
+
+
 # ===========================================================================
 # generic building blocks (TPC-H-ish)
 # ===========================================================================
@@ -1516,6 +1630,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
     "html_to_text": q_html_to_text,
     "social_extract": q_social_extract,
     "extended_unique_key": q_extended_unique_key,
@@ -1562,6 +1678,8 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "pii_scrub": ORACLE_PII_SCRUB,
     "html_to_text": ORACLE_HTML_TO_TEXT,
     "social_extract": ORACLE_SOCIAL_EXTRACT,
     "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
