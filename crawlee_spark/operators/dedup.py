@@ -176,30 +176,40 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
-    # ONE pass over the signatures: explode an array of (band, band_hash)
-    # structs instead of unionAll-ing per-band selects — a union would
-    # re-evaluate the whole shingle+md5 pipeline once per band (4-32x work).
-    band_structs = []
+    # ONE pass over the signatures: posexplode the band-hash ARRAY instead
+    # of unionAll-ing per-band selects — a union would re-evaluate the whole
+    # shingle+md5 pipeline once per band (4-32x work). The full array rides
+    # along on every band row (bands × 8 bytes) so the join can dedup
+    # multi-band collisions in place.
+    band_hashes = []
     for b in range(bands):
         piece = F.concat_ws(",", *[
             F.element_at(F.col("sig"), b * r + j + 1).cast("string") for j in range(r)
         ])
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"),
-            md5_hash64(F.concat(piece, F.lit(f"#band{b}"))).alias("bh"),
-        ))
+        band_hashes.append(
+            md5_hash64(F.concat(piece, F.lit(f"#band{b}")))
+        )
     band_rows = sigs.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        "id", F.array(*band_hashes).alias("bhs")
+    ).select(  # Generate keeps `bhs` as a child attribute: md5s run ONCE
+        "id", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
     band_rows = band_rows.persist()
     try:
         a = band_rows.alias("a")
         b_ = band_rows.alias("b")
+        # pairs colliding in several bands are deduped WITHOUT a distinct():
+        # keep a pair only at its FIRST colliding band (pure column math on
+        # the joined row) — one shuffle over the candidate set, not two
+        first_eq = F.lit(bands - 1)
+        for i in range(bands - 2, -1, -1):
+            eq = F.element_at(F.col("a.bhs"), i + 1) == F.element_at(F.col("b.bhs"), i + 1)
+            first_eq = F.when(eq, F.lit(i)).otherwise(first_eq)
         out = (
             a.join(b_, on=["band", "bh"])
             .filter(F.col("a.id") < F.col("b.id"))
+            .filter(first_eq == F.col("band"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
         )
         # materialize while the band rows are pinned, then release
         out = _pin_pairs(out)
@@ -237,6 +247,9 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
     # sign of the ±1 sum for bit j == sign of (2*set_count - n_tokens);
     # empty docs (explode_outer null row -> _n = 0, sums null) get 0 >= 0
     # for every bit -> the all-ones signature, matching the oracle
+    # (a packed-lane variant — 3 counters per long in 20-bit lanes, 17 agg
+    # buffers instead of 49 — measured ~25% SLOWER warm here: the lane
+    # shift/mask extraction outweighs the smaller agg state at this width)
     total = None
     for j in range(bits):
         c = F.coalesce(F.col(f"_c{j}"), F.lit(0).cast("long"))
@@ -267,12 +280,18 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
     Scale: candidate volume is sum over chunks of in-bucket pairs. With
     16-bit signatures a 4-bit chunk has only 16 buckets (worthwhile but
     modest); at corpus scale use ``bits>=48`` so each chunk has 2^12+
-    buckets. The distinct() dedups pairs that collide on several chunks.
+    buckets. Pairs colliding on several chunks are deduped WITHOUT a
+    distinct(): a pair is emitted only from its FIRST equal chunk (the
+    earlier-chunks-differ predicate is pure column math on the joined row),
+    which removes one full shuffle over the candidate set — the standard
+    multi-index-Hamming dedup, and the difference between shuffling
+    O(candidates) once vs twice at corpus scale.
     """
     s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
     n_chunks = max_hamming + 1
     base, rem = divmod(bits, n_chunks)
     chunk_structs = []
+    chunk_spans: list[tuple[int, int]] = []  # (start, size) per chunk
     start = 0
     for c in range(n_chunks):
         size = base + (1 if c < rem else 0)
@@ -282,6 +301,7 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
         chunk_structs.append(
             F.struct(F.lit(c).alias("ck"), val.alias("cv"))
         )
+        chunk_spans.append((start, size))
         start += size
     chunked = s.select(
         "id", "_sig", F.explode(F.array(*chunk_structs)).alias("c")
@@ -291,17 +311,25 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
     chunked = chunked.persist()
     try:
         a, b = chunked.alias("a"), chunked.alias("b")
-        ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+        xor = F.col("a._sig").bitwiseXOR(F.col("b._sig"))
+        ham = F.bit_count(xor)
+        # first equal chunk of the pair (join guarantees chunk ck is equal,
+        # so this is always <= ck and the == filter keeps exactly one copy)
+        first_eq = F.lit(n_chunks - 1)
+        for c in range(n_chunks - 2, -1, -1):
+            cstart, csize = chunk_spans[c]
+            diff = xor.bitwiseAND(F.lit(((1 << csize) - 1) << cstart).cast("long"))
+            first_eq = F.when(diff == 0, F.lit(c)).otherwise(first_eq)
         out = (
             a.join(b, on=["ck", "cv"])
             .filter(F.col("a.id") < F.col("b.id"))
+            .filter(first_eq == F.col("ck"))
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
                 ham.alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
-            .distinct()
         )
         out = _pin_pairs(out)
     finally:
@@ -430,8 +458,10 @@ def embedding_near_dup_lsh(
             _as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(scale)))
         ).alias("q"),
     )
-    rows = v.select("id", F.posexplode(_buckets(F.col("q")))).select(
-        "id", F.col("pos").cast("int").alias("tb"), F.col("col").alias("bk")
+    rows = v.select("id", _buckets(F.col("q")).alias("bks")).select(
+        "id", "bks", F.posexplode("bks")
+    ).select(
+        "id", "bks", F.col("pos").cast("int").alias("tb"), F.col("col").alias("bk")
     )
     # eager: a lazy persist would leave both sides of the self-join racing
     # to materialize the projection batches within one job
@@ -439,14 +469,20 @@ def embedding_near_dup_lsh(
     rows.count()
     try:
         a, b = rows.alias("a"), rows.alias("b")
-        # dedup candidate PAIRS before the exact verify: a pair colliding in
-        # several tables would otherwise pay the verify once per table; the
-        # distinct also shrinks the vector join-back below
+        # dedup candidate PAIRS before the exact verify — a pair colliding
+        # in several tables must pay the verify (and the vector join-back)
+        # once. Done without a distinct(): keep the pair only at its FIRST
+        # shared table (column math on the carried bucket arrays) — one
+        # shuffle over the candidate set instead of two
+        first_eq = F.lit(tables - 1)
+        for i in range(tables - 2, -1, -1):
+            eq = F.element_at(F.col("a.bks"), i + 1) == F.element_at(F.col("b.bks"), i + 1)
+            first_eq = F.when(eq, F.lit(i)).otherwise(first_eq)
         cand = (
             a.join(b, on=["tb", "bk"])
             .filter(F.col("a.id") < F.col("b.id"))
+            .filter(first_eq == F.col("tb"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
         )
         va = v.select(F.col("id").alias("id_a"), F.col("q").alias("_qa"))
         vb = v.select(F.col("id").alias("id_b"), F.col("q").alias("_qb"))
