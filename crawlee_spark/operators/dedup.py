@@ -189,9 +189,14 @@ def minhash_lsh_pairs(
         band_hashes.append(
             md5_hash64(F.concat(piece, F.lit(f"#band{b}")))
         )
+    # Generate barrier (explode of a one-element array, same discipline as
+    # frontier.normalize_requests): the band-hash array is a GENERATOR
+    # input, evaluated once per row. A plain select here gets collapsed
+    # into the signature projection and re-inlines the whole sig tree once
+    # per reference — measured ~200x slower at sf0.1.
     band_rows = sigs.select(
-        "id", F.array(*band_hashes).alias("bhs")
-    ).select(  # Generate keeps `bhs` as a child attribute: md5s run ONCE
+        "id", F.explode(F.array(F.array(*band_hashes))).alias("bhs")
+    ).select(
         "id", "bhs", F.posexplode("bhs").alias("band", "bh")
     )
     band_rows = band_rows.persist()

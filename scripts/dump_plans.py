@@ -100,6 +100,15 @@ CHECKS = {
         ("pruned ReadSchema", r"ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
         ("codegen", "codegen"),
     ],
+    "text_repetition": [
+        # the whole Gopher gate is in-row array math — one scan-project
+        ("no shuffle (in-row fold)", r"Exchange", "absent"),
+        ("codegen", "codegen"),
+    ],
+    "pii_scrub": [
+        ("no shuffle (scan-project)", r"Exchange", "absent"),
+        ("codegen", "codegen"),
+    ],
     "ann_ivf": [
         # corpus->centroid assignment is corpus x 32 centroids with the
         # centroid side broadcast (the standard IVF build); the candidate
