@@ -36,14 +36,20 @@ from crawlee_spark.functions.text import (
 )
 
 
-# Pair outputs are pinned with an eager localCheckpoint while the persisted
+# Pair outputs are pinned with an eager checkpoint while the persisted
 # band/chunk rows are still cached, so the expensive signature build runs
 # exactly once (not once per self-join side) and the cache is released
-# immediately after. At real cluster scale swap localCheckpoint for a
-# reliable checkpoint (executor loss drops local blocks). Inspection escape
-# hatch: scripts/dump_plans.py sets CHECKPOINT_PAIRS=False so `.explain`
-# shows the actual join plan instead of a checkpoint scan.
+# immediately after. CHECKPOINT_MODE picks the pin durability:
+#   "local"    — executor-local blocks (fastest; default for local[N] and
+#                short jobs). Executor loss drops the blocks and forces a
+#                full recompute of the pair join.
+#   "reliable" — SparkContext.setCheckpointDir-backed checkpoint (HDFS/S3
+#                on a cluster): survives executor loss; the right mode for
+#                multi-hour 1000-executor dedup sweeps.
+# Inspection escape hatch: scripts/dump_plans.py sets CHECKPOINT_PAIRS=False
+# so `.explain` shows the actual join plan instead of a checkpoint scan.
 CHECKPOINT_PAIRS = True
+CHECKPOINT_MODE = "local"
 
 # embedding quantization scale (power of two => exact double multiply; with
 # |x| < 1 and dim 64 every int64 dot/norm stays far below 2^53, so the
@@ -52,7 +58,11 @@ QUANT_SCALE = 1 << 20
 
 
 def _pin_pairs(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True) if CHECKPOINT_PAIRS else df
+    if not CHECKPOINT_PAIRS:
+        return df
+    if CHECKPOINT_MODE == "reliable":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def exact_dedup(docs: DataFrame, key_expr=None, id_col: str = "doc_id") -> DataFrame:
@@ -161,6 +171,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
 
@@ -172,6 +183,16 @@ def minhash_lsh_pairs(
 
     Scale: the self-join is on (band, band_hash) — uniform buckets, no skew;
     shuffle volume is O(docs × bands), never O(docs²).
+
+    ``max_bucket``: at web scale, boilerplate templates put millions of
+    documents into ONE band bucket, and in-bucket pair generation is
+    quadratic — the standard production mitigation (cf. "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022 §4; every
+    large corpus dedup pipeline caps or drops such buckets) is to drop
+    buckets above a size cap: a bucket shared by that many documents is
+    template noise, and true near-dup pairs inside it still collide in
+    their other, more selective bands. None (default) keeps exactness —
+    the DuckDB oracle mirrors the uncapped candidate set.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -201,21 +222,43 @@ def minhash_lsh_pairs(
     )
     band_rows = band_rows.persist()
     try:
-        a = band_rows.alias("a")
-        b_ = band_rows.alias("b")
-        # pairs colliding in several bands are deduped WITHOUT a distinct():
-        # keep a pair only at its FIRST colliding band (pure column math on
-        # the joined row) — one shuffle over the candidate set, not two
-        first_eq = F.lit(bands - 1)
-        for i in range(bands - 2, -1, -1):
-            eq = F.element_at(F.col("a.bhs"), i + 1) == F.element_at(F.col("b.bhs"), i + 1)
-            first_eq = F.when(eq, F.lit(i)).otherwise(first_eq)
-        out = (
-            a.join(b_, on=["band", "bh"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .filter(first_eq == F.col("band"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
+        join_rows = band_rows
+        if max_bucket is not None:
+            # drop template mega-buckets BEFORE pair generation (see
+            # docstring); the size agg reuses the join's (band, bh)
+            # exchange, and the cap bounds in-bucket pair work at
+            # max_bucket^2 regardless of corpus size
+            sizes = band_rows.groupBy("band", "bh").agg(
+                F.count("*").alias("_bsz")
+            ).filter(F.col("_bsz") <= max_bucket)
+            join_rows = band_rows.join(sizes, on=["band", "bh"]).drop("_bsz")
+        a = join_rows.alias("a")
+        b_ = join_rows.alias("b")
+        if max_bucket is None:
+            # pairs colliding in several bands are deduped WITHOUT a
+            # distinct(): keep a pair only at its FIRST colliding band
+            # (pure column math on the joined row) — one shuffle over the
+            # candidate set, not two
+            first_eq = F.lit(bands - 1)
+            for i in range(bands - 2, -1, -1):
+                eq = F.element_at(F.col("a.bhs"), i + 1) == F.element_at(F.col("b.bhs"), i + 1)
+                first_eq = F.when(eq, F.lit(i)).otherwise(first_eq)
+            out = (
+                a.join(b_, on=["band", "bh"])
+                .filter(F.col("a.id") < F.col("b.id"))
+                .filter(first_eq == F.col("band"))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            )
+        else:
+            # with capped buckets "first colliding band" may have been
+            # dropped, so multi-band dedup falls back to a distinct over
+            # the (already capped) candidate set
+            out = (
+                a.join(b_, on=["band", "bh"])
+                .filter(F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .distinct()
+            )
         # materialize while the band rows are pinned, then release
         out = _pin_pairs(out)
     finally:
@@ -266,7 +309,8 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
 
 
 def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
-                  id_col: str = "id", sig_col: str = "simhash") -> DataFrame:
+                  id_col: str = "id", sig_col: str = "simhash",
+                  max_bucket: int | None = None) -> DataFrame:
     """All (id_a < id_b) pairs whose long signatures are within Hamming
     distance ``max_hamming`` — the generic blocked join behind SimHash text
     near-dup AND image pHash near-dup (a 64-bit perceptual hash is the same
@@ -291,6 +335,11 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
     which removes one full shuffle over the candidate set — the standard
     multi-index-Hamming dedup, and the difference between shuffling
     O(candidates) once vs twice at corpus scale.
+
+    ``max_bucket`` drops chunk buckets larger than the cap before pair
+    generation (e.g. the all-zero pHash chunk that every near-black image
+    shares) — same template-noise rationale and distinct-fallback as
+    ``minhash_lsh_pairs``; None (default) keeps exact output.
     """
     s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
     n_chunks = max_hamming + 1
@@ -315,27 +364,40 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
     # once, not once per self-join side (same discipline as the LSH bands)
     chunked = chunked.persist()
     try:
-        a, b = chunked.alias("a"), chunked.alias("b")
+        join_rows = chunked
+        if max_bucket is not None:
+            sizes = chunked.groupBy("ck", "cv").agg(
+                F.count("*").alias("_bsz")
+            ).filter(F.col("_bsz") <= max_bucket)
+            join_rows = chunked.join(sizes, on=["ck", "cv"]).drop("_bsz")
+        a, b = join_rows.alias("a"), join_rows.alias("b")
         xor = F.col("a._sig").bitwiseXOR(F.col("b._sig"))
         ham = F.bit_count(xor)
-        # first equal chunk of the pair (join guarantees chunk ck is equal,
-        # so this is always <= ck and the == filter keeps exactly one copy)
-        first_eq = F.lit(n_chunks - 1)
-        for c in range(n_chunks - 2, -1, -1):
-            cstart, csize = chunk_spans[c]
-            diff = xor.bitwiseAND(F.lit(((1 << csize) - 1) << cstart).cast("long"))
-            first_eq = F.when(diff == 0, F.lit(c)).otherwise(first_eq)
-        out = (
+        joined = (
             a.join(b, on=["ck", "cv"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .filter(first_eq == F.col("ck"))
-            .select(
+        )
+        if max_bucket is None:
+            # first equal chunk of the pair (join guarantees chunk ck is
+            # equal, so this is always <= ck and == keeps exactly one copy)
+            first_eq = F.lit(n_chunks - 1)
+            for c in range(n_chunks - 2, -1, -1):
+                cstart, csize = chunk_spans[c]
+                diff = xor.bitwiseAND(F.lit(((1 << csize) - 1) << cstart).cast("long"))
+                first_eq = F.when(diff == 0, F.lit(c)).otherwise(first_eq)
+            joined = joined.filter(first_eq == F.col("ck"))
+        out = (
+            joined.select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
                 ham.alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
         )
+        if max_bucket is not None:
+            # a capped pair's first equal chunk may have been dropped —
+            # dedup multi-chunk collisions with a distinct instead
+            out = out.distinct()
         out = _pin_pairs(out)
     finally:
         chunked.unpersist()
@@ -556,13 +618,16 @@ def connected_components(
     a transitive chain a~b~c keeps b when only (a,b),(b,c) are seen by a
     pairwise keep-first sweep.
 
-    Iterative min-label propagation over symmetric edges: each round every
-    node takes the min of its own label and its neighbors' labels; fixpoint
-    = min reachable id (exact, order-independent). Rounds needed = graph
-    diameter — dup clusters are near-cliques (diameter 1-2), so 2-3 rounds
-    in practice; ``max_iter`` only guards adversarial path graphs, where
-    the O(log n)-round alternating star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce", SOCC'14) is the drop-in upgrade.
+    Iterative min-label propagation over symmetric edges with POINTER
+    JUMPING: each round every node takes (1) the min of its own and its
+    neighbors' labels, then (2) its label's label — the classic
+    pointer-doubling step, so label depth halves every round and rounds
+    needed are O(log diameter), not O(diameter) (same O(log n)-round class
+    as alternating-star, Kiveris et al. SOCC'14, with a simpler join
+    shape). Dup clusters are near-cliques (diameter 1-2, 2-3 rounds);
+    adversarial path graphs converge in ~log2(n) rounds — pinned by
+    tests/test_dedup.py on a 40-node chain under a tight ``max_iter``.
+    Fixpoint = min reachable id (exact, order-independent).
 
     Scale shape: edges are checkpointed once (the upstream pair generator
     can be expensive); each round is one equi-join edges⋈labels + a
@@ -590,12 +655,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
         )
-        stepped = (
+        hop = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 labels["id"],
                 F.least(labels["label"], F.coalesce(F.col("_nl"), labels["label"])).alias("label"),
                 (F.col("_nl") < labels["label"]).alias("_chg"),
+            )
+        )
+        # pointer jumping: follow the new label one more step (label values
+        # are always node ids, so the self-join lookup always resolves) —
+        # doubles propagation depth per round, O(log diameter) total rounds
+        lk = hop.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
+        stepped = (
+            hop.join(lk, hop["label"] == lk["_lid"], "left")
+            .select(
+                hop["id"],
+                F.least(hop["label"], F.coalesce(F.col("_llabel"), hop["label"])).alias("label"),
+                (hop["_chg"] | (F.col("_llabel") < hop["label"])).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )

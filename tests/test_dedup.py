@@ -1,0 +1,101 @@
+"""Dedup operator unit tests: pin the knobs the DuckDB oracle gate cannot
+see — hot-bucket capping, checkpoint durability modes, and first-match
+dedup equivalence (the oracle pins outputs; these pin the operator's
+behavior under non-default scale settings)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlee_spark.operators import dedup as D
+
+
+@pytest.fixture()
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(80)
+    )
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_max_bucket_subset_and_noop(docs):
+    """A large cap is a no-op; a tight cap only ever REMOVES pairs (drops
+    template mega-buckets), never invents them."""
+    base = _pairs_set(D.minhash_lsh_pairs(docs))
+    uncapped_eq = _pairs_set(D.minhash_lsh_pairs(docs, max_bucket=10_000))
+    assert uncapped_eq == base
+    capped = _pairs_set(D.minhash_lsh_pairs(docs, max_bucket=2))
+    assert capped <= base
+    assert len(capped) < len(base)  # the templated corpus has buckets > 2
+
+
+def test_minhash_first_match_equals_distinct(docs):
+    """The first-colliding-band dedup must produce exactly the distinct
+    candidate set (one copy per colliding pair, no copies lost)."""
+    from crawlee_spark.functions.text import md5_hash64
+
+    bands, r = 4, 2
+    sigs = D.minhash_signatures(docs, 8, 3)
+    band_hashes = []
+    for b in range(bands):
+        piece = F.concat_ws(",", *[
+            F.element_at(F.col("sig"), b * r + j + 1).cast("string")
+            for j in range(r)
+        ])
+        band_hashes.append(md5_hash64(F.concat(piece, F.lit(f"#band{b}"))))
+    rows = sigs.select(
+        "id", F.explode(F.array(F.array(*band_hashes))).alias("bhs")
+    ).select("id", "bhs", F.posexplode("bhs").alias("band", "bh"))
+    a, b_ = rows.alias("a"), rows.alias("b")
+    naive = _pairs_set(
+        a.join(b_, on=["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    assert _pairs_set(D.minhash_lsh_pairs(docs)) == naive
+
+
+def test_checkpoint_mode_reliable(docs, tmp_path, spark):
+    """CHECKPOINT_MODE='reliable' pins pairs through a
+    SparkContext-checkpoint-dir write (the executor-loss-safe mode for
+    multi-hour cluster sweeps) with identical results."""
+    base = _pairs_set(D.minhash_lsh_pairs(docs))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    old = D.CHECKPOINT_MODE
+    D.CHECKPOINT_MODE = "reliable"
+    try:
+        reliable = _pairs_set(D.minhash_lsh_pairs(docs))
+    finally:
+        D.CHECKPOINT_MODE = old
+    assert reliable == base
+    ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpt_files, "reliable checkpoint wrote nothing"
+
+
+def test_hamming_max_bucket_subset_and_noop(docs):
+    sigs = D.simhash(docs, 48)
+    base = _pairs_set(D.hamming_pairs(sigs, 3, 48))
+    assert _pairs_set(D.hamming_pairs(sigs, 3, 48, max_bucket=10_000)) == base
+    capped = _pairs_set(D.hamming_pairs(sigs, 3, 48, max_bucket=2))
+    assert capped <= base
+
+
+def test_components_log_rounds_on_chain(spark):
+    """Pointer jumping: a 40-node path graph (diameter 39) must fully
+    converge within 10 rounds — min-label alone would need 39. Guards the
+    O(log diameter) claim for adversarial (non-clique) dup graphs."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
