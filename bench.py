@@ -30,6 +30,7 @@ HEADLINE = [
     "stats_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "dedup_embedding_lsh",
     "ann_topk",

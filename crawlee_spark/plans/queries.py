@@ -1474,6 +1474,52 @@ WHERE doc_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup shape end-to-end: MinHash-LSH candidate pairs
+    -> exact word-3-gram Jaccard verify >= 0.5. Exact-Jaccard work is paid
+    only on LSH candidates (∝ true dups), never on n² pairs — candidates
+    come from the band equi-join, the verify is one in-row
+    array_intersect per candidate after two id-joins against the distinct
+    shingle sets. The oracle recomputes the same composition declaratively.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_n=3)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            T.word_ngrams(T.tokens_of(F.col("text")), 3)
+        ).alias("_sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    return (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_LSH_VERIFY_INTER = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+ORACLE_DEDUP_LSH_VERIFIED = f"""
+SELECT id_a, id_b, jaccard FROM (
+  WITH pairs AS ({ORACLE_DEDUP_MINHASH}),
+  sh AS (SELECT doc_id, list_distinct({_shingles_sql(3)}) AS s FROM documents)
+  SELECT p.id_a, p.id_b,
+         round({_LSH_VERIFY_INTER} / CAST(greatest(
+             len(sa.s) + len(sb.s) - {_LSH_VERIFY_INTER}, 1) AS DOUBLE), 6)
+             AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+) WHERE jaccard >= 0.5
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive-term extraction: top-3 terms per doc by the integer
     tf·(N−df) score (a tf-idf analog in exact integer arithmetic —
@@ -1616,6 +1662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_remove": q_dedup_minhash_remove,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_components": q_dedup_components,
     "top_terms": q_top_terms,
     "dedup_simhash": q_dedup_simhash,
@@ -1664,6 +1711,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_remove": ORACLE_DEDUP_MINHASH_REMOVE,
+    "dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "top_terms": ORACLE_TOP_TERMS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
