@@ -1,4 +1,5 @@
 from crawlee_spark.streaming.stream_crawl import (  # noqa: F401
     StreamingCrawl,
+    streaming_url_seen,
     windowed_fetch_rate,
 )

@@ -94,3 +94,34 @@ def windowed_fetch_rate(fetch_log: DataFrame, window: str = "60 seconds",
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"), "fetches")
     )
+
+
+def streaming_url_seen(stream: DataFrame, watermark: str = "10 minutes",
+                       ts_col: str = "ts", url_col: str = "url") -> DataFrame:
+    """Streaming URL-seen: canonicalize → xxhash64 unique key →
+    ``dropDuplicatesWithinWatermark`` on the key.
+
+    Two-tier dedup at 10^10-URL scale: this operator bounds IN-FLIGHT
+    duplicate state to keys newer than the watermark (the state store holds
+    O(keys-per-watermark-window), not O(all keys ever)); DURABLE dedup
+    stays the frontier MERGE anti-join against the snapshot table, exactly
+    like the batch engine — executors never hold the full seen set. The
+    reference's analog is the 1M-LRU uniqueKey cache in front of the
+    storage dedup (``request_provider.ts:46-47, 129-158``): same
+    recent-keys-in-memory / full-set-in-storage split, with the watermark
+    playing the LRU-bound role deterministically.
+
+    Batch DataFrames get plain dropDuplicates (same key expression), so the
+    operator is testable against the batch path one-to-one.
+    """
+    from crawlee_spark.functions.urls import canonicalize
+
+    keyed = (
+        stream.withColumn("_canon", canonicalize(F.col(url_col)))
+        .filter(F.col("_canon").isNotNull())
+        .withColumn("url_hash", F.xxhash64(F.col("_canon")))
+    )
+    if keyed.isStreaming:
+        return keyed.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["url_hash"])
+    return keyed.dropDuplicates(["url_hash"])

@@ -51,3 +51,44 @@ def test_windowed_fetch_rate_batch_mode(spark):
     by_start = {r["window_start"].second + 60 * r["window_start"].minute: r["fetches"]
                 for r in out}
     assert by_start == {0: 3, 60: 1, 120: 1}
+
+
+def test_streaming_url_seen_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: canonical-equal variants inside
+    the watermark collapse to one row; the batch twin produces the same
+    survivor key set."""
+    import json
+
+    from crawlee_spark.streaming.stream_crawl import streaming_url_seen
+
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "url": "https://A.example.com/x/"},
+        {"ts": "2024-01-01T00:00:10", "url": "https://a.example.com/x"},
+        {"ts": "2024-01-01T00:00:20", "url": "https://a.example.com/x#frag"},
+        {"ts": "2024-01-01T00:00:30", "url": "https://b.example.com/y?b=2&a=1"},
+        {"ts": "2024-01-01T00:00:40", "url": "https://b.example.com/y?a=1&b=2"},
+        {"ts": "2024-01-01T00:00:50", "url": "not a url"},
+    ]
+    src = tmp_path / "urls"
+    src.mkdir()
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, url string")
+        .json(str(src))
+    )
+    q = (
+        streaming_url_seen(stream, watermark="10 minutes")
+        .writeStream.format("memory").queryName("seen_mem")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = {r["url_hash"] for r in spark.sql("select * from seen_mem").collect()}
+
+    batch = spark.createDataFrame(
+        [(r["url"],) for r in rows], "url string"
+    )
+    want = {r["url_hash"] for r in streaming_url_seen(batch).collect()}
+    assert got == want
+    assert len(got) == 2  # one key per canonical URL, invalid row dropped
