@@ -14,13 +14,15 @@ Everything is a pure function of (seed, n_pages, n_hosts) — no wall clock, no
 external data. The same generator feeds pytest (tiny), integration tests
 (medium) and the bench harness (large), per FIXTURES.md "Scale points".
 
-IMAGE CODEC NOTE: PIL is not available in this container, so `fmt='png'` /
-`fmt='jpeg'` use a CLEARLY-MARKED deterministic stand-in codec
+IMAGE CODEC NOTE: the fmt mix is half REAL formats — `fmt='ppm'` (netpbm
+P6) and `fmt='bmp'` (24-bit BI_RGB), pure-numpy codecs producing
+viewer-openable bytes — and half CLEARLY-MARKED stand-ins, since
+PIL/libjpeg/libpng are not in this container
 (:mod:`crawlee_spark.functions.images`): "png" = zlib(raw RGB) (lossless),
 "jpeg" = zlib(quantized RGB) (lossy, PSNR ≈ 46 dB > 40 dB bound). The Spark
-plumbing (binary column, Arrow batches, vectorized decode, PSNR math) is real;
-only the byte format is a stand-in. Swapping in PIL/libjpeg is a two-function
-change in functions/images.py.
+plumbing (binary column, Arrow batches, vectorized decode, PSNR math) is real
+for all four. Swapping in PIL/libjpeg is a two-function change in
+functions/images.py.
 """
 
 from __future__ import annotations
@@ -102,7 +104,9 @@ def gen_pages_rows(n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool 
     dim_rng = np.random.default_rng(seed + 1)
     dims = dim_rng.choice(len(_DIMS), size=(n_pages, 2))
     fmt_rng = np.random.default_rng(seed + 2)
-    fmts = fmt_rng.choice(["png", "jpeg"], size=n_pages)
+    # two REAL formats (ppm = netpbm P6, bmp = 24-bit BI_RGB — pure-numpy
+    # codecs, viewer-openable) + the two stand-ins (functions/images.py)
+    fmts = fmt_rng.choice(["png", "jpeg", "ppm", "bmp"], size=n_pages)
     for i in range(n_pages):
         host = hosts[assign[i]]
         w, h = _DIMS[dims[i][0]], _DIMS[dims[i][1]]

@@ -10,13 +10,19 @@ The reference repo (Crawlee) has no image pipeline — this is the north_rule
 addition (SURVEY.md §2.8 last row). The *Spark* side here is fully real:
 binary columns in Arrow batches, `mapInPandas` decode, vectorized PSNR.
 
-DETERMINISTIC STAND-IN CODEC — CLEARLY MARKED: PIL/libjpeg/libpng are not
-installed in this container, so the byte formats are stand-ins with the same
-*shape* as real codecs:
+Codec surface (two real, two stand-in):
 
-- ``fmt='png'``  -> ``b'FPNG' + zlib(raw RGB bytes)``          (lossless)
-- ``fmt='jpeg'`` -> ``b'FJPG' + zlib(quantized RGB bytes)``    (lossy)
+- ``fmt='ppm'``  -> REAL binary PPM / P6 (netpbm spec: ``P6`` magic,
+  whitespace/comment-tolerant ASCII header, maxval 255, raw RGB rows).
+  Decodable by any image viewer; pure-numpy, no external lib.
+- ``fmt='bmp'``  -> REAL Windows BMP, 24-bit uncompressed BI_RGB
+  (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to 4
+  bytes; negative-height top-down decode supported). Also viewer-openable.
+- ``fmt='png'``  -> STAND-IN ``b'FPNG' + zlib(raw RGB bytes)`` (lossless).
+- ``fmt='jpeg'`` -> STAND-IN ``b'FJPG' + zlib(quantized RGB)`` (lossy).
 
+PIL/libjpeg/libpng are not installed in this container, so the two
+DEFLATE-era formats are stand-ins with the same *shape* as real codecs.
 The jpeg path quantizes each channel to steps of 4 (max abs error 3,
 MSE <= ~4.1, PSNR ~= 42-47 dB — always above the 40 dB bound, and genuinely
 lossy so the PSNR branch is exercised). Swapping real codecs in = replacing
@@ -25,6 +31,7 @@ lossy so the PSNR branch is exercised). Swapping real codecs in = replacing
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -40,10 +47,101 @@ class ImageFormatError(ValueError):
     pass
 
 
+# -- real codec: binary PPM (netpbm P6) --------------------------------------
+
+
+def _encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _ppm_header_tokens(blob: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` ASCII integer tokens after the P6 magic (netpbm header:
+    tokens separated by whitespace, ``#``-to-EOL comments allowed anywhere
+    between them). Returns (tokens, offset-of-first-raster-byte)."""
+    toks: list[int] = []
+    i = 2  # past b"P6"
+    while len(toks) < n:
+        if i >= len(blob):
+            raise ImageFormatError("truncated PPM header")
+        c = blob[i:i + 1]
+        if c == b"#":
+            nl = blob.find(b"\n", i)
+            if nl < 0:
+                raise ImageFormatError("unterminated PPM comment")
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(blob) and not blob[j:j + 1].isspace() and blob[j:j + 1] != b"#":
+                j += 1
+            tok = blob[i:j]
+            if not tok.isdigit():
+                raise ImageFormatError(f"bad PPM header token {tok!r}")
+            toks.append(int(tok))
+            i = j
+    # exactly ONE whitespace byte separates maxval from the raster (spec)
+    if i >= len(blob) or not blob[i:i + 1].isspace():
+        raise ImageFormatError("missing PPM raster separator")
+    return toks, i + 1
+
+
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    if not blob.startswith(b"P6"):
+        raise ImageFormatError("bad magic for fmt 'ppm'")
+    (w, h, maxval), off = _ppm_header_tokens(blob, 3)
+    if maxval != 255:
+        raise ImageFormatError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    if len(blob) - off < need:
+        raise ImageFormatError(f"PPM raster short: {len(blob) - off} < {need}")
+    return np.frombuffer(blob, np.uint8, count=need, offset=off).reshape(h, w, 3)
+
+
+# -- real codec: Windows BMP, 24-bit BI_RGB ----------------------------------
+
+
+def _encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    img_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + rows.tobytes()
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    if len(blob) < 54 or not blob.startswith(b"BM"):
+        raise ImageFormatError("bad magic for fmt 'bmp'")
+    off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h_signed, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ImageFormatError(f"unsupported BMP (hdr={hdr_size} bpp={bpp} comp={comp})")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    if len(blob) - off < row_size * h:
+        raise ImageFormatError("BMP raster short")
+    rows = np.frombuffer(blob, np.uint8, count=row_size * h, offset=off).reshape(h, row_size)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up (the common case); negative = top-down
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array with the stand-in codec."""
+    """Encode an (h, w, 3) uint8 array; ppm/bmp are real formats, png/jpeg
+    container-level stand-ins (module docstring)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ImageFormatError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
+    if fmt == "ppm":
+        return _encode_ppm(pixels)
+    if fmt == "bmp":
+        return _encode_bmp(pixels)
     if fmt == "png":
         return _MAGIC_PNG + zlib.compress(pixels.tobytes(), 6)
     if fmt == "jpeg":
@@ -53,16 +151,25 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(blob: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode stand-in bytes back to (h, w, 3) uint8. Raises on corrupt input."""
-    magic = _MAGIC_PNG if fmt == "png" else _MAGIC_JPG if fmt == "jpeg" else None
-    if magic is None:
+    """Decode bytes back to (h, w, 3) uint8. Raises on corrupt input; the
+    declared (w, h) must match the bytes (a mismatch is a corrupt row)."""
+    if fmt == "ppm":
+        px = _decode_ppm(blob)
+    elif fmt == "bmp":
+        px = _decode_bmp(blob)
+    elif fmt in ("png", "jpeg"):
+        magic = _MAGIC_PNG if fmt == "png" else _MAGIC_JPG
+        if not blob.startswith(magic):
+            raise ImageFormatError(f"bad magic for fmt {fmt!r}")
+        raw = zlib.decompress(blob[len(magic):])
+        if len(raw) != w * h * 3:
+            raise ImageFormatError(f"size mismatch: {len(raw)} != {w}*{h}*3")
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    else:
         raise ImageFormatError(f"unsupported fmt {fmt!r}")
-    if not blob.startswith(magic):
-        raise ImageFormatError(f"bad magic for fmt {fmt!r}")
-    raw = zlib.decompress(blob[len(magic):])
-    if len(raw) != w * h * 3:
-        raise ImageFormatError(f"size mismatch: {len(raw)} != {w}*{h}*3")
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if px.shape != (h, w, 3):
+        raise ImageFormatError(f"size mismatch: {px.shape} != ({h},{w},3)")
+    return px
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -130,10 +237,10 @@ def make_validator(seed: int = 42, psnr_min: float = 40.0):
                     decoded = decode_image(bytes(blob), fmt, int(w), int(h))
                     ref = gen_page_pixels(seed, i, int(w), int(h))
                     p_db = psnr(decoded, ref)
-                    if fmt == "png":
-                        pix_ok = bool(np.array_equal(decoded, ref))
-                    else:
+                    if fmt == "jpeg":  # the only lossy format
                         pix_ok = p_db >= psnr_min
+                    else:  # png/ppm/bmp are lossless: exact pixel equality
+                        pix_ok = bool(np.array_equal(decoded, ref))
                     ph_ok = phash_pixels(decoded) == int(ph)
                     cap_ok = caption == gen_caption(seed, i)
                     ok = pix_ok and ph_ok and cap_ok

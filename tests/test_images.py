@@ -106,3 +106,66 @@ def test_feature_and_resize_plumbing(spark):
     # decoded resize output is a valid 16x16 image
     dec = decode_image(bytes(resized[0]["bytes"]), "png", 16, 16)
     assert dec.shape == (16, 16, 3)
+
+
+def test_ppm_real_codec_roundtrip_and_header_tolerance():
+    # P6 is a REAL public format: spec-shaped header (comments + arbitrary
+    # whitespace between tokens) must decode; roundtrip is lossless
+    px = datagen.gen_page_pixels(7, 1, 33, 17)  # non-square, odd width
+    blob = encode_image(px, "ppm")
+    assert blob.startswith(b"P6\n33 17\n255\n")
+    assert np.array_equal(decode_image(blob, "ppm", 33, 17), px)
+    # hand-built header with comments and mixed whitespace
+    raster = px.tobytes()
+    messy = b"P6 # comment after magic\n# full-line comment\n 33\t17 # dims\n255\n" + raster
+    assert np.array_equal(decode_image(messy, "ppm", 33, 17), px)
+    with pytest.raises(ImageFormatError):
+        decode_image(blob, "ppm", 17, 33)  # transposed dims
+    with pytest.raises(ImageFormatError):
+        decode_image(b"P6\n33 17\n65535\n" + raster * 2, "ppm", 33, 17)  # 16-bit maxval
+    with pytest.raises(ImageFormatError):
+        decode_image(blob[:-10], "ppm", 33, 17)  # short raster
+
+
+def test_bmp_real_codec_roundtrip_padding_and_topdown():
+    import struct
+
+    # width 33 -> row stride 100 (33*3=99 padded to 4) exercises padding
+    px = datagen.gen_page_pixels(7, 2, 33, 9)
+    blob = encode_image(px, "bmp")
+    assert blob[:2] == b"BM"
+    assert struct.unpack_from("<I", blob, 2)[0] == len(blob)  # header file size
+    w, h = struct.unpack_from("<ii", blob, 18)
+    assert (w, h) == (33, 9)
+    assert np.array_equal(decode_image(blob, "bmp", 33, 9), px)
+    # top-down variant (negative height) decodes to the same pixels
+    neg = bytearray(blob)
+    struct.pack_into("<i", neg, 22, -9)
+    off = struct.unpack_from("<I", blob, 10)[0]
+    row = (33 * 3 + 3) & ~3
+    rows = np.frombuffer(blob, np.uint8, count=row * 9, offset=off).reshape(9, row)
+    topdown = bytes(neg[:off]) + rows[::-1].tobytes()
+    assert np.array_equal(decode_image(topdown, "bmp", 33, 9), px)
+    with pytest.raises(ImageFormatError):
+        decode_image(b"BM" + blob[2:52], "bmp", 33, 9)  # truncated
+    bad_bpp = bytearray(blob)
+    struct.pack_into("<H", bad_bpp, 28, 32)
+    with pytest.raises(ImageFormatError):
+        decode_image(bytes(bad_bpp), "bmp", 33, 9)  # 32bpp unsupported
+
+
+def test_real_formats_flow_through_validator(spark):
+    # the datagen mix now includes ppm/bmp rows; every untampered row must
+    # validate ok (exact pixel equality for the lossless formats)
+    rows = [
+        {k: r[k] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+        for r in datagen.gen_pages_rows(40, 3, seed=11)
+    ]
+    fmts = {r["fmt"] for r in rows}
+    assert {"ppm", "bmp"} <= fmts  # mix actually exercises the real codecs
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    out = validate_pages(df, seed=11).collect()
+    assert len(out) == 40 and all(r["ok"] for r in out)
