@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -229,11 +230,18 @@ class CrawlEngine:
     # -- state / resume -----------------------------------------------------
 
     def _save_state(self) -> None:
-        _atomic_write(self.state_path, json.dumps({
+        payload = json.dumps({
             "step": self.step,
             "handled_count": self.handled_count,
             "sessions": self.session_rows,
-        }))
+        })
+        _atomic_write(self.state_path, payload)
+        # per-step checkpoint of the (driver-small) scalar state — together
+        # with the snapshot-table manifests this makes EVERY superstep a
+        # resumable checkpoint (north_rule), not just the latest one
+        hist_dir = os.path.join(self.workdir, "state_history")
+        os.makedirs(hist_dir, exist_ok=True)
+        _atomic_write(os.path.join(hist_dir, f"step-{self.step}.json"), payload)
 
     def _load_state(self) -> bool:
         if not os.path.exists(self.state_path):
@@ -246,15 +254,83 @@ class CrawlEngine:
         return True
 
     @classmethod
-    def resume(cls, spark: SparkSession, workdir: str, cfg: CrawlConfig | None = None) -> "CrawlEngine":
-        """Resume from the latest snapshots (north_rule: resumable from any
-        checkpoint). Leases don't exist — a superstep either committed fully
-        or its snapshot was never flipped, so no lock expiry is needed."""
+    def resume(cls, spark: SparkSession, workdir: str, cfg: CrawlConfig | None = None,
+               at_step: int | None = None) -> "CrawlEngine":
+        """Resume from the latest snapshots, or — with ``at_step`` — from ANY
+        earlier superstep checkpoint (north_rule: resumable from any
+        checkpoint): every table is rolled back to its state as of the end of
+        that superstep before the crawl continues. Leases don't exist — a
+        superstep either committed fully or its snapshot was never flipped,
+        so no lock expiry is needed."""
         eng = cls(spark, workdir, cfg)
         if not eng.frontier.exists():
             raise FileNotFoundError(f"no frontier at {workdir}")
         eng._load_state()
+        if at_step is not None:
+            eng.rollback_to(at_step)
         return eng
+
+    def checkpoints(self) -> list[int]:
+        """Steps with a saved checkpoint (sorted). Step 0 = seeds-only."""
+        hist_dir = os.path.join(self.workdir, "state_history")
+        if not os.path.isdir(hist_dir):
+            return []
+        steps = []
+        for entry in os.listdir(hist_dir):
+            if entry.startswith("step-") and entry.endswith(".json"):
+                steps.append(int(entry[5:-5]))
+        return sorted(steps)
+
+    @staticmethod
+    def _chain_snapshot_at(history: list[dict], step: int) -> int | None:
+        """Snapshot id of the LAST manifest in chain order whose running-max
+        summary step is <= ``step`` (running max because a late add_seeds
+        commits with step 0 mid-chain — picking it would resurrect later
+        supersteps' effects)."""
+        best: int | None = None
+        seen_max = -1
+        for m in history:
+            seen_max = max(seen_max, int(m.get("summary", {}).get("step", -1)))
+            if seen_max <= step:
+                best = int(m["id"])
+        return best
+
+    def rollback_to(self, step: int) -> None:
+        """Roll every piece of crawl state back to the end of superstep
+        ``step`` (an earlier checkpoint), after which the crawl can re-run
+        deterministically. Frontier + politeness flip ``_CURRENT`` to the
+        snapshot committed at-or-before that step; the append logs truncate
+        their segment lists; Bloom shards rebuild from the rolled-back
+        frontier (their snapshot stamp no longer matches); the scalar state
+        (step / handled_count / session pool) reloads from the per-step
+        checkpoint file."""
+        hist_path = os.path.join(self.workdir, "state_history", f"step-{step}.json")
+        if not os.path.exists(hist_path):
+            raise FileNotFoundError(
+                f"no checkpoint for step {step}; have {self.checkpoints()}")
+        sid = self._chain_snapshot_at(self.frontier.table.history(), step)
+        if sid is None:
+            raise FileNotFoundError(f"no frontier snapshot at step <= {step}")
+        self.frontier.table.rollback(sid)
+        if self.politeness.exists():
+            psid = self._chain_snapshot_at(self.politeness.history(), step)
+            if psid is None:
+                # politeness state didn't exist yet at that step: it is
+                # derived state, so drop the table (rebuilt as the crawl
+                # re-runs) rather than keeping future hosts' delays
+                shutil.rmtree(self.politeness.root, ignore_errors=True)
+            else:
+                self.politeness.rollback(psid)
+        for log in (self.fetch_log, self.metrics, self.results, self.router_results):
+            if log.exists():
+                log.rollback(self._chain_snapshot_at(log.history(), step))
+        with open(hist_path) as f:
+            s = json.load(f)
+        self.step = s["step"]
+        self.handled_count = s["handled_count"]
+        self.session_rows = [list(x) for x in s.get("sessions", [])]
+        self._save_state()
+        self._ensure_urlseen_fresh()
 
     # -- setup --------------------------------------------------------------
 

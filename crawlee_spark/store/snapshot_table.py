@@ -124,7 +124,10 @@ class SnapshotTable:
     # -- write --------------------------------------------------------------
 
     def _next_id(self) -> int:
-        return (self.current_snapshot_id() + 1) if self.exists() else 0
+        # max over ALL manifests, not current+1: after a rollback the current
+        # snapshot is older than abandoned-timeline ids, and reusing one of
+        # those ids would clobber data dirs other manifests still reference
+        return _max_manifest_id(self.manifest_dir) + 1
 
     def _write_buckets(self, df: DataFrame, snap_name: str) -> list[int]:
         out = os.path.join(self.data_dir, snap_name)
@@ -186,6 +189,17 @@ class SnapshotTable:
         schema_ddl = self.manifest()["schema_ddl"]
         return self._finish(sid, parent, buckets, operation, summary or {}, schema_ddl)
 
+    def rollback(self, snapshot_id: int) -> None:
+        """Flip ``_CURRENT`` back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``). Later snapshots become an abandoned
+        timeline: their manifests/data stay on disk (audit) until
+        ``expire_snapshots`` drops what the new chain can't reach; new
+        commits take FRESH ids (``_next_id`` scans all manifests), so no
+        abandoned data dir is ever overwritten."""
+        if not os.path.exists(os.path.join(self.manifest_dir, f"snap-{snapshot_id}.json")):
+            raise FileNotFoundError(f"no snapshot {snapshot_id} at {self.root}")
+        _atomic_write(self.current_path, str(snapshot_id))
+
     def compact(self) -> int:
         """Rewrite the whole table into one snapshot (maintenance)."""
         df = self.read()
@@ -205,6 +219,20 @@ class SnapshotTable:
 
 def _schema_ddl(df: DataFrame) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _max_manifest_id(manifest_dir: str) -> int:
+    """Highest snapshot id present on disk, -1 when none (covers abandoned
+    timelines left behind by rollback, which current_snapshot_id misses)."""
+    best = -1
+    if os.path.isdir(manifest_dir):
+        for entry in os.listdir(manifest_dir):
+            if entry.startswith("snap-") and entry.endswith(".json"):
+                try:
+                    best = max(best, int(entry[5:-5]))
+                except ValueError:
+                    continue
+    return best
 
 
 class AppendTable:
@@ -235,14 +263,15 @@ class AppendTable:
         log/metric appends are small and shouldn't pay a 32-task write."""
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
-        sid = (self.current_snapshot_id() + 1) if self.exists() else 0
+        sid = _max_manifest_id(self.manifest_dir) + 1  # rollback-safe (see SnapshotTable)
+        parent = self.current_snapshot_id() if self.exists() else None
         seg = f"seg-{sid}"
         out = df.coalesce(coalesce) if coalesce else df
         out.write.mode("overwrite").parquet(os.path.join(self.data_dir, seg))
         segments = (self.manifest()["segments"] if self.exists() else []) + [seg]
         manifest = {
             "id": sid,
-            "parent": sid - 1 if sid > 0 else None,
+            "parent": parent,
             "committed_at": time.time(),
             "segments": segments,
             "schema_ddl": _schema_ddl(df),
@@ -251,6 +280,32 @@ class AppendTable:
         _atomic_write(os.path.join(self.manifest_dir, f"snap-{sid}.json"), json.dumps(manifest))
         _atomic_write(self.current_path, str(sid))
         return sid
+
+    def history(self) -> list[dict[str, Any]]:
+        """Manifest chain of the CURRENT timeline, oldest first (follows
+        ``parent`` links, so abandoned post-rollback manifests are skipped)."""
+        out: list[dict[str, Any]] = []
+        if not self.exists():
+            return out
+        sid: int | None = self.current_snapshot_id()
+        while sid is not None and sid >= 0:
+            m = self.manifest(sid)
+            out.append(m)
+            sid = m.get("parent")
+        return list(reversed(out))
+
+    def rollback(self, snapshot_id: int | None) -> None:
+        """Truncate the log to an earlier append (``None`` = before the first
+        append: the table reads as non-existent and the next append starts a
+        fresh segment list). Segment data of the abandoned tail stays on disk;
+        ids are never reused (``append`` scans all manifests)."""
+        if snapshot_id is None:
+            if os.path.exists(self.current_path):
+                os.remove(self.current_path)
+            return
+        if not os.path.exists(os.path.join(self.manifest_dir, f"snap-{snapshot_id}.json")):
+            raise FileNotFoundError(f"no snapshot {snapshot_id} at {self.root}")
+        _atomic_write(self.current_path, str(snapshot_id))
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         if not self.exists():
