@@ -46,6 +46,9 @@ HEADLINE = [
     "top_terms",
     "stratified_sample",
     "hash_split",
+    "dup_ngram_coverage",
+    "dedup_incremental",
+    "contamination",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

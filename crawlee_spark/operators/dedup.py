@@ -164,6 +164,36 @@ def minhash_signatures(
     return hashed.select("id", F.array(*sig_cols).alias("sig"))
 
 
+def _band_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, bhs: array<long>, band, bh) — one row per (doc, band), where
+    bh = H(join(sig slice) # band).
+
+    ONE pass over the signatures: posexplode the band-hash ARRAY instead of
+    unionAll-ing per-band selects — a union would re-evaluate the whole
+    shingle+md5 pipeline once per band (4-32x work). The full array rides
+    along on every band row (bands × 8 bytes) so joins can dedup multi-band
+    collisions in place. The explode-of-a-one-element-array is a Generate
+    barrier (same discipline as frontier.normalize_requests): the band-hash
+    array is a GENERATOR input, evaluated once per row — a plain select gets
+    collapsed into the signature projection and re-inlines the whole sig
+    tree once per reference, measured ~200x slower at sf0.1.
+    """
+    r = num_perm // bands
+    band_hashes = []
+    for b in range(bands):
+        piece = F.concat_ws(",", *[
+            F.element_at(F.col("sig"), b * r + j + 1).cast("string") for j in range(r)
+        ])
+        band_hashes.append(
+            md5_hash64(F.concat(piece, F.lit(f"#band{b}")))
+        )
+    return sigs.select(
+        "id", F.explode(F.array(F.array(*band_hashes))).alias("bhs")
+    ).select(
+        "id", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 8,
@@ -195,31 +225,8 @@ def minhash_lsh_pairs(
     the DuckDB oracle mirrors the uncapped candidate set.
     """
     assert num_perm % bands == 0
-    r = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
-    # ONE pass over the signatures: posexplode the band-hash ARRAY instead
-    # of unionAll-ing per-band selects — a union would re-evaluate the whole
-    # shingle+md5 pipeline once per band (4-32x work). The full array rides
-    # along on every band row (bands × 8 bytes) so the join can dedup
-    # multi-band collisions in place.
-    band_hashes = []
-    for b in range(bands):
-        piece = F.concat_ws(",", *[
-            F.element_at(F.col("sig"), b * r + j + 1).cast("string") for j in range(r)
-        ])
-        band_hashes.append(
-            md5_hash64(F.concat(piece, F.lit(f"#band{b}")))
-        )
-    # Generate barrier (explode of a one-element array, same discipline as
-    # frontier.normalize_requests): the band-hash array is a GENERATOR
-    # input, evaluated once per row. A plain select here gets collapsed
-    # into the signature projection and re-inlines the whole sig tree once
-    # per reference — measured ~200x slower at sf0.1.
-    band_rows = sigs.select(
-        "id", F.explode(F.array(F.array(*band_hashes))).alias("bhs")
-    ).select(
-        "id", "bhs", F.posexplode("bhs").alias("band", "bh")
-    )
+    band_rows = _band_rows(sigs, num_perm, bands)
     band_rows = band_rows.persist()
     try:
         join_rows = band_rows
@@ -264,6 +271,59 @@ def minhash_lsh_pairs(
     finally:
         band_rows.unpersist()
     return out
+
+
+def minhash_lsh_matches(
+    incoming: DataFrame,
+    existing: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL near-dedup: incoming docs that LSH-collide with any
+    already-ingested doc — the shape every continuously-crawling training
+    pipeline runs per batch (dedup the new crawl against the corpus, never
+    re-pair the corpus against itself).
+
+    Output: (id, first_match, n_matches) per incoming doc with >= 1 existing
+    collision; ``first_match`` = min colliding existing id. Callers drop (or
+    exact-verify) the listed ids and append the rest.
+
+    Scale shape: signatures are built per side (the corpus side's band rows
+    are re-derivable from a persisted signature table in production — at
+    10^10 docs you materialize sigs once, not per batch); the join is the
+    same (band, bh) equi-join as ``minhash_lsh_pairs`` but CROSS-side, so
+    candidate volume is O(incoming × collision rate), never corpus².
+    Multi-band collisions of one (incoming, existing) pair are deduped
+    without a distinct(): both sides carry their band-hash arrays, so a
+    pair survives only at its first shared band (column math), and the
+    final per-incoming-id aggregation is map-side combining.
+    """
+    assert num_perm % bands == 0
+    rows_new = _band_rows(
+        minhash_signatures(incoming, num_perm, shingle_n, id_col, text_col),
+        num_perm, bands,
+    )
+    rows_old = _band_rows(
+        minhash_signatures(existing, num_perm, shingle_n, id_col, text_col),
+        num_perm, bands,
+    )
+    n, o = rows_new.alias("n"), rows_old.alias("o")
+    first_eq = F.lit(bands - 1)
+    for i in range(bands - 2, -1, -1):
+        eq = F.element_at(F.col("n.bhs"), i + 1) == F.element_at(F.col("o.bhs"), i + 1)
+        first_eq = F.when(eq, F.lit(i)).otherwise(first_eq)
+    return (
+        n.join(o, on=["band", "bh"])
+        .filter(first_eq == F.col("band"))
+        .groupBy(F.col("n.id").alias("id"))
+        .agg(
+            F.min(F.col("o.id")).alias("first_match"),
+            F.count("*").alias("n_matches"),
+        )
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",

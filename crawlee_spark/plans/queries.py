@@ -1642,6 +1642,164 @@ WHERE md5(CAST(doc_id AS VARCHAR)) < '{split_threshold(frac)}'
 ORACLE_HASH_SPLIT = _oracle_hash_split()
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level duplicate 5-gram coverage per document (the
+    RefinedWeb/Gopher cross-document repetition signal — distinct from
+    ``text_repetition``'s within-document fractions): for each doc, the
+    fraction of its distinct 5-grams that also occur in at least one OTHER
+    document.
+
+    Plan shape at 100 TB: explode distinct shingles (map-side), ONE shuffle
+    keyed on the shingle string (content-uniform, no skew) for the document
+    frequency, reuse that exchange for the join-back, then a map-side
+    combining per-doc aggregation. No window, no driver state; in
+    production the shingle would be md5-hashed to 8 bytes before the
+    shuffle — kept as the string here so the oracle is byte-identical.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_ngrams(T.tokens_of(F.col("text")), 5))
+        ).alias("ng"),
+    )
+    dfreq = sh.groupBy("ng").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(dfreq, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("dup_ngrams"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+            F.round(
+                F.coalesce("dup_ngrams", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_ngrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+ORACLE_DUP_NGRAM_COVERAGE = f"""
+WITH s AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(5)})) AS ng FROM documents
+),
+dfreq AS (SELECT ng, count(*) AS df FROM s GROUP BY ng),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+  FROM s JOIN dfreq USING (ng) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_ngrams, 0) AS n_ngrams,
+       coalesce(per.dup_ngrams, 0) AS dup_ngrams,
+       round(CAST(coalesce(per.dup_ngrams, 0) AS DOUBLE)
+             / greatest(coalesce(per.n_ngrams, 0), 1), 6) AS dup_coverage
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dedup
+    (``operators/dedup.py::minhash_lsh_matches``): the incoming batch
+    (doc_id % 5 == 0 — a deterministic stand-in for "this superstep's new
+    documents") LSH-joined against the already-ingested corpus (the rest);
+    output = incoming docs to drop/verify, with their first corpus match
+    and collision count. The per-batch shape every continuously-crawling
+    training pipeline runs — never corpus × corpus."""
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    existing = d.filter(F.col("doc_id") % 5 != 0)
+    return D.minhash_lsh_matches(
+        incoming, existing, num_perm=8, bands=4, shingle_n=3
+    ).select(F.col("id").alias("doc_id"), "first_match", "n_matches")
+
+
+def _oracle_minhash_incremental(num_perm: int = 8, bands: int = 4,
+                                shingle_n: int = 3) -> str:
+    base = _oracle_minhash(num_perm, bands, shingle_n)
+    # same th/hs/sigs/bands CTEs; swap the self-join tail for the cross-side
+    # (incoming × existing) join + per-incoming aggregation
+    head = base[: base.rindex("SELECT DISTINCT")]
+    return head + """
+SELECT id AS doc_id, min(oid) AS first_match,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM (SELECT DISTINCT n.id AS id, o.id AS oid
+      FROM bands n JOIN bands o ON n.band = o.band AND n.bh = o.bh
+      WHERE n.id % 5 = 0 AND o.id % 5 <> 0) pairs
+GROUP BY id
+"""
+
+
+ORACLE_DEDUP_INCREMENTAL = _oracle_minhash_incremental()
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the eval-leakage gate every training
+    pipeline runs before shipping a corpus): documents sharing any distinct
+    4-gram with the held-out benchmark set (doc_id % 97 == 0 — a
+    deterministic stand-in for an eval suite) are flagged with the shared
+    count and fraction.
+
+    Plan shape: the benchmark side is tiny by construction, so its distinct
+    shingles BROADCAST — the corpus side is one scan + explode with a
+    map-side semi-join-shaped hash join, then a map-side combining per-doc
+    aggregation. At 100 TB the corpus never shuffles on the shingle key at
+    all; only the broadcast build is exchanged.
+    """
+    d = _t(spark, sf_dir, "documents")
+    grams = lambda df: df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_ngrams(T.tokens_of(F.col("text")), 4))
+        ).alias("ng"),
+    )
+    bench = grams(d.filter(F.col("doc_id") % 97 == 0)).select("ng").distinct()
+    train = grams(d.filter(F.col("doc_id") % 97 != 0))
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH s AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(4)})) AS ng FROM documents
+),
+bench AS (SELECT DISTINCT ng FROM s WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM s WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+          FROM train GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         FROM train JOIN bench USING (ng) GROUP BY doc_id)
+SELECT hits.doc_id, sizes.n_ngrams, hits.n_contaminated,
+       round(CAST(hits.n_contaminated AS DOUBLE) / sizes.n_ngrams, 6)
+           AS contaminated_frac
+FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1686,6 +1844,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_phash_remove": q_image_phash_remove,
     "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
+    "dup_ngram_coverage": q_dup_ngram_coverage,
+    "dedup_incremental": q_dedup_incremental,
+    "contamination": q_contamination,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -1735,6 +1896,9 @@ ORACLES: dict[str, str] = {
     "image_phash_remove": ORACLE_IMAGE_PHASH_REMOVE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "hash_split": ORACLE_HASH_SPLIT,
+    "dup_ngram_coverage": ORACLE_DUP_NGRAM_COVERAGE,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "contamination": ORACLE_CONTAMINATION,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -116,6 +116,25 @@ CHECKS = {
         ("centroid side broadcast", r"BroadcastExchange"),
         ("candidate equi-join on c_id", r"BroadcastHashJoin.*c_id|SortMergeJoin.*c_id"),
     ],
+    "contamination": [
+        # the benchmark shingle set is tiny by construction and must
+        # BROADCAST — the corpus side never shuffles on the shingle key
+        ("bench side broadcast", r"BroadcastHashJoin"),
+        ("codegen", "codegen"),
+    ],
+    "dedup_incremental": [
+        # cross-side LSH match is the same (band, bh) equi-join as the
+        # pair generator — a nested loop anywhere means the O(n^2) path
+        ("no nested-loop (band equi-join)", r"BroadcastNestedLoopJoin", "absent"),
+        ("hash/sort-merge join on bands", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "dup_ngram_coverage": [
+        # df-count + join-back + per-doc agg: partial aggregation before
+        # every exchange, no single-partition funnel
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("codegen", "codegen"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.

@@ -99,3 +99,27 @@ def test_components_log_rounds_on_chain(spark):
         for r in D.connected_components(pairs, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_incremental_matches_vs_pair_projection(docs):
+    """Incremental batch-vs-corpus matches == the cross-side projection of
+    the full pair set: an incoming doc is flagged iff the (uncapped) LSH
+    pair graph links it to any existing doc, first_match is the min such
+    neighbor, and n_matches counts distinct existing neighbors."""
+    docs = docs.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )  # the 80-row fixture slice has no cross-side collisions
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        r["id"]: (r["first_match"], r["n_matches"])
+        for r in D.minhash_lsh_matches(incoming, existing).collect()
+    }
+    all_pairs = _pairs_set(D.minhash_lsh_pairs(docs))
+    expect: dict[int, set[int]] = {}
+    for a, b in all_pairs:
+        for inc, ex in ((a, b), (b, a)):
+            if inc % 5 == 0 and ex % 5 != 0:
+                expect.setdefault(inc, set()).add(ex)
+    assert got == {k: (min(v), len(v)) for k, v in expect.items()}
+    assert got, "fixture corpus must produce at least one cross-side match"
