@@ -152,6 +152,16 @@ class CrawlConfig:
     # proxy_configuration.ts) — session-sticky, rotation-aware, logged per
     # fetch; None = direct connection
     proxies: Any = None
+    # errorHandler (basic-crawler.ts:151-158): DF->DF over each superstep's
+    # RETRIED rows (url, error, retry_count, user_data, ...) BEFORE they
+    # re-enter the frontier; the returned frame's (url_hash, user_data)
+    # pairs overwrite the retried requests' user_data — the reference's
+    # "mutate the request between retries" surface. Must not add/drop rows.
+    error_handler: Any = None
+    # failedRequestHandler (basic-crawler.ts:160-167): DF->DF over each
+    # superstep's DEAD rows (retries exhausted / no-retry); its output is
+    # appended to the failed_requests dead-letter table verbatim.
+    failed_request_handler: Any = None
     max_steps: int = 10_000
     validate_images: bool = False  # run the PSNR/caption validator per fetch
     seed: int = 42
@@ -203,6 +213,11 @@ class CrawlEngine:
         # rows and handler-defined rows must never share a directory
         self.router_results = AppendTable(
             spark, os.path.join(workdir, "router_results")
+        )
+        # failedRequestHandler dead-letter output (own table: AppendTable
+        # segments must share one schema per directory)
+        self.failed_requests = AppendTable(
+            spark, os.path.join(workdir, "failed_requests")
         )
         self.state_path = os.path.join(workdir, "crawl_state.json")
         self.step = 0
@@ -321,7 +336,8 @@ class CrawlEngine:
                 shutil.rmtree(self.politeness.root, ignore_errors=True)
             else:
                 self.politeness.rollback(psid)
-        for log in (self.fetch_log, self.metrics, self.results, self.router_results):
+        for log in (self.fetch_log, self.metrics, self.results,
+                    self.router_results, self.failed_requests):
             if log.exists():
                 log.rollback(self._chain_snapshot_at(log.history(), step))
         with open(hist_path) as f:
@@ -635,6 +651,31 @@ class CrawlEngine:
             deads = failures.filter(~can_retry).select(
                 "url_hash", F.col("_err").alias("error"))
 
+            # errorHandler: may rewrite user_data on the retried rows
+            # before they re-enter the frontier (basic-crawler.ts:151-158)
+            ud_updates = None
+            if cfg.error_handler is not None:
+                handler_in = failures.filter(can_retry).select(
+                    "url", "url_hash", "host", "depth", "retry_count",
+                    "rotation_count", F.col("_err").alias("error"),
+                    "user_data",
+                )
+                ud_updates = cfg.error_handler(handler_in).select(
+                    "url_hash", F.col("user_data").alias("_new_ud")
+                )
+            # failedRequestHandler: dead rows -> dead-letter table
+            # (basic-crawler.ts:160-167)
+            if cfg.failed_request_handler is not None:
+                dead_in = failures.filter(~can_retry).select(
+                    F.lit(step).alias("step"), "url", "url_hash", "host",
+                    "depth", "retry_count", F.col("_err").alias("error"),
+                    "user_data",
+                )
+                handled_dead = cfg.failed_request_handler(dead_in)
+                if handled_dead is not None and not handled_dead.isEmpty():
+                    self.failed_requests.append(
+                        handled_dead, {"step": step}, coalesce=2)
+
             # 6. ONE combined frontier commit for all touched buckets
             handled_keys = successes.select("url_hash", "bucket")
             touched = sorted(
@@ -664,6 +705,20 @@ class CrawlEngine:
             updated = (
                 existing.join(marks, on="url_hash", how="left")
                 .join(errs, on="url_hash", how="left")
+            )
+            if ud_updates is not None:
+                updated = updated.join(
+                    ud_updates, on="url_hash", how="left"
+                ).withColumn(
+                    "user_data",
+                    F.when(
+                        F.col("_mark").isin("retry", "rot")
+                        & F.col("_new_ud").isNotNull(),
+                        F.col("_new_ud"),
+                    ).otherwise(F.col("user_data")),
+                ).drop("_new_ud")
+            updated = (
+                updated
                 .withColumn(
                     "handled_step",
                     F.when(F.col("_mark").isin("handled", "dead", "robots"), F.lit(step))

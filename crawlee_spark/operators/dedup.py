@@ -302,14 +302,26 @@ def minhash_lsh_matches(
     final per-incoming-id aggregation is map-side combining.
     """
     assert num_perm % bands == 0
-    rows_new = _band_rows(
+    return minhash_lsh_matches_sigs(
         minhash_signatures(incoming, num_perm, shingle_n, id_col, text_col),
-        num_perm, bands,
-    )
-    rows_old = _band_rows(
         minhash_signatures(existing, num_perm, shingle_n, id_col, text_col),
         num_perm, bands,
     )
+
+
+def minhash_lsh_matches_sigs(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """``minhash_lsh_matches`` over PRE-BUILT (id, sig) frames — the form a
+    continuously-ingesting pipeline actually runs: the corpus side is a
+    persisted signature table (8 longs per doc, built once at ingest), so a
+    batch pays signature work only for its own rows and the corpus is never
+    re-shingled. Output contract matches ``minhash_lsh_matches``."""
+    rows_new = _band_rows(new_sigs, num_perm, bands)
+    rows_old = _band_rows(old_sigs, num_perm, bands)
     n, o = rows_new.alias("n"), rows_old.alias("o")
     first_eq = F.lit(bands - 1)
     for i in range(bands - 2, -1, -1):
@@ -323,6 +335,24 @@ def minhash_lsh_matches(
             F.min(F.col("o.id")).alias("first_match"),
             F.count("*").alias("n_matches"),
         )
+    )
+
+
+def minhash_keep_first_sigs(
+    sigs: DataFrame, num_perm: int = 8, bands: int = 4
+) -> DataFrame:
+    """Ids to DROP under keep-first in-batch near-dedup: every id that
+    LSH-collides with a SMALLER id in the same (id, sig) frame. One band
+    equi-join + distinct over the (small, per-batch) drop set; the
+    streaming ingest runs this before the batch-vs-corpus match so a batch
+    can't admit two copies of a new document."""
+    rows = _band_rows(sigs, num_perm, bands)
+    n, o = rows.alias("n"), rows.alias("o")
+    return (
+        n.join(o, on=["band", "bh"])
+        .filter(F.col("o.id") < F.col("n.id"))
+        .select(F.col("n.id").alias("id"))
+        .distinct()
     )
 
 

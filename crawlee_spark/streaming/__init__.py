@@ -3,3 +3,4 @@ from crawlee_spark.streaming.stream_crawl import (  # noqa: F401
     streaming_url_seen,
     windowed_fetch_rate,
 )
+from crawlee_spark.streaming.stream_dedup import StreamingDedup  # noqa: F401

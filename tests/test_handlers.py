@@ -1,0 +1,107 @@
+"""errorHandler / failedRequestHandler UDF surface
+(``basic-crawler.ts:151-167``): the error handler may rewrite ``user_data``
+on retried requests before they re-enter the frontier; the failed-request
+handler's output lands in the dead-letter table. Neither affects crawl
+ordering (parity-neutral), so these are pinned by direct engine assertions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark import datagen
+from crawlee_spark.engine import CrawlConfig, CrawlEngine, FailureModelConf
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = list(datagen.gen_corpus_rows(40, 4, seed=11, with_bytes=False))
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string",
+    )
+    seeds = datagen.gen_seed_rows(40, 4, seed=11, n_seeds=4)
+    seeds_df = spark.createDataFrame(
+        seeds, "url string, forefront boolean, depth int, label string"
+    )
+    return corpus_df, seeds_df
+
+
+def test_error_and_failed_handlers(spark, tmp_path, corpus):
+    corpus_df, seeds_df = corpus
+    seen_retry_errors: list[str] = []
+
+    def on_error(df):
+        # tag every retried request; tags must survive into the frontier row
+        prior = F.map_filter(
+            F.coalesce(F.col("user_data"),
+                       F.create_map().cast("map<string,string>")),
+            lambda k, _: k != "last_error",  # second retry overwrites the tag
+        )
+        return df.withColumn(
+            "user_data",
+            F.map_concat(prior,
+                         F.create_map(F.lit("last_error"), F.col("error"))),
+        )
+
+    def on_failed(df):
+        return df.select("step", "url", "error", "retry_count")
+
+    cfg = CrawlConfig(
+        num_buckets=4,
+        failures=FailureModelConf(fail_mod=3, fail_attempts=1, dead_mod=7),
+        max_retries=2,
+        error_handler=on_error,
+        failed_request_handler=on_failed,
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"), cfg)
+    eng.add_seeds(seeds_df)
+    totals = eng.run(corpus_df)
+    assert totals["retried"] > 0 and totals["failed"] > 0
+
+    # errorHandler tags persisted into the frontier rows of retried requests
+    tagged = (
+        eng.frontier.read()
+        .filter(F.col("retry_count") > 0)
+        .select("user_data", "error")
+        .collect()
+    )
+    assert tagged, "failure model must produce retried rows"
+    # every retried row carries the tag, and it matches the row's last error
+    # (404 links and failure-model rows both retry)
+    assert all(
+        r["user_data"] and r["user_data"].get("last_error") == r["error"]
+        for r in tagged
+    )
+
+    # failedRequestHandler output == the engine's dead-letter set (rows
+    # whose error is set and that never eventually fetched ok — retried-
+    # then-handled rows KEEP their last error, so subtract the ok set)
+    dead_letter = {r["url"] for r in eng.failed_requests.read().collect()}
+    ok_urls = {
+        r["url"]
+        for r in eng.fetch_log.read()
+        .filter(F.col("status") == "ok").select("url").collect()
+    }
+    frontier_dead = {
+        r["url"]
+        for r in eng.frontier.read()
+        .filter(F.col("error").isNotNull()
+                & (F.col("error") != "robots-disallowed"))
+        .collect()
+    } - ok_urls
+    assert dead_letter == frontier_dead and len(dead_letter) == totals["failed"]
+
+    # handlers off -> no dead-letter table, same crawl otherwise
+    eng2 = CrawlEngine(
+        spark, str(tmp_path / "plain"),
+        CrawlConfig(num_buckets=4,
+                    failures=FailureModelConf(fail_mod=3, fail_attempts=1,
+                                              dead_mod=7),
+                    max_retries=2),
+    )
+    eng2.add_seeds(seeds_df)
+    eng2.run(corpus_df)
+    assert not eng2.failed_requests.exists()
+    assert eng2.crawl_order() == eng.crawl_order()

@@ -92,3 +92,51 @@ def test_streaming_url_seen_within_watermark(spark, tmp_path):
     want = {r["url_hash"] for r in streaming_url_seen(batch).collect()}
     assert got == want
     assert len(got) == 2  # one key per canonical URL, invalid row dropped
+
+
+def test_streaming_dedup_in_batch_and_cross_batch(spark, tmp_path):
+    """Two micro-batches: an in-batch duplicate drops before admission, a
+    cross-batch duplicate matches the persisted corpus signatures, and only
+    survivors' signatures accumulate."""
+    import json
+
+    from crawlee_spark.streaming import StreamingDedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq1 = "spark shuffles partition data across executors during wide stages"
+    uniq2 = "iceberg snapshots give copy on write tables time travel reads"
+    doc_dir = tmp_path / "docs"
+    doc_dir.mkdir()
+    (doc_dir / "a.json").write_text("\n".join(
+        json.dumps(d) for d in [
+            {"doc_id": 10, "text": base},
+            {"doc_id": 11, "text": uniq1},
+            {"doc_id": 12, "text": base},       # in-batch dup of 10
+        ]
+    ))
+    # second file written AFTER the first so maxFilesPerTrigger=1 orders it
+    (doc_dir / "b.json").write_text("\n".join(
+        json.dumps(d) for d in [
+            {"doc_id": 20, "text": base},       # dup of corpus doc 10
+            {"doc_id": 21, "text": uniq2},
+        ]
+    ))
+
+    sd = StreamingDedup(spark, str(tmp_path / "dd"))
+    batches = sd.drain(str(doc_dir), str(tmp_path / "ckpt"), timeout_secs=240)
+    assert [b["batch_id"] for b in batches] == [0, 1]
+    assert sd.corpus_ids() == {10, 11, 21}
+
+    dec = {
+        r["doc_id"]: (r["action"], r["first_match"])
+        for r in sd.decisions.read().collect()
+    }
+    assert dec[12] == ("dup-in-batch", None)
+    assert dec[20] == ("dup-of-corpus", 10)
+    assert dec[10][0] == dec[11][0] == dec[21][0] == "admitted"
+
+    # restart replay: re-processing an already-committed batch id is a no-op
+    sd._process_batch(
+        spark.createDataFrame([(10, base)], "doc_id long, text string"), 0
+    )
+    assert sd.corpus_ids() == {10, 11, 21}
