@@ -57,6 +57,20 @@ CHECKPOINT_MODE = "local"
 QUANT_SCALE = 1 << 20
 
 
+def rebalance_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin the input up to the core count when the upstream scan
+    yields fewer partitions — the sandbox test tables are single-row-group
+    parquet (unsplittable below ONE task), which would serialize the
+    CPU-dominant signature builds (~50 md5 evaluations per doc) onto one
+    core. The shuffle moves only the raw input rows and is SKIPPED whenever
+    partitions >= cores, so at real scale (thousands of row groups) this is
+    a no-op branch, never an exchange in the plan."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _pin_pairs(df: DataFrame) -> DataFrame:
     if not CHECKPOINT_PAIRS:
         return df
@@ -126,6 +140,7 @@ def minhash_signatures(
     """
     A, B = minhash_perm_consts(num_perm)
     coefs = shingle_coefs(shingle_n)
+    docs = rebalance_narrow(docs)
 
     def _perm(i: int):
         a, b = A[i], B[i]
@@ -371,7 +386,7 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
     is map-side partial (combine before shuffle), so the exchange carries
     one row per doc regardless of token count — the 100 TB shape.
     """
-    toks = docs.select(
+    toks = rebalance_narrow(docs).select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens_of(F.col(text_col))).alias("_t"),
     ).select("id", md5_hash64(F.col("_t")).alias("_h"))
@@ -519,7 +534,7 @@ def ngram_jaccard_pairs(
     at scale.
     """
     sh = (
-        docs.select(
+        rebalance_narrow(docs).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(word_ngrams(tokens_of(F.col(text_col)), shingle_n))
@@ -609,7 +624,7 @@ def embedding_near_dup_lsh(
             / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
         )
 
-    v = emb.select(
+    v = rebalance_narrow(emb).select(
         F.col(id_col).alias("id"),
         F.transform(
             _as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(scale)))

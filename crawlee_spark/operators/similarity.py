@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawlee_spark.operators.dedup import rebalance_narrow
+
 
 def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
@@ -56,7 +58,8 @@ def ann_topk_bruteforce(
     Scale shape: queries broadcast, corpus scanned once; the rank window
     partitions by query_id (small), not by corpus.
     """
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    v = rebalance_narrow(emb).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     q = v.filter(F.col("id") % query_mod == 0).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -115,7 +118,8 @@ def ann_lsh(
     no corpus × queries blow-up. Multi-probe (flipping low-margin bits) is
     the standard recall knob — same plan, more candidate buckets.
     """
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    v = rebalance_narrow(emb).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     bucketed = v.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes, dim))
     q = bucketed.filter(F.col("id") % query_mod == 0).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
@@ -165,7 +169,8 @@ def ann_ivf(
     query. At real scale n_centroids grows ~sqrt(corpus) and assignment
     cost corpus × centroids is the classic IVF build tradeoff.
     """
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    v = rebalance_narrow(emb).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     cent = (
         v.filter(F.col("id") % centroid_mod == 1)
         .orderBy("id")
@@ -235,7 +240,8 @@ def ann_lsh_multiprobe(
     corpus vector lives in exactly one bucket and probe buckets are
     distinct, so no (query, neighbor) pair duplicates — no dedup stage.
     """
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    v = rebalance_narrow(emb).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     bucketed = v.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes, dim))
     probe_arr = F.array(
         F.col("bucket"),

@@ -1484,12 +1484,16 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, num_perm=8, bands=4, shingle_n=3)
-    sh = d.select(
+    # pin the shingle sets: both join sides read the SAME materialized
+    # frame instead of re-tokenizing the corpus once per side (measured
+    # ~25% of the query at sf0.1); rebalance first — the single-row-group
+    # test file would otherwise build every shingle set on one core
+    sh = D.rebalance_narrow(d).select(
         "doc_id",
         F.array_distinct(
             T.word_ngrams(T.tokens_of(F.col("text")), 3)
         ).alias("_sh"),
-    )
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
@@ -1527,7 +1531,7 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-idf on a real corpus)."""
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
-    terms = d.select(
+    terms = D.rebalance_narrow(d).select(
         "doc_id", F.explode(T.tokens_of(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -1657,7 +1661,7 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — kept as the string here so the oracle is byte-identical.
     """
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = D.rebalance_narrow(d).select(
         "doc_id",
         F.explode(
             F.array_distinct(T.word_ngrams(T.tokens_of(F.col("text")), 5))
@@ -1756,7 +1760,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     all; only the broadcast build is exchanged.
     """
     d = _t(spark, sf_dir, "documents")
-    grams = lambda df: df.select(
+    grams = lambda df: D.rebalance_narrow(df).select(
         "doc_id",
         F.explode(
             F.array_distinct(T.word_ngrams(T.tokens_of(F.col("text")), 4))
