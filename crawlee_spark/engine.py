@@ -170,6 +170,10 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_expected_per_bucket: int = 100_000
     bloom_fpp: float = 0.03
+    # which filter backs the URL-seen prefilter when use_bloom=True —
+    # "bloom" (operators/urlseen.py) or "cuckoo" (operators/cuckoo.py; adds
+    # fingerprint DELETION for deleteRequest/purge without a shard rebuild)
+    urlseen_kind: str = "bloom"
     # retryOnBlocked content heuristic (``blocked.ts:4-8``): blocked pages
     # fail with 'session-blocked' and retry (session rotation analog)
     detect_blocked: bool = False
@@ -229,9 +233,12 @@ class CrawlEngine:
         self.politeness = SnapshotTable(spark, os.path.join(workdir, "politeness"))
         self.urlseen = None
         if self.cfg.use_bloom:
-            from crawlee_spark.operators.urlseen import UrlSeenShards
+            if self.cfg.urlseen_kind == "cuckoo":
+                from crawlee_spark.operators.cuckoo import CuckooUrlSeen as _Seen
+            else:
+                from crawlee_spark.operators.urlseen import UrlSeenShards as _Seen
 
-            self.urlseen = UrlSeenShards(
+            self.urlseen = _Seen(
                 os.path.join(workdir, "url_seen"),
                 expected_per_bucket=self.cfg.bloom_expected_per_bucket,
                 fpp=self.cfg.bloom_fpp,
@@ -757,10 +764,17 @@ class CrawlEngine:
                 .drop("_mark", "_err")
             )
             if self.urlseen is not None and self.urlseen.shards:
-                from crawlee_spark.operators.urlseen import merge_with_bloom
+                if self.cfg.urlseen_kind == "cuckoo":
+                    from crawlee_spark.operators.cuckoo import (
+                        merge_with_cuckoo as _merge_filtered,
+                    )
+                else:
+                    from crawlee_spark.operators.urlseen import (
+                        merge_with_bloom as _merge_filtered,
+                    )
 
                 self._ensure_urlseen_fresh()
-                fresh = merge_with_bloom(existing, new_reqs, self.urlseen.shards)
+                fresh = _merge_filtered(existing, new_reqs, self.urlseen.shards)
             else:
                 fresh = merge_new_requests(existing, new_reqs)
             new_content = updated.unionByName(fresh.select(*updated.columns))

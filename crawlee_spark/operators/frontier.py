@@ -361,6 +361,29 @@ class FrontierTable:
         finally:
             normalized.unpersist()
 
+    def delete_requests(self, keys: DataFrame) -> int:
+        """``deleteRequest(id)`` (``packages/types/src/storages.ts:297``):
+        remove rows whose ``url_hash`` appears in ``keys`` — a MERGE-DELETE
+        over the touched buckets only. Returns the number of rows removed.
+
+        Deleting re-opens the URL for future enqueueing (the key leaves the
+        URL-seen set). Pair with ``CuckooUrlSeen.delete_keys`` to keep a
+        cuckoo prefilter in sync without a rebuild; Bloom shards need
+        ``refresh_buckets`` after deletes (bits cannot be unset).
+        """
+        k = keys.select("url_hash").distinct()
+        hit = self.read().join(k, on="url_hash", how="inner")
+        touched = [r["bucket"] for r in hit.select("bucket").distinct().collect()]
+        if not touched:
+            return 0
+        existing = self.read(buckets=touched)
+        kept = existing.join(k, on="url_hash", how="left_anti")
+        before = existing.count()
+        self.table.commit_buckets(
+            kept, "delete_requests", {"op": "deleteRequest"}, touched=touched
+        )
+        return before - self.read(buckets=touched).count()
+
     def counters(self) -> dict[str, int]:
         """getInfo analog (``request_provider.ts:87-89, 529-561``)."""
         agg = self.read().agg(

@@ -174,16 +174,24 @@ class SnapshotTable:
         return self._finish(sid, parent, buckets, operation, summary, _schema_ddl(df))
 
     def commit_buckets(
-        self, df: DataFrame, operation: str, summary: dict[str, Any] | None = None
+        self, df: DataFrame, operation: str, summary: dict[str, Any] | None = None,
+        touched: list[int] | None = None,
     ) -> int:
         """Copy-on-write commit: ``df`` holds the NEW full content of the
         buckets it contains; all other buckets are inherited from the parent.
+
+        ``touched`` widens the rewrite set: a touched bucket with NO rows in
+        ``df`` (e.g. a delete emptied it) is dropped from the manifest —
+        without it such a bucket would silently inherit its old rows, since
+        the written set is derived from ``df``'s content.
         """
         sid = self._next_id()
         parent = self.current_snapshot_id()
         snap_name = f"snap-{sid}"
         written = self._write_buckets(df, snap_name)
         buckets = dict(self.manifest()["buckets"])
+        for b in touched or []:
+            buckets.pop(str(b), None)  # emptied unless re-written below
         for b in written:
             buckets[str(b)] = snap_name
         schema_ddl = self.manifest()["schema_ddl"]

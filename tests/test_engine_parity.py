@@ -85,6 +85,15 @@ def test_parity_with_bloom(spark, tmp_path, corpus_fixture):
     )
 
 
+def test_parity_with_cuckoo(spark, tmp_path, corpus_fixture):
+    """Cuckoo prefilter must be a semantic no-op too (same exact backstop)."""
+    _assert_parity(
+        spark, tmp_path, corpus_fixture,
+        CrawlConfig(num_buckets=8, use_bloom=True, urlseen_kind="cuckoo"),
+        SimConfig(),
+    )
+
+
 def test_sessions_tracking_parity_neutral(spark, tmp_path, corpus_fixture):
     """Session-pool tracking is observability state: crawl order and
     URL-seen must be identical to the untracked run, and the pool must

@@ -114,3 +114,21 @@ def test_deterministic_order_within_batch(spark, ft):
         for r in ft.pending().orderBy(*fr.ORDER_COLS).select("depth").collect()
     ]
     assert got == [0, 1, 2]
+
+
+def test_delete_requests(spark, ft):
+    ft.add_requests(
+        _urls(spark, [f"https://h{i % 3}.com/p/{i}" for i in range(12)]), step=0
+    )
+    assert ft.counters()["total"] == 12
+    victims = ft.read().filter(F.col("url").contains("h0.com")).select("url_hash")
+    n_victims = victims.count()
+    assert ft.delete_requests(victims) == n_victims
+    assert ft.counters()["total"] == 12 - n_victims
+    assert ft.read().filter(F.col("url").contains("h0.com")).count() == 0
+    # lineage records the operation; deleting again is a no-op
+    assert ft.table.history()[-1]["operation"] == "delete_requests"
+    assert ft.delete_requests(victims) == 0
+    # a deleted URL may be re-enqueued (it left the URL-seen set)
+    stats = ft.add_requests(_urls(spark, ["https://h0.com/p/0"]), step=1)
+    assert stats["added"] == 1
