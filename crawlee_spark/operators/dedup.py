@@ -415,7 +415,8 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
 
 def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
                   id_col: str = "id", sig_col: str = "simhash",
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  block_col: str | None = None) -> DataFrame:
     """All (id_a < id_b) pairs whose long signatures are within Hamming
     distance ``max_hamming`` — the generic blocked join behind SimHash text
     near-dup AND image pHash near-dup (a 64-bit perceptual hash is the same
@@ -445,8 +446,18 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
     generation (e.g. the all-zero pHash chunk that every near-black image
     shares) — same template-noise rationale and distinct-fallback as
     ``minhash_lsh_pairs``; None (default) keeps exact output.
+
+    ``block_col`` adds an extra EQUALITY key to the candidate join
+    (cross-modal blocking): a pair is a candidate only when it also matches
+    on that column. Exact for any predicate that requires the equality —
+    e.g. joint image+caption dedup (pHash Hamming ≤ d AND caption
+    fingerprint equal) prunes candidates by caption INSIDE the equi-join
+    instead of verifying after, cutting the shuffled candidate volume to
+    the per-caption-group clusters.
     """
-    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
+    extra = [F.col(block_col).alias("_blk")] if block_col else []
+    keys = ["ck", "cv"] + (["_blk"] if block_col else [])
+    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"), *extra)
     n_chunks = max_hamming + 1
     base, rem = divmod(bits, n_chunks)
     chunk_structs = []
@@ -462,24 +473,26 @@ def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 64,
         )
         chunk_spans.append((start, size))
         start += size
+    carry = ["_blk"] if block_col else []
     chunked = s.select(
-        "id", "_sig", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "_sig", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+        "id", "_sig", *carry, F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "_sig", *carry,
+             F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
     # pin the chunk rows so an (expensive) upstream signature build runs
     # once, not once per self-join side (same discipline as the LSH bands)
     chunked = chunked.persist()
     try:
         join_rows = chunked
         if max_bucket is not None:
-            sizes = chunked.groupBy("ck", "cv").agg(
+            sizes = chunked.groupBy(*keys).agg(
                 F.count("*").alias("_bsz")
             ).filter(F.col("_bsz") <= max_bucket)
-            join_rows = chunked.join(sizes, on=["ck", "cv"]).drop("_bsz")
+            join_rows = chunked.join(sizes, on=keys).drop("_bsz")
         a, b = join_rows.alias("a"), join_rows.alias("b")
         xor = F.col("a._sig").bitwiseXOR(F.col("b._sig"))
         ham = F.bit_count(xor)
         joined = (
-            a.join(b, on=["ck", "cv"])
+            a.join(b, on=keys)
             .filter(F.col("a.id") < F.col("b.id"))
         )
         if max_bucket is None:

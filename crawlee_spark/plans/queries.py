@@ -1315,6 +1315,37 @@ def q_image_phash_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT image+caption near-dup — the axes-A+B op of this graft cell: a
+    pair is a duplicate only when the image pHash is within Hamming 6 AND
+    the caption fingerprint is EQUAL (re-encoded image + unchanged alt-text,
+    the classic crawl duplicate; caption-only or image-only matches are
+    excluded, which is what separates this from either single-modal sweep).
+
+    Plan: the caption fingerprint rides INSIDE the pigeonhole equi-join key
+    (``hamming_pairs(block_col=...)``) — candidates are pruned by caption
+    before any shuffle of pair rows, so candidate volume is per-(caption,
+    chunk) clusters, never the image-only collision set. The oracle is the
+    naive all-pairs join with both predicates, so green proves the blocked
+    multimodal join exact.
+
+    Caption fingerprints are synthesized deterministically from `documents`
+    (clusters of 5 share a caption; pHash clusters span 10 — see
+    q_image_phash_neardup), mirrored exactly in the DuckDB oracle; at real
+    scale the fingerprint is ``md5_hash64(normalized caption)`` from the
+    input_hint table's caption column.
+    """
+    sigs = _phash_sigs(spark, sf_dir).withColumn(
+        "cap_fp",
+        T.md5_hash64(F.concat(
+            F.lit("cap#"),
+            (F.col("id") - F.col("id") % 5).cast("string"),
+        )),
+    )
+    return D.hamming_pairs(sigs, max_hamming=6, bits=48, id_col="id",
+                           sig_col="phash", block_col="cap_fp")
+
+
 def _oracle_image_phash(max_hamming: int = 6) -> str:
     grp = _H14.format(x="'img-grp#' || CAST(doc_id - doc_id % 10 AS VARCHAR)")
     flips = " , ".join(
@@ -1344,6 +1375,20 @@ ORACLE_IMAGE_PHASH_REMOVE = f"""
 WITH pairs AS ({ORACLE_IMAGE_PHASH_NEARDUP})
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+ORACLE_MULTIMODAL_DEDUP = f"""
+WITH pairs AS ({ORACLE_IMAGE_PHASH_NEARDUP}),
+cap AS (
+  SELECT doc_id AS id,
+         {_H14.format(x="'cap#' || CAST(doc_id - doc_id % 5 AS VARCHAR)")} AS cap_fp
+  FROM documents
+)
+SELECT p.id_a, p.id_b, p.hamming
+FROM pairs p
+JOIN cap ca ON ca.id = p.id_a
+JOIN cap cb ON cb.id = p.id_b
+WHERE ca.cap_fp = cb.cap_fp
 """
 
 
@@ -1846,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extended_unique_key": q_extended_unique_key,
     "image_phash_neardup": q_image_phash_neardup,
     "image_phash_remove": q_image_phash_remove,
+    "multimodal_dedup": q_multimodal_dedup,
     "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
     "dup_ngram_coverage": q_dup_ngram_coverage,
@@ -1898,6 +1944,7 @@ ORACLES: dict[str, str] = {
     "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
     "image_phash_neardup": ORACLE_IMAGE_PHASH_NEARDUP,
     "image_phash_remove": ORACLE_IMAGE_PHASH_REMOVE,
+    "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "hash_split": ORACLE_HASH_SPLIT,
     "dup_ngram_coverage": ORACLE_DUP_NGRAM_COVERAGE,

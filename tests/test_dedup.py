@@ -123,3 +123,32 @@ def test_incremental_matches_vs_pair_projection(docs):
                 expect.setdefault(inc, set()).add(ex)
     assert got == {k: (min(v), len(v)) for k, v in expect.items()}
     assert got, "fixture corpus must produce at least one cross-side match"
+
+
+def test_hamming_block_col_equals_postfilter(spark):
+    """block_col (cross-modal equality inside the equi-join key) must give
+    exactly the pairs a post-join equality filter would — and keep the
+    equi-join plan (no nested-loop)."""
+    sigs = spark.range(0, 400).select(
+        F.col("id"),
+        F.xxhash64((F.col("id") - F.col("id") % 8).cast("string")).alias("sig"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    blocked = D.hamming_pairs(sigs, max_hamming=4, bits=64, id_col="id",
+                              sig_col="sig", block_col="grp")
+    plain = D.hamming_pairs(sigs, max_hamming=4, bits=64, id_col="id",
+                            sig_col="sig")
+    grp = sigs.select(F.col("id").alias("id_a"), F.col("grp").alias("_ga"))
+    grp_b = sigs.select(F.col("id").alias("id_b"), F.col("grp").alias("_gb"))
+    want = (plain.join(grp, "id_a").join(grp_b, "id_b")
+            .filter(F.col("_ga") == F.col("_gb")))
+    assert _pairs_set(blocked) == _pairs_set(want)
+    assert len(_pairs_set(blocked)) > 0
+    D.CHECKPOINT_PAIRS = False
+    try:
+        plan = D.hamming_pairs(sigs, max_hamming=4, bits=64, id_col="id",
+                               sig_col="sig", block_col="grp")._jdf.queryExecution(
+                               ).executedPlan().toString()
+    finally:
+        D.CHECKPOINT_PAIRS = True
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
