@@ -185,6 +185,14 @@ class CrawlConfig:
     # deliberately decoupled from crawl ordering (parity-neutral)
     track_sessions: bool = False
     sessions_per_bucket: int = 4
+    # createSessionFunction (session_pool.ts:50): DF->DF over the freshly
+    # created pool rows (bucket, session_id, error_score, usage_count,
+    # created_step, retired) — custom session identities/initial state
+    create_session_function: Any = None
+    # isFinishedFunction (autoscaled_pool.ts:20-37): engine -> bool consulted
+    # before each superstep; True ends the crawl even with pending work
+    # (the reference's custom-termination override)
+    is_finished_function: Any = None
 
 
 FETCH_LOG_SCHEMA = (
@@ -891,6 +899,10 @@ class CrawlEngine:
             )
         else:
             pool = sess.create_pool(self.spark, self.cfg.num_buckets, per_bucket)
+            if self.cfg.create_session_function is not None:
+                # createSessionFunction (session_pool.ts:50): user hook
+                # shapes the initial pool rows (same schema contract)
+                pool = self.cfg.create_session_function(pool)
         status = (
             F.when(F.col("_status_code") == 0, F.lit(404))        # no response
             .when(F.col("_err") == "fetch-failed", F.lit(500))    # network error
@@ -931,6 +943,9 @@ class CrawlEngine:
         while self.step < cfg.max_steps:
             if cfg.politeness.max_requests_per_crawl is not None and \
                self.handled_count >= cfg.politeness.max_requests_per_crawl:
+                break
+            if cfg.is_finished_function is not None and \
+                    cfg.is_finished_function(self):
                 break
             st = self.run_superstep(corpus, robots)
             if st.get("empty"):

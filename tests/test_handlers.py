@@ -105,3 +105,46 @@ def test_error_and_failed_handlers(spark, tmp_path, corpus):
     eng2.run(corpus_df)
     assert not eng2.failed_requests.exists()
     assert eng2.crawl_order() == eng.crawl_order()
+
+
+def test_is_finished_function_stops_crawl(spark, tmp_path, corpus):
+    """isFinishedFunction (autoscaled_pool.ts:20-37): a True return ends the
+    crawl before max_steps / frontier exhaustion."""
+    corpus_df, seeds_df = corpus
+    eng = CrawlEngine(
+        spark, str(tmp_path / "fin"),
+        CrawlConfig(num_buckets=8,
+                    is_finished_function=lambda e: e.step >= 2),
+    )
+    eng.add_seeds(seeds_df)
+    totals = eng.run(corpus_df)
+    assert totals["steps"] == 2
+    # without the hook the same crawl runs further
+    eng2 = CrawlEngine(spark, str(tmp_path / "fin2"), CrawlConfig(num_buckets=8))
+    eng2.add_seeds(seeds_df)
+    assert eng2.run(corpus_df)["steps"] > 2
+
+
+def test_create_session_function_shapes_pool(spark, tmp_path, corpus):
+    """createSessionFunction (session_pool.ts:50): the hook's initial pool
+    rows are what the tracker evolves from."""
+    corpus_df, seeds_df = corpus
+
+    def factory(pool):
+        # custom identity: sessions start with a prior error_score of 0.5
+        return pool.withColumn("error_score", F.lit(0.5))
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "sess"),
+        CrawlConfig(num_buckets=8, track_sessions=True,
+                    create_session_function=factory,
+                    is_finished_function=lambda e: e.step >= 1),
+    )
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    assert eng.session_rows, "pool should be tracked"
+    # rows are (bucket, session_id, error_score, usage_count, ...): every
+    # UNUSED session must still carry the factory's prior 0.5 (the default
+    # pool starts at 0.0), proving the hook's rows seeded the tracker
+    unused = [r for r in eng.session_rows if r[3] == 0]
+    assert unused and all(r[2] == 0.5 for r in unused)
