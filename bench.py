@@ -50,6 +50,8 @@ HEADLINE = [
     "dup_ngram_coverage",
     "dedup_incremental",
     "contamination",
+    "semantic_dedup",
+    "line_dedup",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

@@ -798,3 +798,63 @@ def connected_components(
         if stepped.filter(F.col("_chg")).limit(1).count() == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level exact dedup (Wenzek et al. 2020): drop every
+    duplicate LINE occurrence corpus-wide, keeping only its FIRST occurrence
+    (minimum (doc_id, position)), and rebuild each document from its kept
+    lines. Boilerplate (headers, cookie banners, navigation) repeats across
+    pages verbatim at the line level long before whole documents collide —
+    this is the standard pre-filter ahead of document-level MinHash.
+
+    The testdata corpus is whitespace-token text with no newlines, so a
+    "line" is a fixed ``window``-token chunk derived deterministically from
+    the token stream (same derivation in the DuckDB oracle).
+
+    Output: (doc_id, clean_text, n_lines, n_kept). Documents whose every
+    line was a later duplicate drop out entirely (0 kept lines).
+
+    Scale shape: posexplode lines → md5 key → min_by keeper hash aggregate
+    (map-side combine — NOT a row_number window, which would sort every
+    hash partition) → join-back equi-join on the hash → per-doc re-agg.
+    Two shuffles, both on uniform md5 keys; never quadratic. At 100 TB the
+    line-hash table is the big intermediate (~corpus size / window); both
+    aggregations partial-combine before the exchange.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    lines = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+        )
+    )
+    ex = (
+        rebalance_narrow(docs)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("pos", "line"))
+        .withColumn("h", F.md5(F.col("line")))
+    )
+    keeper = ex.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("k"))
+    kept = ex.join(keeper, on="h").filter(
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("pos") == F.col("k.pos")))
+    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(totals, on="doc_id").select(
+        "doc_id", "clean_text", F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"))

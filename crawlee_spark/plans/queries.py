@@ -1849,6 +1849,93 @@ FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): embedding-cluster-blocked exact-cosine
+    near-dup pairs — all-pairs only WITHIN each of 32 sampled-centroid
+    clusters (operators/semantic.py::semantic_dedup_pairs)."""
+    from crawlee_spark.operators import semantic as SD
+
+    return SD.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_centroids=32, centroid_mod=37)
+
+
+def q_semantic_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first SemDeDup sweep: surviving vec_ids after dropping every
+    vector that near-duplicates a lower id in its cluster."""
+    from crawlee_spark.operators import semantic as SD
+
+    return SD.semantic_dedup_remove(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_centroids=32, centroid_mod=37)
+
+
+# assignment CTE shared by both SemDeDup oracles — identical sampled
+# centroids + argmax-cosine fold as ORACLE_ANN_IVF's `assigned`
+_SEMANTIC_ASSIGNED_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT id AS c_id, v AS cv FROM v WHERE id % 37 = 1 ORDER BY id LIMIT 32
+),
+assigned AS (
+  SELECT v.id, any_value(v.v) AS v,
+         first(c.c_id ORDER BY {_cos_sql('v.v', 'c.cv')} DESC, c.c_id ASC) AS c_id
+  FROM v CROSS JOIN cent c GROUP BY v.id
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.c_id AS c_id,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+  FROM assigned a JOIN assigned b ON a.c_id = b.c_id AND a.id < b.id
+)"""
+
+ORACLE_SEMANTIC_DEDUP = _SEMANTIC_ASSIGNED_SQL + """
+SELECT id_a, id_b, c_id, cosine FROM pairs WHERE cosine >= 0.4
+"""
+
+ORACLE_SEMANTIC_DEDUP_REMOVE = _SEMANTIC_ASSIGNED_SQL + """
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs WHERE cosine >= 0.4)
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup: drop duplicate 10-token lines
+    (keep first occurrence by (doc_id, pos)), rebuild documents
+    (operators/dedup.py::line_dedup)."""
+    return D.line_dedup(_t(spark, sf_dir, "documents"), window=10)
+
+
+ORACLE_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ex AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS INT) AS pos,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                i -> array_to_string(t[(i*10+1):(i*10+10)], ' '))) AS line
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY md5(line)
+                              ORDER BY doc_id, pos) AS rn
+    FROM ex
+  ) WHERE rn = 1
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+           FROM ex GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.line, ' ' ORDER BY k.pos) AS clean_text,
+       any_value(t.n_lines) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1897,6 +1984,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_coverage": q_dup_ngram_coverage,
     "dedup_incremental": q_dedup_incremental,
     "contamination": q_contamination,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_remove": q_semantic_dedup_remove,
+    "line_dedup": q_line_dedup,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -1950,6 +2040,9 @@ ORACLES: dict[str, str] = {
     "dup_ngram_coverage": ORACLE_DUP_NGRAM_COVERAGE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "contamination": ORACLE_CONTAMINATION,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "semantic_dedup_remove": ORACLE_SEMANTIC_DEDUP_REMOVE,
+    "line_dedup": ORACLE_LINE_DEDUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,
