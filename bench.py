@@ -52,6 +52,8 @@ HEADLINE = [
     "contamination",
     "semantic_dedup",
     "line_dedup",
+    "pagerank",
+    "hll_distinct",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

@@ -1,0 +1,98 @@
+"""Link-graph operators: click-graph derivation + integer-arithmetic
+PageRank.
+
+Frontier prioritization by link importance is the classic crawl-ordering
+signal (OPIC / PageRank-ordered crawling — Cho, Garcia-Molina & Page,
+"Efficient crawling through URL ordering", WWW'98). The reference schedules
+purely by insertion order + forefront (request_queue.ts); at 10^10 URLs a
+production crawler re-prioritizes the frontier from the link graph it has
+already observed. This module provides that signal as a set-based operator
+over an edge DataFrame.
+
+Determinism: classic PageRank iterates float sums whose value depends on
+reduction order — unusable under a value-hash oracle. Ranks here are
+integer "rank units" (1e6 per node at init) with the damped update
+
+    rank'(v) = 150_000 + (85 * inbound(v)) div 100
+    inbound(v) = Σ_{edges u→v} rank(u) div outdeg(u)
+
+— every step is exact int64 arithmetic (sums are order-independent), both
+engines floor identically, and the fixed iteration count makes the whole
+computation one deterministic dataflow. Truncation loses < outdeg units per
+node per step (bounded, documented); dangling nodes leak their rank mass
+(the standard simplification — re-injection would add one scalar broadcast
+per iteration at scale).
+
+Scale shape per iteration: one equi-join ranks⋈edges on src (edges arrive
+pre-joined with outdeg — computed once), one hash aggregate on dst with
+map-side combine, one left join back to the node set. Edges re-use their
+partitioning across iterations; lineage is truncated per step with
+localCheckpoint exactly like operators/dedup.py::connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlee_spark.functions.text import md5_hash64
+
+
+def click_graph(events: DataFrame, n_pages: int = 128) -> DataFrame:
+    """(src, dst) edge multiset: consecutive events of the same user are a
+    click edge between their (synthetic, hash-derived) pages.
+
+    The testdata events table carries no URL column, so the page id is
+    derived deterministically: ``page = md5_hash64(event_id) % n_pages``
+    (the DuckDB oracle mirrors the derivation). Self-loops dropped;
+    parallel edges kept (repeat clicks weight the edge).
+    """
+    page = F.pmod(md5_hash64(F.col("event_id").cast("string")), F.lit(n_pages))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag(page).over(w).alias("src"), page.alias("dst"))
+    return pairs.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    units: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank): integer-unit PageRank after ``iters`` damped updates
+    (see module docstring for the exact recurrence and why it is integer).
+
+    Nodes = every id appearing as src or dst. Output rank is int64 units
+    (1e6 ≈ the undamped per-node mass).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # join outdeg once; every iteration reuses this edge set
+    ed = e.join(outdeg, on="src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(units).cast("long"))
+    for _ in range(iters):
+        inbound = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(inbound, nodes["node"] == inbound["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(15 * units // 100).cast("long")
+                    + F.expr("85 * coalesce(inbound, 0L) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1936,6 +1936,109 @@ GROUP BY k.doc_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (5 damped iterations) over the click
+    graph derived from per-user consecutive events — the crawl-ordering
+    signal of Cho/Garcia-Molina/Page WWW'98 (operators/graph.py)."""
+    from crawlee_spark.operators.graph import click_graph, pagerank
+
+    return pagerank(click_graph(_t(spark, sf_dir, "events"), n_pages=128),
+                    iters=5)
+
+
+def _oracle_pagerank(iters: int = 5, n_pages: int = 128,
+                     units: int = 1_000_000) -> str:
+    # unrolled damped updates (fixed iteration count -> plain chained CTEs;
+    # no recursion needed). `//` is DuckDB integer division = Spark `div`;
+    # all values are int64-exact, so summation order cannot matter.
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST({15 * units // 100} + (85 * COALESCE(s.inbound, 0)) // 100
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // o.deg) AS inbound
+    FROM edges e JOIN outdeg o ON e.src = o.src
+                 JOIN r{i-1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))
+              AS BIGINT) % {n_pages} AS page
+  FROM events
+),
+pairs AS (
+  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         page AS dst
+  FROM ev
+),
+edges AS (SELECT src, dst FROM pairs WHERE src IS NOT NULL AND src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({units} AS BIGINT) AS rank FROM nodes),
+{", ".join(steps)}
+SELECT node, rank FROM r{iters}
+"""
+
+
+ORACLE_PAGERANK = _oracle_pagerank()
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog sketch: estimated distinct l_orderkey per
+    l_returnflag in 2^8 registers (operators/sketch.py — the at-scale
+    replacement for an exact count_distinct key shuffle)."""
+    from crawlee_spark.operators.sketch import hll_cardinality
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_orderkey").cast("string").alias("k"))
+    return hll_cardinality(li, "k", ["l_returnflag"], p=8)
+
+
+def _oracle_hll(p: int = 8) -> str:
+    m = 1 << p
+    bits = 56
+    width = bits - p
+    alpha_m2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    scale_int = 1 << bits
+    scale_dbl = repr(float(1 << bits))
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 14))
+              AS BIGINT) AS h
+  FROM lineitem
+),
+br AS (
+  SELECT l_returnflag, h % {m} AS b,
+         CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+              ELSE {width} - length(bin(h >> {p})) + 1 END AS r
+  FROM h
+),
+regs AS (SELECT l_returnflag, b, max(r) AS mr FROM br GROUP BY l_returnflag, b),
+agg AS (
+  SELECT l_returnflag, count(*) AS present,
+         sum(CAST((CAST(1 AS BIGINT) << ({bits} - mr)) AS DECIMAL(38,0))) AS s
+  FROM regs GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST({m} AS BIGINT) AS n_registers,
+       CAST({m} - present AS BIGINT) AS n_empty,
+       round({alpha_m2} /
+             (CAST(s + CAST({m} - present AS DECIMAL(38,0))
+                       * CAST({scale_int} AS DECIMAL(38,0)) AS DOUBLE)
+              / {scale_dbl}), 2) AS hll_estimate
+FROM agg
+"""
+
+
+ORACLE_HLL_DISTINCT = _oracle_hll()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1987,6 +2090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_remove": q_semantic_dedup_remove,
     "line_dedup": q_line_dedup,
+    "pagerank": q_pagerank,
+    "hll_distinct": q_hll_distinct,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2043,6 +2148,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "semantic_dedup_remove": ORACLE_SEMANTIC_DEDUP_REMOVE,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "pagerank": ORACLE_PAGERANK,
+    "hll_distinct": ORACLE_HLL_DISTINCT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

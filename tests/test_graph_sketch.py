@@ -1,0 +1,92 @@
+"""Integer PageRank (operators/graph.py) and the portable HyperLogLog
+sketch (operators/sketch.py). Exact output values are pinned by the DuckDB
+oracle gate (q:pagerank, q:hll_distinct); these tests pin what the oracle
+can't: the recurrence against an independent pure-Python twin on a hand
+graph, edge-derivation semantics, and the sketch's accuracy envelope
+against exact cardinalities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.graph import click_graph, pagerank
+from crawlee_spark.operators.sketch import hll_cardinality
+
+
+def _pagerank_py(edges, iters=5, units=1_000_000):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {n: units for n in nodes}
+    for _ in range(iters):
+        inbound = {n: 0 for n in nodes}
+        for u, v in edges:
+            inbound[v] += rank[u] // outdeg[u]
+        rank = {n: 15 * units // 100 + 85 * inbound[n] // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_twin_on_hand_graph(spark):
+    # hub-and-spoke with a back edge and a parallel edge (weighting)
+    edges = [(1, 2), (3, 2), (4, 2), (2, 1), (1, 2), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    assert got == _pagerank_py(edges, iters=5)
+    # the hub must outrank every spoke
+    assert got[2] == max(got.values())
+
+
+def test_pagerank_dangling_leak_and_bounds(spark):
+    # chain into a dangling sink: total mass decays but every rank stays
+    # >= the damping floor and the sink still accumulates
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    assert got == _pagerank_py(edges, iters=3)
+    assert all(v >= 150_000 for v in got.values())
+
+
+def test_click_graph_consecutive_per_user_no_self_loops(spark):
+    rows = [
+        # user 10: three events -> two consecutive pairs
+        (1, "2024-01-01 00:00:01", 10),
+        (2, "2024-01-01 00:00:02", 10),
+        (3, "2024-01-01 00:00:03", 10),
+        # user 20: single event -> no edge
+        (4, "2024-01-01 00:00:04", 20),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    edges = click_graph(ev, n_pages=128).collect()
+    assert len(edges) <= 2          # self-loop collisions may drop pairs
+    assert all(e["src"] != e["dst"] for e in edges)
+    assert all(0 <= e["src"] < 128 and 0 <= e["dst"] < 128 for e in edges)
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    # each group sees keys 0..2499 exactly twice; p=8 -> sigma ~ 6.5%
+    df = spark.range(10_000).select(
+        (F.col("id") % 2).alias("g"),
+        ((F.col("id") / 2).cast("long") % 2500).cast("string").alias("k"),
+    )
+    out = {r["g"]: r for r in hll_cardinality(df, "k", ["g"], p=8).collect()}
+    for g in (0, 1):
+        est = out[g]["hll_estimate"]
+        assert out[g]["n_registers"] == 256
+        assert abs(est - 2500) / 2500 < 0.25   # ~4 sigma
+    # the two groups see the SAME key set -> identical sketches
+    assert out[0]["hll_estimate"] == out[1]["hll_estimate"]
+    assert out[0]["n_empty"] == out[1]["n_empty"]
+
+
+def test_hll_monotone_register_fill(spark):
+    # more distinct keys -> fewer empty registers (sketch actually fills)
+    small = hll_cardinality(
+        spark.range(50).select(F.col("id").cast("string").alias("k")),
+        "k", p=8).collect()[0]
+    big = hll_cardinality(
+        spark.range(5000).select(F.col("id").cast("string").alias("k")),
+        "k", p=8).collect()[0]
+    assert small["n_empty"] > big["n_empty"]
+    assert small["hll_estimate"] < big["hll_estimate"]
