@@ -135,9 +135,36 @@ CHECKS = {
         ("partial agg before exchange", r"HashAggregate"),
         ("codegen", "codegen"),
     ],
+    "semantic_dedup": [
+        # SemDeDup: the corpus x 32-centroid ASSIGNMENT is a deliberate
+        # broadcast nested loop (tiny centroid side — the standard IVF
+        # build, same as ann_ivf); what must be an EQUI-join is the PAIR
+        # join on c_id, or the all-pairs sweep escaped its blocking
+        ("centroid side broadcast", r"BroadcastExchange"),
+        ("pair equi-join on c_id", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*c_id"),
+    ],
+    "line_dedup": [
+        # keeper selection must be a min_by hash aggregate (map-side
+        # combine), never a row_number window over the hash partitions
+        ("no window", r"Window", "absent"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("codegen", "codegen"),
+    ],
+    "hll_distinct": [
+        # the register build is two hash aggregates with partial combine;
+        # the shuffle carries registers, never keys
+        ("no window", r"Window", "absent"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("codegen", "codegen"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
+    # pagerank's per-iteration plan is truncated by localCheckpoint (same
+    # note); its join/agg shape is asserted structurally in
+    # tests/test_graph_sketch.py via the python-twin parity instead.
 }
 
 report = []
