@@ -54,6 +54,7 @@ HEADLINE = [
     "line_dedup",
     "pagerank",
     "hll_distinct",
+    "heavy_hitters",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

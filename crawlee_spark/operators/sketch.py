@@ -94,3 +94,61 @@ def hll_cardinality(
         (F.lit(m) - F.col("_present")).cast("long").alias("n_empty"),
         F.round(est, 2).alias("hll_estimate"),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k heavy hitters of ``key_col`` by count-min-sketch estimate
+    (Cormode & Muthukrishnan 2005): d=4 hash rows x w=1024 counters.
+
+    Sketch build is ONE pass: each occurrence increments d counters, i.e. a
+    groupBy (row, bucket) count whose state is bounded by d*w cells no
+    matter the key cardinality — the point at 10^10 URLs, where an exact
+    per-key count shuffles every key. The estimate of a key is the MIN of
+    its d counters (never an under-count; over-counts decay with w). The
+    candidate pass (distinct keys -> estimate join -> top-k) exists to
+    DEMONSTRATE estimate accuracy against the exact oracle; a production
+    heavy-hitter pipeline keeps candidates from a per-partition pre-pass.
+
+    Row r's hash is ``md5_hash64(key || '#cms<r>') % w`` — portable to the
+    DuckDB oracle verbatim. Output: (key, est_count, rank), rank 1..k by
+    (est_count desc, key asc); ties beyond position k are CUT by the rank
+    window (deterministic because the full order is total).
+    """
+    rows_arr = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(
+                md5_hash64(F.concat(F.col(key_col), F.lit(f"#cms{r}"))),
+                F.lit(w),
+            ).alias("b"),
+        )
+        for r in range(d)
+    ])
+    occ = df.select(F.col(key_col).alias("key"), F.explode(rows_arr).alias("rb"))
+    counters = (
+        occ.groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # estimate every distinct key: join its d (r, b) cells, take the min
+    # (rows_arr references key_col, so alias to "key" in the same select)
+    cand = df.select(F.col(key_col)).distinct().select(
+        F.col(key_col).alias("key"), F.explode(rows_arr).alias("rb"))
+    est = (
+        cand.join(counters, (F.col("rb.r") == F.col("r")) & (F.col("rb.b") == F.col("b")))
+        .groupBy("key")
+        .agg(F.min("c").alias("est_count"))
+    )
+    from pyspark.sql import Window
+
+    # global top-k as orderBy().limit(): Spark plans TakeOrderedAndProject
+    # (per-partition partial top-k, no single-partition sort of the
+    # estimate table); the rank window then orders only the k survivors
+    top = est.orderBy(F.col("est_count").desc(), F.col("key").asc()).limit(k)
+    rk = Window.orderBy(F.col("est_count").desc(), F.col("key").asc())
+    return top.withColumn("rank", F.row_number().over(rk))

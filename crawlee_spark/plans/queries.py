@@ -2039,6 +2039,43 @@ FROM agg
 ORACLE_HLL_DISTINCT = _oracle_hll()
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document tokens by count-min-sketch estimate (4x1024 sketch,
+    operators/sketch.py::cms_heavy_hitters — bounded-state frequency
+    counting; the exact-count analog is q:top_terms)."""
+    from crawlee_spark.operators.sketch import cms_heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(T.tokens_of(F.col("text"))).alias("tok"))
+    return cms_heavy_hitters(toks, "tok", d=4, w=1024, k=20)
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS key FROM documents
+),
+cells AS (
+  SELECT key, rr.r,
+         CAST(('0x' || substr(md5(key || '#cms' || rr.r), 1, 14)) AS BIGINT)
+             % 1024 AS b
+  FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS rr(r)
+),
+counters AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+             FROM cells GROUP BY r, b),
+est AS (
+  SELECT d.key, min(ct.c) AS est_count
+  FROM (SELECT DISTINCT key, r, b FROM cells) d
+  JOIN counters ct USING (r, b)
+  GROUP BY d.key
+)
+SELECT key, est_count, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT key, est_count,
+         row_number() OVER (ORDER BY est_count DESC, key) AS rank
+  FROM est
+) WHERE rank <= 20
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2092,6 +2129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pagerank": q_pagerank,
     "hll_distinct": q_hll_distinct,
+    "heavy_hitters": q_heavy_hitters,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2150,6 +2188,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "pagerank": ORACLE_PAGERANK,
     "hll_distinct": ORACLE_HLL_DISTINCT,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -151,6 +151,14 @@ CHECKS = {
         ("partial agg before exchange", r"HashAggregate"),
         ("codegen", "codegen"),
     ],
+    "heavy_hitters": [
+        # bounded-state CMS build (partial-combining aggregates); global
+        # top-k via TakeOrderedAndProject, never a full sort; the rank
+        # window runs over the k survivors only
+        ("distributed partial top-k", r"TakeOrderedAndProject"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("codegen", "codegen"),
+    ],
     "hll_distinct": [
         # the register build is two hash aggregates with partial combine;
         # the shuffle carries registers, never keys

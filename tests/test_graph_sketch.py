@@ -90,3 +90,36 @@ def test_hll_monotone_register_fill(spark):
         "k", p=8).collect()[0]
     assert small["n_empty"] > big["n_empty"]
     assert small["hll_estimate"] < big["hll_estimate"]
+
+
+def test_cms_never_undercounts_and_finds_true_heavy_hitters(spark):
+    from crawlee_spark.operators.sketch import cms_heavy_hitters
+
+    # zipf-ish: key "k0" x 400, "k1" x 200, ..., plus 500 singleton keys
+    rows = []
+    for i, n in enumerate([400, 200, 100, 50, 25]):
+        rows += [(f"k{i}",)] * n
+    rows += [(f"s{j}",) for j in range(500)]
+    df = spark.createDataFrame(rows, "tok string")
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    out = cms_heavy_hitters(df, "tok", d=4, w=1024, k=5).collect()
+    got = {r["key"]: r["est_count"] for r in out}
+    # CMS estimates never undercount
+    assert all(got[k] >= exact[k] for k in got)
+    # with w >> distinct keys, the top-5 are exactly the planted heavies
+    assert set(got) == {f"k{i}" for i in range(5)}
+    ranks = {r["key"]: r["rank"] for r in out}
+    assert ranks == {"k0": 1, "k1": 2, "k2": 3, "k3": 4, "k4": 5}
+
+
+def test_cms_topk_plan_uses_take_ordered(spark):
+    from crawlee_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "tok string")
+    q = cms_heavy_hitters(df, "tok", k=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    # global top-k must be a distributed partial top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
