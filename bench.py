@@ -55,6 +55,7 @@ HEADLINE = [
     "pagerank",
     "hll_distinct",
     "heavy_hitters",
+    "weighted_sample",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

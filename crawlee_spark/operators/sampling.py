@@ -96,3 +96,38 @@ def hash_split(
     t = split_threshold(frac)
     cond = sample_key(*key_cols, salt=salt) < F.lit(t)
     return df.filter(~cond if complement else cond)
+
+
+def uniform_unit(*cols, salt: str = "") -> "F.Column":
+    """Deterministic U[0,1) from the key hash: first 12 hex chars of md5
+    (48 bits) / 2^48 — one exact int→double conversion, then one IEEE
+    division, identical in both engines.
+
+    DuckDB mirror:
+    ``CAST(('0x' || substr(md5(k), 1, 12)) AS BIGINT) / 281474976710656.0``
+    """
+    h = F.conv(F.substring(sample_key(*cols, salt=salt), 1, 12), 16, 10).cast("long")
+    return h / F.lit(float(1 << 48))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling: keep each row independently with probability
+    equal to its weight (clipped to [0, 1]) — the training-data-mixing
+    primitive ("sample documents proportional to quality"; e.g. the CCNet /
+    DCLM-style quality-weighted retention stage).
+
+    Deterministic: the acceptance draw is ``uniform_unit(key) < weight``,
+    so a row's fate is a pure function of (key, salt, weight) — stable
+    across runs, partitionings, engines, and corpus growth, and the salt
+    gives an independent redraw. Plan: a pure filter (no shuffle, pushes
+    into the scan alongside other predicates).
+    """
+    u = uniform_unit(*key_cols, salt=salt)
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    return df.filter(u < w)

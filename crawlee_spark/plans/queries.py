@@ -2076,6 +2076,27 @@ SELECT key, est_count, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sample of documents: each doc kept with
+    probability = its composite quality score (deterministic hash draw,
+    operators/sampling.py::weighted_sample) — the training-mix retention
+    stage."""
+    from crawlee_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "quality", T.quality_score(F.col("text")))
+    return weighted_sample(d, "quality", ["doc_id"]).select("doc_id", "quality")
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH q AS (SELECT doc_id, quality FROM ({ORACLE_TEXT_QUALITY}) t)
+SELECT doc_id, quality FROM q
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      / 281474976710656.0
+      < least(greatest(quality, 0.0), 1.0)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2130,6 +2151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2189,6 +2211,7 @@ ORACLES: dict[str, str] = {
     "pagerank": ORACLE_PAGERANK,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -78,3 +78,50 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20,
                    30: 30, 31: 30, 32: 30, 33: 30, 34: 30}
+
+
+def test_weighted_sample_rates_bounds_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, 0.0)
+         .when(F.col("id") % 4 == 1, 0.3)
+         .when(F.col("id") % 4 == 2, 1.0)
+         .otherwise(2.5)                      # out-of-range: clips to 1
+         .alias("w"),
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "w", ["doc_id"]).collect()}
+    g = {m: [i for i in range(2000) if i % 4 == m] for m in range(4)}
+    assert not kept & set(g[0])               # weight 0 -> never kept
+    assert set(g[2]) <= kept                  # weight 1 -> always kept
+    assert set(g[3]) <= kept                  # clipped weight 2.5 -> always
+    rate = len(kept & set(g[1])) / len(g[1])  # weight 0.3 -> ~30%
+    assert 0.2 < rate < 0.4
+    # growth stability: the same doc_ids stay kept in a larger corpus
+    df2 = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit(0.3).alias("w"))
+    kept_small = {r["doc_id"] for r in weighted_sample(
+        df2.filter(F.col("doc_id") < 2000), "w", ["doc_id"]).collect()}
+    kept_big = {r["doc_id"]
+                for r in weighted_sample(df2, "w", ["doc_id"]).collect()}
+    assert kept_small == {d for d in kept_big if d < 2000}
+    # salt redraws an independent sample
+    salted = {r["doc_id"] for r in weighted_sample(
+        df2, "w", ["doc_id"], salt="v2").collect()}
+    assert salted != kept_big
+
+
+def test_weighted_sample_plan_is_pure_filter(spark):
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.operators.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(0.5).alias("w"))
+    q = weighted_sample(df, "w", ["doc_id"])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan             # no shuffle: just a filter
