@@ -56,6 +56,8 @@ HEADLINE = [
     "hll_distinct",
     "heavy_hitters",
     "weighted_sample",
+    "sequence_pack",
+    "domain_cap",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

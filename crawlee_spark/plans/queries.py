@@ -65,8 +65,8 @@ FROM documents
 """
 
 
-def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+def _messy_url_expr() -> "F.Column":
+    """Spark mirror of ``_MESSY_SQL``'s url column (input: ``doc_id``)."""
     g = F.floor(F.col("doc_id") / 4).cast("long")
     base = F.concat(
         F.lit("https://site"), (g % 10).cast("string"), F.lit(".com/p/"),
@@ -82,7 +82,12 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("#frag")))
         .otherwise(F.concat(base, F.lit("?b=2&a=1&utm_source=x")))
     )
-    return d.select("doc_id", url.alias("url"))
+    return url
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _messy_url_expr().alias("url"))
 
 
 # DuckDB mirror of functions/urls.py::canonicalize (same regex pipeline).
@@ -2097,6 +2102,103 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: each doc's token offset, first
+    context-window id, and window span within its hash shard
+    (operators/packing.py — the pre-tensorization stage of a training
+    pipeline; per-shard window, never a global prefix sum)."""
+    from crawlee_spark.operators.packing import sequence_pack, shard_of
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(T.tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
+        shard_of("doc_id", 8).alias("shard"),
+    ).filter(F.col("n_tokens") > 0)
+    return sequence_pack(t, "n_tokens", "doc_id", "shard", ctx=512)
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         CAST({_H14.format(x="CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard
+  FROM documents
+), p AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, shard, start_off,
+       CAST(start_off // 512 AS BIGINT) AS pack_id,
+       CAST((start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS BIGINT)
+         AS n_windows
+FROM p
+"""
+
+
+_BLOCKED_DOMAINS = ["site3.com", "site7.com"]
+_DOMAIN_CAP = 25
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced corpus cap: drop blocklisted registrable domains,
+    then keep the top-K docs per domain by quality (C4/RefinedWeb-style
+    anti-domination stage — a hot domain cannot dominate the training mix).
+
+    Plan shape: blocklist is a NOT IN over a tiny literal list (at scale a
+    broadcast anti-join / Bloom pushdown), the cap is one window partitioned
+    by domain — Spark 4 plans WindowGroupLimit partial/final, so each
+    domain's top-K is pre-pruned map-side before the shuffle; no global
+    sort. Skewed domains are exactly the rows the cap discards early.
+    """
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        _messy_url_expr().alias("url"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    dom = U.registrable_domain(U.host_of(F.col("url")))
+    rows = rows.withColumn("domain", dom).filter(
+        ~F.col("domain").isin(_BLOCKED_DOMAINS)
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rows.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DOMAIN_CAP)
+        .select("domain", "doc_id", "quality", "rnk")
+    )
+
+
+# The oracle derives the registrable domain independently (last two labels
+# of the host — exact for the synthetic siteN.com corpus; the Spark side
+# runs the full PSL path, pinned separately by tests/test_psl.py).
+ORACLE_DOMAIN_CAP = f"""
+WITH messy AS ({_MESSY_SQL}),
+q AS (SELECT doc_id, quality FROM ({ORACLE_TEXT_QUALITY}) tq),
+rows_ AS (
+  SELECT m.doc_id, q.quality,
+         regexp_extract(regexp_extract(lower(m.url), '^[a-z]+://([^/]+)', 1),
+                        '([^.]+[.][^.]+)$', 1) AS domain
+  FROM messy m JOIN q ON m.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT domain, doc_id, quality,
+         CAST(row_number() OVER (
+             PARTITION BY domain ORDER BY quality DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+  FROM rows_
+  WHERE domain NOT IN ({", ".join(repr(x) for x in _BLOCKED_DOMAINS)})
+)
+SELECT domain, doc_id, quality, rnk FROM ranked WHERE rnk <= {_DOMAIN_CAP}
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2152,6 +2254,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
+    "sequence_pack": q_sequence_pack,
+    "domain_cap": q_domain_cap,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2212,6 +2316,8 @@ ORACLES: dict[str, str] = {
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "domain_cap": ORACLE_DOMAIN_CAP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -167,6 +167,19 @@ CHECKS = {
         ("partial agg before exchange", r"HashAggregate"),
         ("codegen", "codegen"),
     ],
+    "sequence_pack": [
+        # the prefix sum must run per hash shard — one hash exchange on
+        # shard, never a global (empty-partition-spec) window
+        ("shard-partitioned exchange", r"hashpartitioning\(shard"),
+        ("per-shard window", r"Window"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
+    "domain_cap": [
+        # the per-domain top-K must pre-prune map-side (WindowGroupLimit
+        # partial/final) — no global sort, no single-partition funnel
+        ("window group limit pre-prune", r"WindowGroupLimit"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
