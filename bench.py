@@ -58,6 +58,7 @@ HEADLINE = [
     "weighted_sample",
     "sequence_pack",
     "domain_cap",
+    "image_batch_pack",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

@@ -2199,6 +2199,70 @@ SELECT domain, doc_id, quality, rnk FROM ranked WHERE rnk <= {_DOMAIN_CAP}
 """
 
 
+def q_image_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio-bucketed training-batch packing over the image+caption
+    table (input_hint shape) — the image-side twin of q:sequence_pack.
+
+    Diffusion/VLM training batches images of similar aspect ratio together
+    (SDXL-style bucketing) so no batch mixes portrait with ultrawide.
+    Dims (w, h) are synthesized deterministically from doc_id (no external
+    data; 256..1023 px, arithmetic mirrored in the oracle); the bucket is
+    integer aspect class ``clamp(w*4 div h, 1, 12)``; batch assignment is a
+    row_number within (bucket, shard) → ``batch_idx = rn0 div B``,
+    ``slot = rn0 % B``.
+
+    Scale shape: a window partitioned by bucket ALONE would be ~12 skewed
+    partitions owning the whole corpus — the md5 shard inside each bucket
+    (same pattern as operators/packing.py) keeps every window local and
+    uniform; batches never cross a (bucket, shard) boundary, at the cost of
+    one ragged final batch per shard (documented, exactly like
+    sequence_pack's per-shard streams)."""
+    from crawlee_spark.operators.packing import shard_of
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (T.md5_hash64(F.concat(F.lit("img-w#"), F.col("doc_id").cast("string")))
+         % 768 + 256)
+    h = (T.md5_hash64(F.concat(F.lit("img-h#"), F.col("doc_id").cast("string")))
+         % 768 + 256)
+    b = (
+        d.withColumn("w", w).withColumn("h", h)
+        .withColumn("bkt", F.least(F.greatest(F.expr("w * 4 div h"),
+                                              F.lit(1)), F.lit(12)))
+        .withColumn("shard", shard_of("doc_id", 4))
+    )
+    win = Window.partitionBy("bkt", "shard").orderBy(F.col("doc_id").asc())
+    b = b.withColumn("rn0", F.row_number().over(win).cast("long") - 1)
+    return b.select(
+        "doc_id", "w", "h", "bkt", "shard",
+        F.expr("rn0 div 16").alias("batch_idx"),
+        (F.col("rn0") % 16).alias("slot"),
+    )
+
+
+ORACLE_IMAGE_BATCH_PACK = f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_H14.format(x="'img-w#' || CAST(doc_id AS VARCHAR)")} % 768 + 256 AS w,
+         {_H14.format(x="'img-h#' || CAST(doc_id AS VARCHAR)")} % 768 + 256 AS h,
+         {_H14.format(x="CAST(doc_id AS VARCHAR)")} % 4 AS shard
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST(least(greatest(w * 4 // h, 1), 12) AS BIGINT) AS bkt,
+         CAST(shard AS BIGINT) AS shard
+  FROM dims
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY bkt, shard ORDER BY doc_id ASC) - 1 AS rn0
+  FROM b
+)
+SELECT doc_id, w, h, bkt, shard,
+       CAST(rn0 // 16 AS BIGINT) AS batch_idx,
+       CAST(rn0 % 16 AS BIGINT) AS slot
+FROM r
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2256,6 +2320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "sequence_pack": q_sequence_pack,
     "domain_cap": q_domain_cap,
+    "image_batch_pack": q_image_batch_pack,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2318,6 +2383,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "domain_cap": ORACLE_DOMAIN_CAP,
+    "image_batch_pack": ORACLE_IMAGE_BATCH_PACK,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -180,6 +180,12 @@ CHECKS = {
         ("window group limit pre-prune", r"WindowGroupLimit"),
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
     ],
+    "image_batch_pack": [
+        # batch assignment must window per (bucket, shard) — the shard key
+        # is what keeps 12 aspect classes from becoming 12 skewed tasks
+        ("bucket+shard partitioned exchange", r"hashpartitioning\(bkt"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.

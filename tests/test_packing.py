@@ -60,6 +60,28 @@ def test_pack_is_partitioning_invariant_and_growth_stable(spark):
     assert prefix == rows_a
 
 
+def test_image_batch_pack_invariants(spark):
+    """Batches are aspect-homogeneous, never cross a shard, fill slots
+    0..B-1 contiguously, and only the last batch per (bkt, shard) stream
+    may be ragged (exact values pinned by the q:image_batch_pack oracle)."""
+    from crawlee_spark.plans.queries import q_image_batch_pack
+
+    rows = q_image_batch_pack(spark, "/root/testdata/sf0.01").collect()
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        assert 1 <= r["bkt"] <= 12
+        assert r["bkt"] == min(max(r["w"] * 4 // r["h"], 1), 12)
+        groups.setdefault((r["bkt"], r["shard"], r["batch_idx"]), []).append(r)
+    streams: dict[tuple, int] = {}
+    for (bkt, shard, bi), batch in groups.items():
+        assert sorted(r["slot"] for r in batch) == list(range(len(batch)))
+        assert len(batch) <= 16
+        streams[(bkt, shard)] = max(streams.get((bkt, shard), -1), bi)
+    for (bkt, shard), last in streams.items():
+        for bi in range(last):  # every batch before the last one is full
+            assert len(groups[(bkt, shard, bi)]) == 16
+
+
 def test_shard_of_is_uniform_enough(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     counts = (
