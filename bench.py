@@ -59,6 +59,7 @@ HEADLINE = [
     "sequence_pack",
     "domain_cap",
     "image_batch_pack",
+    "token_mix",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

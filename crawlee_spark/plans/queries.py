@@ -2263,6 +2263,79 @@ FROM r
 """
 
 
+_MIX_TARGET = [("en", 0.5), ("de", 0.25), ("fr", 0.25)]  # target token shares
+
+
+def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix rebalancing: downsample each language so its share
+    of the TRAINING TOKENS approaches the target mix (the Pile/DoReMi-style
+    source-weighting stage, applied per language here).
+
+    acceptance(lang) = min(1, target_share · total_tokens / lang_tokens);
+    each doc is kept iff its deterministic hash draw < acceptance — so an
+    over-represented language is thinned toward its target share while an
+    under-represented one passes whole (rate capped at 1; upsampling is a
+    repeat-epoch decision, not a filter's).
+
+    Plan shape at 100 TB: one map-side-combining aggregate to per-lang
+    token totals (|langs| rows), one scalar fold over that dim, a broadcast
+    join of the (lang, accept) dim back onto the corpus, then a pure
+    deterministic filter — the corpus is scanned twice and shuffled only
+    by lang (|langs| groups, combiner-collapsed), never by doc."""
+    from crawlee_spark.operators.sampling import uniform_unit
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        T.langid(F.col("text")).alias("lang"),
+        F.size(T.tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(
+        F.col("lang").isin([l for l, _ in _MIX_TARGET]) & (F.col("n_tokens") > 0)
+    )
+    per_lang = base.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    tot = per_lang.agg(F.sum("lang_tokens").alias("g"))
+    target = F.when(F.col("lang") == _MIX_TARGET[0][0], F.lit(_MIX_TARGET[0][1]))
+    for lang, share in _MIX_TARGET[1:]:
+        target = target.when(F.col("lang") == lang, F.lit(share))
+    rates = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(F.lit(1.0),
+                target * F.col("g") / F.col("lang_tokens")).alias("accept"),
+    )
+    out = base.join(F.broadcast(rates), "lang")
+    return out.filter(uniform_unit("doc_id") < F.col("accept")).select(
+        "doc_id", "lang", "n_tokens", F.round("accept", 6).alias("accept_rate")
+    )
+
+
+_MIX_TARGET_SQL = " ".join(
+    f"WHEN '{lang}' THEN {share}" for lang, share in _MIX_TARGET
+)
+
+ORACLE_TOKEN_MIX = f"""
+WITH base AS (
+  SELECT l.doc_id, l.lang_pred AS lang,
+         CAST(len({_TOKENS_SQL.replace("text", "d.text")}) AS BIGINT) AS n_tokens
+  FROM ({ORACLE_TEXT_LANGID}) l JOIN documents d ON l.doc_id = d.doc_id
+  WHERE l.lang_pred IN ({", ".join(repr(l) for l, _ in _MIX_TARGET)})
+), base2 AS (SELECT * FROM base WHERE n_tokens > 0),
+per_lang AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+  FROM base2 GROUP BY lang
+), tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS g FROM per_lang),
+rates AS (
+  SELECT lang,
+         least(1.0, (CASE lang {_MIX_TARGET_SQL} END) * g / lang_tokens)
+           AS accept
+  FROM per_lang CROSS JOIN tot
+)
+SELECT b.doc_id, b.lang, b.n_tokens, round(r.accept, 6) AS accept_rate
+FROM base2 b JOIN rates r ON b.lang = r.lang
+WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      / 281474976710656.0 < r.accept
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2321,6 +2394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "domain_cap": q_domain_cap,
     "image_batch_pack": q_image_batch_pack,
+    "token_mix": q_token_mix,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2384,6 +2458,7 @@ ORACLES: dict[str, str] = {
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "domain_cap": ORACLE_DOMAIN_CAP,
     "image_batch_pack": ORACLE_IMAGE_BATCH_PACK,
+    "token_mix": ORACLE_TOKEN_MIX,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

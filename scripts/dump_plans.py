@@ -186,6 +186,15 @@ CHECKS = {
         ("bucket+shard partitioned exchange", r"hashpartitioning\(bkt"),
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
     ],
+    "token_mix": [
+        # the (lang, accept) dim must broadcast back onto the corpus (the
+        # corpus itself is never shuffled by doc); the lang aggregate
+        # partial-combines map-side. (The scalar total IS a one-row
+        # single-partition agg — that one is unavoidable and tiny.)
+        ("rates dim broadcast", r"BroadcastHashJoin"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("no window", r"Window", "absent"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.

@@ -125,3 +125,40 @@ def test_weighted_sample_plan_is_pure_filter(spark):
     plan = spark._jvm.PythonSQLUtils.explainString(
         q._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan             # no shuffle: just a filter
+
+
+def test_token_mix_invariants(spark):
+    """Mix rebalancing (q:token_mix pins exact rows): accept rates are in
+    (0, 1]; a lang at accept==1 passes whole; thinned langs keep roughly
+    accept × their docs; the result is deterministic."""
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.plans.queries import _MIX_TARGET, q_token_mix, _t
+    from crawlee_spark.functions import text as T
+
+    sf = "/root/testdata/sf0.01"
+    out = q_token_mix(spark, sf).collect()
+    assert out and {r["lang"] for r in out} <= {l for l, _ in _MIX_TARGET}
+    assert all(0.0 < r["accept_rate"] <= 1.0 for r in out)
+
+    # independent per-lang doc counts from the raw table
+    d = _t(spark, sf, "documents").select(
+        T.langid(F.col("text")).alias("lang"),
+        F.size(T.tokens_of(F.col("text"))).alias("n"))
+    totals = {r["lang"]: r["cnt"] for r in
+              d.filter(F.col("n") > 0).groupBy("lang").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rate = rows[0]["accept_rate"]
+        if rate == 1.0:
+            assert len(rows) == totals[lang]      # whole language kept
+        else:
+            # hash draws: kept fraction within a loose binomial envelope
+            frac = len(rows) / totals[lang]
+            assert rate - 0.25 < frac < rate + 0.25
+
+    again = q_token_mix(spark, sf).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
