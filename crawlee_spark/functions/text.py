@@ -213,6 +213,18 @@ def is_blocked_page_py(html: str) -> bool:
     return any(m in (html or "") for m in BLOCKED_MARKERS)
 
 
+def dup_frac_of(grams: Column) -> Column:
+    """Duplicate fraction of a pre-built gram array (``1 - distinct/total``;
+    0.0 when empty). Split out so callers that MATERIALIZE the gram array
+    behind a Generate barrier (q_text_repetition) don't re-inline the gram
+    construction into every reference — expressions inside CASE branches
+    are excluded from codegen subexpression elimination, so an inlined
+    gram tree is rebuilt per reference."""
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+
+
 def dup_ngram_frac(tokens: Column, n: int) -> Column:
     """Gopher-style duplicate n-gram fraction: share of word n-grams that
     repeat an earlier occurrence (``1 - distinct/total``; 0.0 when the doc
@@ -221,10 +233,7 @@ def dup_ngram_frac(tokens: Column, n: int) -> Column:
     DuckDB mirror: ``1 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)``
     guarded by ``CASE WHEN len(g) = 0 THEN 0.0``.
     """
-    grams = word_ngrams(tokens, n)
-    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
-    )
+    return dup_frac_of(word_ngrams(tokens, n))
 
 
 def top_ngram_frac(tokens: Column, n: int) -> Column:
@@ -236,7 +245,13 @@ def top_ngram_frac(tokens: Column, n: int) -> Column:
     formulation (which shuffles every n-gram) by construction — the oracle
     uses the explode form precisely because it is an independent derivation.
     """
-    grams = F.array_sort(word_ngrams(tokens, n))
+    return top_run_frac(F.array_sort(word_ngrams(tokens, n)))
+
+
+def top_run_frac(sorted_grams: Column) -> Column:
+    """Max-multiplicity fraction of a PRE-SORTED gram array via a single
+    longest-equal-run fold (see top_ngram_frac; split out for callers that
+    materialize the sorted array behind a Generate barrier)."""
 
     def step(a: Column, x: Column) -> Column:
         run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
@@ -246,7 +261,7 @@ def top_ngram_frac(tokens: Column, n: int) -> Column:
         )
 
     best = F.aggregate(
-        grams,
+        sorted_grams,
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
@@ -255,7 +270,9 @@ def top_ngram_frac(tokens: Column, n: int) -> Column:
         step,
         lambda a: a["best"],
     )
-    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(best / F.size(grams))
+    return F.when(F.size(sorted_grams) == 0, F.lit(0.0)).otherwise(
+        best / F.size(sorted_grams)
+    )
 
 
 def mean_token_len(tokens: Column) -> Column:

