@@ -60,6 +60,7 @@ HEADLINE = [
     "domain_cap",
     "image_batch_pack",
     "token_mix",
+    "dedup_keep_best",
     "dedup_components",
     "pricing_summary",
     "topk_per_group",

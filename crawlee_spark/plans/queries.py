@@ -1686,6 +1686,70 @@ SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dup-cluster representative selection: for every
+    transitive near-dup cluster, keep the HIGHEST-QUALITY member (ties ->
+    lowest doc_id) instead of the naive min-id — the policy real corpora
+    use so boilerplate-free re-crawls win over their duplicates.
+
+    Plan shape: cluster labels from the iterative min-label propagation
+    (already bounded per round), quality joined on the doc key, then ONE
+    map-side-combining aggregate where the keeper is ``max(struct(quality,
+    -doc_id))`` — lexicographic struct ordering gives argmax-with-tie-break
+    without a per-cluster window or a second shuffle. Singleton docs (in no
+    pair) are not cluster members and pass outside this query."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_perm=8, bands=4, shingle_n=3)
+    comp = D.connected_components(pairs)
+    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    m = comp.join(q, comp.id == q.doc_id).select(
+        "component", "doc_id", "quality"
+    )
+    agg = m.groupBy("component").agg(
+        F.max(F.struct(
+            F.col("quality"), (-F.col("doc_id")).alias("neg"))).alias("k"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        "component",
+        (-F.col("k.neg")).alias("keep_id"),
+        F.col("k.quality").alias("keep_quality"),
+        "n_members",
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({ORACLE_DEDUP_MINHASH}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+q AS (SELECT doc_id, quality FROM ({ORACLE_TEXT_QUALITY}) tq),
+m AS (
+  SELECT c.component, c.doc_id, q.quality
+  FROM comp c JOIN q ON c.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, quality,
+         row_number() OVER (
+             PARTITION BY component ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM m
+)
+SELECT component, doc_id AS keep_id, quality AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 50 events per event_type by md5
     hash order (``operators/sampling.py::sample_per_group``) — the
@@ -2436,6 +2500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "image_batch_pack": q_image_batch_pack,
     "token_mix": q_token_mix,
+    "dedup_keep_best": q_dedup_keep_best,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2500,6 +2565,7 @@ ORACLES: dict[str, str] = {
     "domain_cap": ORACLE_DOMAIN_CAP,
     "image_batch_pack": ORACLE_IMAGE_BATCH_PACK,
     "token_mix": ORACLE_TOKEN_MIX,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

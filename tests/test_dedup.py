@@ -152,3 +152,33 @@ def test_hamming_block_col_equals_postfilter(spark):
     finally:
         D.CHECKPOINT_PAIRS = True
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_keep_best_dominates_cluster(spark):
+    """q:dedup_keep_best pins exact values; this pins the INVARIANT: the
+    keeper's quality is the max of its cluster, with min-id tie-break, and
+    every cluster elects exactly one keeper."""
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.plans.queries import (
+        _t, q_dedup_keep_best, q_dedup_components)
+    from crawlee_spark.functions import text as T
+
+    sf = "/root/testdata/sf0.01"
+    keep = {r["component"]: r for r in q_dedup_keep_best(spark, sf).collect()}
+    comp = q_dedup_components(spark, sf).collect()
+    quality = {
+        r["doc_id"]: r["q"]
+        for r in _t(spark, sf, "documents")
+        .select("doc_id", T.quality_score(F.col("text")).alias("q")).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in comp:
+        members.setdefault(r["component"], []).append(r["doc_id"])
+    assert set(members) == set(keep)
+    for c, ids in members.items():
+        best_q = max(quality[i] for i in ids)
+        expect = min(i for i in ids if quality[i] == best_q)
+        assert keep[c]["keep_id"] == expect
+        assert keep[c]["keep_quality"] == best_q
+        assert keep[c]["n_members"] == len(ids)
