@@ -162,3 +162,24 @@ def test_token_mix_invariants(spark):
 
     again = q_token_mix(spark, sf).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_domain_cap_invariants(spark):
+    """q:domain_cap pins exact rows; this pins the invariants: no
+    blocklisted domain survives, no domain exceeds the cap, and ranks are
+    contiguous from 1 in (quality desc, doc_id asc) order."""
+    from crawlee_spark.plans.queries import (
+        _BLOCKED_DOMAINS, _DOMAIN_CAP, q_domain_cap)
+
+    rows = q_domain_cap(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        assert r["domain"] not in _BLOCKED_DOMAINS
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        assert len(rs) <= _DOMAIN_CAP
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert [r["doc_id"] for r in ordered] == [r["doc_id"] for r in rs]
