@@ -48,6 +48,8 @@ HEADLINE = [
     "stratified_sample",
     "hash_split",
     "dup_ngram_coverage",
+    "dup_span_removal",
+    "unigram_logprob",
     "dedup_incremental",
     "contamination",
     "semantic_dedup",

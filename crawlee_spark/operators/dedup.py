@@ -858,3 +858,85 @@ def line_dedup(
     return rebuilt.join(totals, on="doc_id").select(
         "doc_id", "clean_text", F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_kept").cast("long").alias("n_kept"))
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr variant): every
+    corpus-wide duplicated ``window``-token span is removed from every
+    document EXCEPT its first occurrence (minimum (doc_id, start)); the
+    surviving tokens rebuild the document. Unlike document-level MinHash
+    (drops whole docs) or ``line_dedup`` (fixed non-overlapping chunks),
+    this excises the overlapping duplicated REGION: a token survives iff no
+    removed span occurrence covers its position.
+
+    The paper builds a suffix array over the concatenated corpus — a
+    single-machine construction that cannot shard. The set-based equivalent
+    is a rolling-window equi-join: windows of ``window`` tokens collide
+    exactly when a duplicated substring of length >= window exists, and the
+    union of colliding windows reconstructs the duplicated region.
+
+    Output: (doc_id, n_tokens, n_kept, clean_text).
+
+    Scale shape: posexplode w-token windows (one row per corpus token),
+    ONE shuffle on the window text for the frequency + first-occurrence
+    keeper aggregate (content-uniform keys, map-side combine), a join-back
+    reusing that exchange, a per-doc collect of duplicate starts (bounded
+    by the doc's own token count — never corpus-wide state), and a final
+    doc-keyed join back to the text. In production the
+    window text would be md5-hashed to 8 bytes before the shuffle; it stays
+    a string here so the DuckDB oracle is byte-identical. The coverage test
+    in the rebuild is O(tokens x dup-spans) per doc — merge adjacent starts
+    into intervals first if a pathological doc is one giant duplicate.
+    """
+    w = window
+    base = rebalance_narrow(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_of(F.col(text_col)).alias("toks"),
+    )
+    ex = base.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("toks"), w)).alias("start", "wtext"),
+    )
+    # frequency + keeper as a min_by hash aggregate (map-side combine; NOT a
+    # row_number window, which would sort every wtext partition), then a
+    # join-back that reuses the wtext exchange: every occurrence of a
+    # >1-count window except the (doc_id, start)-min one is a removal.
+    agg = ex.groupBy("wtext").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "start")).alias("k"),
+    )
+    dup_starts = (
+        ex.join(agg, "wtext")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("start") == F.col("k.start"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("start")).alias("ds"))
+    )
+    joined = base.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("ds", F.array().cast("array<int>")).alias("ds"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("ds"), lambda s: (s <= i) & (i < s + F.lit(w))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -2441,6 +2441,109 @@ WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr): remove every
+    corpus-wide duplicated 5-token span except its first occurrence and
+    rebuild the documents (operators/dedup.py::dup_span_removal — rolling
+    window equi-join replacing the paper's unshardable suffix array)."""
+    return D.dup_span_removal(_t(spark, sf_dir, "documents"), window=5)
+
+
+ORACLE_DUP_SPAN_REMOVAL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+ex AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, greatest(len(toks) - 4, 0))) AS INT) AS start,
+         unnest(list_transform(range(0, greatest(len(toks) - 4, 0)),
+                i -> array_to_string(toks[i+1:i+5], ' '))) AS wtext
+  FROM t
+),
+dup AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           count(*) OVER (PARTITION BY wtext) AS cnt,
+           row_number() OVER (PARTITION BY wtext ORDER BY doc_id, start) AS rn
+    FROM ex) WHERE cnt > 1 AND rn > 1
+),
+ds AS (SELECT doc_id, list_sort(list(DISTINCT start)) AS ds FROM dup GROUP BY doc_id)
+SELECT q.doc_id,
+       CAST(len(q.toks) AS BIGINT) AS n_tokens,
+       CAST(len(q.kept) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(q.kept, ' '), '') AS clean_text
+FROM (
+  SELECT t.doc_id, t.toks,
+         list_filter(t.toks,
+           (tok, i) -> NOT list_has_any(coalesce(ds.ds, []),
+                           CAST(range(greatest(i-5, 0), i) AS INT[]))) AS kept
+  FROM t LEFT JOIN ds USING (doc_id)
+) q
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020 score documents with
+    a KenLM 5-gram; the container has no LM, so the corpus's OWN unigram
+    model stands in): every token scores floor(log2(corpus term frequency))
+    — an INTEGER, so the per-doc sum is order-independent where a parallel
+    float log-prob summation would not be — and the document score is
+    bits-per-token. Low = rare-token-heavy gibberish, high = stopword soup;
+    training pipelines keep the middle band (the reported score is the
+    filter key, not the filter).
+
+    Plan shape at 100 TB: explode tokens (map-side), ONE shuffle on the
+    token string for term frequency (content-uniform; in production the
+    token would be dictionary-encoded first), join-back reusing that
+    exchange, then a map-side-combining per-doc aggregation. The unigram
+    dim itself is vocabulary-sized — Heaps'-law growth, broadcastable at
+    any corpus size.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ex = D.rebalance_narrow(d).select(
+        "doc_id", F.explode(T.tokens_of(F.col("text"))).alias("tok")
+    )
+    tf = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ilog2 = (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+    per = (
+        ex.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(ilog2).alias("sum_bits"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
+            F.round(
+                F.coalesce("sum_bits", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+tf AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(length(bin(cnt)) - 1) AS BIGINT) AS sum_bits
+  FROM ex JOIN tf USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.sum_bits, 0) AS sum_bits,
+       round(coalesce(per.sum_bits, 0)
+             / greatest(coalesce(per.n_tokens, 0), 1), 6) AS bits_per_token
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2501,6 +2604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_batch_pack": q_image_batch_pack,
     "token_mix": q_token_mix,
     "dedup_keep_best": q_dedup_keep_best,
+    "dup_span_removal": q_dup_span_removal,
+    "unigram_logprob": q_unigram_logprob,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2566,6 +2671,8 @@ ORACLES: dict[str, str] = {
     "image_batch_pack": ORACLE_IMAGE_BATCH_PACK,
     "token_mix": ORACLE_TOKEN_MIX,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

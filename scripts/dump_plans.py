@@ -186,6 +186,22 @@ CHECKS = {
         ("bucket+shard partitioned exchange", r"hashpartitioning\(bkt"),
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
     ],
+    "dup_span_removal": [
+        # one content-keyed exchange for the window-frequency keeper agg
+        # (map-side combine), join-back, per-doc collect — no row_number
+        # window over wtext partitions, no single-partition funnel
+        ("no window", r"Window", "absent"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
+    "unigram_logprob": [
+        # token-frequency dim joins back over the token exchange; per-doc
+        # aggregate partial-combines; integer log2 keeps it codegen-able
+        ("no window", r"Window", "absent"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("codegen", "codegen"),
+    ],
     "token_mix": [
         # the (lang, accept) dim must broadcast back onto the corpus (the
         # corpus itself is never shuffled by doc); the lang aggregate

@@ -1,0 +1,76 @@
+"""Invariants for exact-substring span removal (Lee et al. 2021
+ExactSubstr; operators/dedup.py::dup_span_removal) and the unigram-LM
+quality gate (plans/queries.py::q_unigram_logprob). Exact corpus-level
+values are pinned by the DuckDB oracle gate (q:dup_span_removal,
+q:unigram_logprob); these tests pin hand-built semantics the oracle
+comparison can't express: first-occurrence survival, overlapping-region
+coverage, within-doc repeats, fully-duplicated docs, and the integer-log2
+scoring rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.dedup import dup_span_removal
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_removal_keep_first_and_region_coverage(spark):
+    docs = _docs(spark, [
+        (0, "a b c d e"),            # first owner of "a b c d"
+        (1, "z z a b c d q"),        # repeats it mid-document
+        (2, "p q"),                  # shorter than the window: untouched
+    ])
+    out = {r["doc_id"]: r for r in dup_span_removal(docs, window=3).collect()}
+    # the first occurrence keeps every token
+    assert out[0]["clean_text"] == "a b c d e"
+    assert (out[0]["n_tokens"], out[0]["n_kept"]) == (5, 5)
+    # duplicated windows "a b c"/"b c d" overlap — the union of both spans
+    # (positions 2..5) is excised, the flanks survive in order
+    assert out[1]["clean_text"] == "z z q"
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (7, 3)
+    # sub-window docs produce no windows and are never touched
+    assert out[2]["clean_text"] == "p q"
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (2, 2)
+
+
+def test_span_removal_within_doc_repeat_and_full_dup(spark):
+    docs = _docs(spark, [
+        (0, "m n o m n o"),          # within-doc repeat of "m n o"
+        (1, "m n o m n o"),          # whole doc duplicates doc 0
+    ])
+    out = {r["doc_id"]: r for r in dup_span_removal(docs, window=3).collect()}
+    # doc 0: the start-3 occurrence is removed, the start-0 keeper survives
+    assert out[0]["clean_text"] == "m n o"
+    assert (out[0]["n_tokens"], out[0]["n_kept"]) == (6, 3)
+    # doc 1: every window is a later duplicate — the row survives with an
+    # empty rebuild (the engine keeps the tombstone; dropping is a filter)
+    assert out[1]["clean_text"] == ""
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (6, 0)
+
+
+def test_span_removal_plan_is_aggregate_not_window(spark):
+    docs = _docs(spark, [(0, "a b c d"), (1, "a b c d")])
+    plan = dup_span_removal(docs, window=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_unigram_logprob_integer_log2_rule(spark, tmp_path):
+    # corpus: 'a' x5, 'b' x1 -> ilog2(a)=2 (bin 101), ilog2(b)=0
+    docs = _docs(spark, [
+        (0, "a a a a"),
+        (1, "a b"),
+        (2, ""),                     # zero tokens: scores 0 / 0 / 0.0
+    ])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from crawlee_spark.plans.queries import q_unigram_logprob
+    out = {r["doc_id"]: r for r in q_unigram_logprob(spark, str(tmp_path)).collect()}
+    assert (out[0]["n_tokens"], out[0]["sum_bits"]) == (4, 8)
+    assert out[0]["bits_per_token"] == 2.0
+    assert (out[1]["n_tokens"], out[1]["sum_bits"]) == (2, 2)
+    assert out[1]["bits_per_token"] == 1.0
+    assert (out[2]["n_tokens"], out[2]["sum_bits"], out[2]["bits_per_token"]) == (0, 0, 0.0)
