@@ -1,0 +1,76 @@
+"""WARC/WET ingestion (sources/warc.py): spec framing (Content-Length,
+never content-splitting), multi-member gzip, warcinfo filtering, file-
+granular task parallelism, and the pure-Python/Spark twin agreement."""
+
+from __future__ import annotations
+
+import gzip
+
+from crawlee_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    read_wet,
+    write_warc_file,
+)
+
+
+def _records():
+    return [
+        ("warcinfo", "", "2026-01-01T00:00:00Z", b"software: test\r\n"),
+        ("conversion", "http://a.example/x", "2026-01-01T00:00:01Z",
+         b"hello world from a"),
+        # payload that CONTAINS a WARC header line — Content-Length framing
+        # must carry the parser straight through it
+        ("conversion", "http://b.example/y", "2026-01-01T00:00:02Z",
+         b"tricky\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nbody"),
+        ("response", "http://c.example/z", "2026-01-01T00:00:03Z",
+         b"HTTP/1.1 200 OK\r\n\r\n<html>c</html>"),
+    ]
+
+
+def test_python_parser_roundtrip(tmp_path):
+    p = str(tmp_path / "f.warc.gz")
+    write_warc_file(p, _records(), compress=True)
+    raw = open(p, "rb").read()
+    # multi-member gzip: more than one member boundary present
+    assert raw[:2] == b"\x1f\x8b" and raw.count(b"\x1f\x8b\x08") >= 4
+    rows = list(parse_warc_bytes(raw, "f"))
+    assert [r[2] for r in rows] == ["warcinfo", "conversion", "conversion", "response"]
+    assert rows[2][3] == "http://b.example/y"
+    assert rows[2][6].endswith(b"body")            # framing survived the decoy
+    assert [r[1] for r in rows] == [0, 1, 2, 3]    # rec_index in file order
+
+
+def test_read_warc_and_wet(spark, tmp_path):
+    write_warc_file(str(tmp_path / "a.warc.gz"), _records(), compress=True)
+    write_warc_file(str(tmp_path / "b.warc"), _records()[:2], compress=False)
+    w = read_warc(spark, str(tmp_path))
+    rows = w.collect()
+    assert len(rows) == 6                          # 4 gz + 2 plain
+    # one input row (file) per task: binaryFile never splits a gzip stream
+    assert w.rdd.getNumPartitions() >= 1
+    wet = read_wet(spark, str(tmp_path)).collect()
+    by = {(r["source_file"].split("/")[-1], r["rec_index"]): r for r in wet}
+    assert len(wet) == 3                           # warcinfo/response dropped
+    assert by[("a.warc.gz", 1)]["text"] == "hello world from a"
+    assert by[("a.warc.gz", 2)]["text"].endswith("body")
+    assert by[("b.warc", 1)]["url"] == "http://a.example/x"
+
+
+def test_glob_prunes_before_read(spark, tmp_path):
+    write_warc_file(str(tmp_path / "a.warc.gz"), _records(), compress=True)
+    write_warc_file(str(tmp_path / "skip.txt"), _records()[:1], compress=False)
+    only = read_warc(spark, str(tmp_path), glob="*.warc.gz")
+    assert only.count() == 4
+
+
+def test_wet_feeds_document_ops(spark, tmp_path):
+    # the WET output is directly consumable by the documents-table ops
+    write_warc_file(str(tmp_path / "a.warc.gz"), _records(), compress=True)
+    from pyspark.sql import functions as F
+    from crawlee_spark.functions.text import token_count
+    wet = read_wet(spark, str(tmp_path)).select(
+        F.col("url").alias("doc_id"), "text")
+    got = {r["doc_id"]: r["n"] for r in
+           wet.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got["http://a.example/x"] == 4
