@@ -2441,6 +2441,58 @@ WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: recall/precision of the MinHash-LSH candidate
+    pairs against the exact n-gram-Jaccard ground truth — the measurement
+    every LSH deployment runs when tuning (num_perm, bands) against the
+    1-(1-j^r)^b S-curve. One summary row: n_true, n_candidates, n_found,
+    recall, precision.
+
+    Deliberately NOT in bench.py's HEADLINE set: the ground-truth side is
+    the quadratic-ish shingle self-join (`dedup_ngram_jaccard`), affordable
+    only at audit scale (a sampled corpus slice at 100 TB). The LSH side is
+    the production path.
+    """
+    d = _t(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cand = D.minhash_lsh_pairs(
+        d, num_perm=8, bands=4, shingle_n=3
+    ).select("id_a", "id_b")
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    f = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(f)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_found",
+            F.round(
+                F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_found") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("precision"),
+        )
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH truth AS ({ORACLE_DEDUP_NGRAM_JACCARD}),
+cand AS ({_oracle_minhash()}),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       n_found,
+       round(n_found / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+       round(n_found / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+FROM f
+"""
+
+
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2021 ExactSubstr): remove every
     corpus-wide duplicated 5-token span except its first occurrence and
@@ -2606,6 +2658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dup_span_removal": q_dup_span_removal,
     "unigram_logprob": q_unigram_logprob,
+    "lsh_recall": q_lsh_recall,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2673,6 +2726,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "lsh_recall": ORACLE_LSH_RECALL,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

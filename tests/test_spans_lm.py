@@ -74,3 +74,20 @@ def test_unigram_logprob_integer_log2_rule(spark, tmp_path):
     assert (out[1]["n_tokens"], out[1]["sum_bits"]) == (2, 2)
     assert out[1]["bits_per_token"] == 1.0
     assert (out[2]["n_tokens"], out[2]["sum_bits"], out[2]["bits_per_token"]) == (0, 0, 0.0)
+
+
+def test_lsh_recall_identical_docs_and_bounds(spark, tmp_path):
+    # identical docs are a Jaccard-1.0 truth pair AND an LSH-certain
+    # collision (equal signatures in every band) -> recall 1.0
+    docs = _docs(spark, [
+        (0, "the quick brown fox jumps over the lazy dog again"),
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "completely different words about spark shuffles here now"),
+    ])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from crawlee_spark.plans.queries import q_lsh_recall
+    r = q_lsh_recall(spark, str(tmp_path)).collect()[0]
+    assert r["n_true"] == 1 and r["n_found"] == 1
+    assert r["recall"] == 1.0
+    assert r["n_found"] <= r["n_candidates"]
+    assert 0.0 <= r["precision"] <= 1.0
