@@ -890,9 +890,11 @@ def dup_span_removal(
     by the doc's own token count — never corpus-wide state), and a final
     doc-keyed join back to the text. In production the
     window text would be md5-hashed to 8 bytes before the shuffle; it stays
-    a string here so the DuckDB oracle is byte-identical. The coverage test
-    in the rebuild is O(tokens x dup-spans) per doc — merge adjacent starts
-    into intervals first if a pathological doc is one giant duplicate.
+    a string here so the DuckDB oracle is byte-identical. The rebuild
+    folds the sorted duplicate starts into merged [lo, hi) intervals
+    first, so the per-token coverage test is O(tokens x intervals) — a
+    pathological doc that is one giant duplicate costs ONE interval, not
+    one span per token.
     """
     w = window
     base = rebalance_narrow(docs).select(
@@ -928,10 +930,40 @@ def dup_span_removal(
         "toks",
         F.coalesce("ds", F.array().cast("array<int>")).alias("ds"),
     )
+    # fold the sorted starts into merged [lo, hi) intervals so the
+    # per-token coverage test is O(tokens x intervals), not O(tokens x
+    # starts) — a doc that is one giant duplicate has ~len(toks) starts
+    # but ONE interval. Semantics-identical (the union of spans is the
+    # union of merged intervals), so the DuckDB oracle needs no mirror.
+    def _merge(acc, s):
+        last = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (s <= last["hi"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.struct(
+                    last["lo"].alias("lo"),
+                    F.greatest(last["hi"], s + w).alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("lo"), (s + w).alias("hi"))))
+        )
+
+    joined = joined.select(
+        "doc_id",
+        "toks",
+        F.aggregate(
+            F.col("ds"),
+            F.array().cast("array<struct<lo:int,hi:int>>"),
+            _merge,
+        ).alias("iv"),
+    )
     kept = F.filter(
         F.col("toks"),
         lambda t, i: ~F.exists(
-            F.col("ds"), lambda s: (s <= i) & (i < s + F.lit(w))
+            F.col("iv"), lambda v: (v["lo"] <= i) & (i < v["hi"])
         ),
     )
     return joined.select(

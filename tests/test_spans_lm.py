@@ -91,3 +91,15 @@ def test_lsh_recall_identical_docs_and_bounds(spark, tmp_path):
     assert r["recall"] == 1.0
     assert r["n_found"] <= r["n_candidates"]
     assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_span_removal_interval_merge_on_long_duplicate(spark):
+    # a long fully-duplicated doc: every window start is a removal; the
+    # interval fold must collapse them into one span and excise everything
+    text = " ".join(f"t{i}" for i in range(40))
+    docs = _docs(spark, [(0, text), (1, text), (2, "unrelated words only")])
+    out = {r["doc_id"]: r for r in dup_span_removal(docs, window=5).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_kept"]) == (40, 40)
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (40, 0)
+    assert out[1]["clean_text"] == ""
+    assert out[2]["n_kept"] == 3
