@@ -213,6 +213,46 @@ class SnapshotTable:
         df = self.read()
         return self._commit_full(df, 0, "compact", {})
 
+    def diff(
+        self,
+        old_id: int,
+        new_id: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Rows added/removed between two snapshots (the Iceberg
+        incremental-read analog — what an incremental pipeline re-processes
+        after a crawl advances the table).
+
+        CoW lineage makes this bucket-pruned for free: a bucket whose
+        manifest owner is identical in both snapshots shares the same
+        physical files, so it is skipped without reading a byte — only
+        rewritten buckets are scanned and anti-joined. At 10^10 rows a
+        superstep touches a politeness-bounded bucket subset; the diff
+        cost follows THAT, not the table size.
+
+        Output: union of new-side rows tagged ``_change='added'`` and
+        old-side rows tagged ``'removed'``, keyed on ``key_cols``
+        (default: every column, i.e. full-row diff)."""
+        new_id = self.current_snapshot_id() if new_id is None else new_id
+        mo, mn = self.manifest(old_id), self.manifest(new_id)
+        changed = [
+            int(b)
+            for b in set(mo["buckets"]) | set(mn["buckets"])
+            if mo["buckets"].get(b) != mn["buckets"].get(b)
+        ]
+        if not changed:
+            return self.spark.createDataFrame([], mn["schema_ddl"]).withColumn(
+                "_change", F.lit("")
+            )
+        old = self.read(old_id, buckets=changed)
+        new = self.read(new_id, buckets=changed)
+        keys = key_cols or new.columns
+        added = new.join(old, keys, "left_anti").withColumn(
+            "_change", F.lit("added"))
+        removed = old.join(new, keys, "left_anti").withColumn(
+            "_change", F.lit("removed"))
+        return added.unionByName(removed)
+
     def expire_snapshots(self, keep_last: int = 3) -> None:
         """Drop data dirs unreachable from the last ``keep_last`` snapshots."""
         keep_ids = set()

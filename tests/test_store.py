@@ -74,3 +74,33 @@ def test_append_table(spark, tmp_path):
     df = t.read()
     assert df.count() == 8
     assert t.read(snapshot_id=0).count() == 5
+
+
+def test_snapshot_diff_incremental_read(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, n=32))
+    a = t.current_snapshot_id()
+    # rewrite bucket 3 only: drop id=3, add id=1003
+    b3 = t.read(buckets=[3]).filter("id <> 3").unionByName(
+        spark.createDataFrame([(1003, 3, 10030)], "id long, bucket int, v long"))
+    t.commit_buckets(b3, "update-b3")
+    d = t.diff(a, key_cols=["id"]).collect()
+    got = {(r["id"], r["_change"]) for r in d}
+    assert got == {(1003, "added"), (3, "removed")}
+    # untouched buckets contribute nothing even though their rows differ
+    # from NO snapshot (sanity: no false positives)
+    assert all(r["bucket"] == 3 for r in d)
+    # identical snapshots diff to empty without reading any bucket
+    assert t.diff(a, a).count() == 0
+
+
+def test_snapshot_diff_full_row_keys_detect_updates(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, n=16))
+    a = t.current_snapshot_id()
+    b2 = t.read(buckets=[2]).withColumn("v", F.col("v") + 1)
+    t.commit_buckets(b2, "bump-b2")
+    # full-row diff: an updated row appears as added (new value) + removed
+    # (old value) — the change-data-capture view
+    d = t.diff(a)
+    assert d.filter("_change = 'added'").count() == 2
+    assert d.filter("_change = 'removed'").count() == 2
+    assert d.filter("bucket <> 2").count() == 0
