@@ -50,6 +50,7 @@ HEADLINE = [
     "dup_ngram_coverage",
     "dup_span_removal",
     "unigram_logprob",
+    "corpus_summary",
     "dedup_incremental",
     "contamination",
     "semantic_dedup",

@@ -2441,6 +2441,43 @@ WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
 """
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (the summary table every corpus release ships:
+    docs / tokens / chars / language spread per provenance source). One
+    map-side-combining aggregate over the corpus — integer sums only, so
+    the result is independent of partitioning and aggregation order; the
+    single derived float (mean tokens/doc) is one rounded division at the
+    end. At 100 TB the output is |sources| rows — driver-safe."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round(
+            F.col("total_tokens") / F.greatest(F.col("n_docs"), F.lit(1)), 6
+        ).alias("mean_tokens"),
+    )
+
+
+ORACLE_CORPUS_SUMMARY = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(sum(len({_TOKENS_SQL})) / greatest(count(*), 1), 6) AS mean_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality audit: recall/precision of the MinHash-LSH candidate
     pairs against the exact n-gram-Jaccard ground truth — the measurement
@@ -2659,6 +2696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_removal": q_dup_span_removal,
     "unigram_logprob": q_unigram_logprob,
     "lsh_recall": q_lsh_recall,
+    "corpus_summary": q_corpus_summary,
     # generic
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -2727,6 +2765,7 @@ ORACLES: dict[str, str] = {
     "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "lsh_recall": ORACLE_LSH_RECALL,
+    "corpus_summary": ORACLE_CORPUS_SUMMARY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,

@@ -194,6 +194,12 @@ CHECKS = {
         ("partial agg before exchange", r"HashAggregate"),
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
     ],
+    "corpus_summary": [
+        # one grouped aggregate, integer sums, |sources|-row output
+        ("no window", r"Window", "absent"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("codegen", "codegen"),
+    ],
     "unigram_logprob": [
         # token-frequency dim joins back over the token exchange; per-doc
         # aggregate partial-combines; integer log2 keeps it codegen-able
