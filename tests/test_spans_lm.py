@@ -103,3 +103,55 @@ def test_span_removal_interval_merge_on_long_duplicate(spark):
     assert (out[1]["n_tokens"], out[1]["n_kept"]) == (40, 0)
     assert out[1]["clean_text"] == ""
     assert out[2]["n_kept"] == 3
+
+
+# --- property-based parity: Spark dup_span_removal vs a pure-Python twin ---
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _span_removal_py(texts: list[str], w: int) -> list[tuple[int, int, str]]:
+    """Spec twin: (n_tokens, n_kept, clean_text) per doc, same keep-first
+    duplicated-span semantics as operators/dedup.py::dup_span_removal."""
+    toks = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for s in texts
+    ]
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in enumerate(toks):
+        for s in range(max(len(ts) - w + 1, 0)):
+            occ.setdefault(" ".join(ts[s : s + w]), []).append((d, s))
+    removed: dict[int, set[int]] = {}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, s in sorted(positions)[1:]:
+                removed.setdefault(d, set()).add(s)
+    out = []
+    for d, ts in enumerate(toks):
+        cover = set()
+        for s in removed.get(d, ()):  # noqa: B905
+            cover.update(range(s, s + w))
+        kept = [t for i, t in enumerate(ts) if i not in cover]
+        out.append((len(ts), len(kept), " ".join(kept)))
+    return out
+
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_TEXT = st.builds(" ".join, st.lists(_WORD, min_size=0, max_size=12))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_span_removal_spark_equals_py(spark, texts):
+    # tiny vocab + short docs maximize collision density: within-doc
+    # repeats, cross-doc dups, and overlapping spans all occur
+    docs = _docs(spark, list(enumerate(texts)))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+        for r in dup_span_removal(docs, window=3).collect()
+    }
+    want = _span_removal_py(texts, 3)
+    for d in range(len(texts)):
+        assert got[d] == want[d], (d, texts)
