@@ -43,7 +43,10 @@ WET_SCHEMA = (
 def _split_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     """Yield (headers, payload) per WARC record from raw (decompressed)
     bytes. Content-Length framing only — never splits on payload content
-    (payloads legally contain 'WARC/1.0' lines)."""
+    (payloads legally contain 'WARC/1.0' lines). A record with a missing
+    or non-numeric Content-Length (corrupt/truncated file) is SKIPPED and
+    the parser resyncs at the next record marker — corrupt members at
+    crawl scale must cost one record, not the task or the file tail."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -60,8 +63,15 @@ def _split_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             k, _, v = line.partition(":")
             if _:
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
         body_start = head_end + 4
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            nxt = data.find(b"\r\nWARC/", body_start)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
         yield headers, data[body_start : body_start + length]
         pos = body_start + length
 
@@ -107,11 +117,14 @@ def read_warc(spark: SparkSession, path: str, glob: str | None = None) -> DataFr
             "source_file", "rec_index", "rec_type", "url",
             "warc_date", "content_length", "payload",
         ]
+        # one output frame PER FILE, not per Arrow batch: a batch can pack
+        # several files, and holding every decompressed payload of a batch
+        # at once multiplies peak worker memory by files-per-batch
         for b in batches:
-            rows = []
             for path_, content in zip(b["path"], b["content"]):
-                rows.extend(parse_warc_bytes(bytes(content), path_))
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(
+                    list(parse_warc_bytes(bytes(content), path_)), columns=cols
+                )
 
     return files.mapInPandas(parse, WARC_SCHEMA)
 

@@ -213,12 +213,7 @@ class SnapshotTable:
         df = self.read()
         return self._commit_full(df, 0, "compact", {})
 
-    def diff(
-        self,
-        old_id: int,
-        new_id: int | None = None,
-        key_cols: list[str] | None = None,
-    ) -> DataFrame:
+    def diff(self, old_id: int, new_id: int | None = None) -> DataFrame:
         """Rows added/removed between two snapshots (the Iceberg
         incremental-read analog — what an incremental pipeline re-processes
         after a crawl advances the table).
@@ -226,31 +221,34 @@ class SnapshotTable:
         CoW lineage makes this bucket-pruned for free: a bucket whose
         manifest owner is identical in both snapshots shares the same
         physical files, so it is skipped without reading a byte — only
-        rewritten buckets are scanned and anti-joined. At 10^10 rows a
+        rewritten buckets are scanned and compared. At 10^10 rows a
         superstep touches a politeness-bounded bucket subset; the diff
         cost follows THAT, not the table size.
 
-        Output: union of new-side rows tagged ``_change='added'`` and
-        old-side rows tagged ``'removed'``, keyed on ``key_cols``
-        (default: every column, i.e. full-row diff)."""
+        Full-row MULTISET semantics (``exceptAll``): an updated row
+        surfaces as its new version tagged ``_change='added'`` plus its
+        old version tagged ``'removed'`` (the change-data-capture view),
+        and a change in duplicate-row count surfaces as the surplus copies
+        — a set-based anti-join would miss both. Column order follows the
+        table schema in both the empty and non-empty paths."""
         new_id = self.current_snapshot_id() if new_id is None else new_id
         mo, mn = self.manifest(old_id), self.manifest(new_id)
+        schema_cols = [f.split()[0] for f in mn["schema_ddl"].split(", ")]
         changed = [
             int(b)
             for b in set(mo["buckets"]) | set(mn["buckets"])
             if mo["buckets"].get(b) != mn["buckets"].get(b)
         ]
         if not changed:
-            return self.spark.createDataFrame([], mn["schema_ddl"]).withColumn(
-                "_change", F.lit("")
+            return (
+                self.spark.createDataFrame([], mn["schema_ddl"])
+                .withColumn("_change", F.lit(""))
+                .select(*schema_cols, "_change")
             )
-        old = self.read(old_id, buckets=changed)
-        new = self.read(new_id, buckets=changed)
-        keys = key_cols or new.columns
-        added = new.join(old, keys, "left_anti").withColumn(
-            "_change", F.lit("added"))
-        removed = old.join(new, keys, "left_anti").withColumn(
-            "_change", F.lit("removed"))
+        old = self.read(old_id, buckets=changed).select(*schema_cols)
+        new = self.read(new_id, buckets=changed).select(*schema_cols)
+        added = new.exceptAll(old).withColumn("_change", F.lit("added"))
+        removed = old.exceptAll(new).withColumn("_change", F.lit("removed"))
         return added.unionByName(removed)
 
     def expire_snapshots(self, keep_last: int = 3) -> None:

@@ -83,14 +83,17 @@ def test_snapshot_diff_incremental_read(spark, tmp_path):
     b3 = t.read(buckets=[3]).filter("id <> 3").unionByName(
         spark.createDataFrame([(1003, 3, 10030)], "id long, bucket int, v long"))
     t.commit_buckets(b3, "update-b3")
-    d = t.diff(a, key_cols=["id"]).collect()
+    d = t.diff(a).collect()
     got = {(r["id"], r["_change"]) for r in d}
     assert got == {(1003, "added"), (3, "removed")}
     # untouched buckets contribute nothing even though their rows differ
     # from NO snapshot (sanity: no false positives)
     assert all(r["bucket"] == 3 for r in d)
-    # identical snapshots diff to empty without reading any bucket
-    assert t.diff(a, a).count() == 0
+    # identical snapshots diff to empty without reading any bucket, with
+    # the same column order as the non-empty path
+    empty = t.diff(a, a)
+    assert empty.count() == 0
+    assert empty.columns == t.diff(a).columns
 
 
 def test_snapshot_diff_full_row_keys_detect_updates(spark, tmp_path):
@@ -104,3 +107,14 @@ def test_snapshot_diff_full_row_keys_detect_updates(spark, tmp_path):
     assert d.filter("_change = 'added'").count() == 2
     assert d.filter("_change = 'removed'").count() == 2
     assert d.filter("bucket <> 2").count() == 0
+
+
+def test_snapshot_diff_multiset_counts_duplicates(spark, tmp_path):
+    # exceptAll semantics: dropping ONE of two identical rows is a change
+    dup = spark.createDataFrame(
+        [(7, 3, 70), (7, 3, 70), (8, 3, 80)], "id long, bucket int, v long")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), dup)
+    a = t.current_snapshot_id()
+    t.commit_buckets(t.read(buckets=[3]).dropDuplicates(), "dedup-b3")
+    d = t.diff(a).collect()
+    assert [(r["id"], r["_change"]) for r in d] == [(7, "removed")]

@@ -47,8 +47,14 @@ def test_read_warc_and_wet(spark, tmp_path):
     w = read_warc(spark, str(tmp_path))
     rows = w.collect()
     assert len(rows) == 6                          # 4 gz + 2 plain
-    # one input row (file) per task: binaryFile never splits a gzip stream
-    assert w.rdd.getNumPartitions() >= 1
+    # the unsplittability invariant: binaryFile yields each file WHOLE in
+    # one row (a gzip stream is never byte-split across tasks) — pin it by
+    # matching row content length against the on-disk size per file
+    import os
+    files = {r["path"].split("/")[-1]: len(r["content"]) for r in
+             spark.read.format("binaryFile").load(str(tmp_path)).collect()}
+    want = {f: os.path.getsize(tmp_path / f) for f in os.listdir(tmp_path)}
+    assert files == want and len(files) == 2
     wet = read_wet(spark, str(tmp_path)).collect()
     by = {(r["source_file"].split("/")[-1], r["rec_index"]): r for r in wet}
     assert len(wet) == 3                           # warcinfo/response dropped
@@ -74,3 +80,26 @@ def test_wet_feeds_document_ops(spark, tmp_path):
     got = {r["doc_id"]: r["n"] for r in
            wet.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
     assert got["http://a.example/x"] == 4
+
+
+def test_corrupt_record_resync():
+    # a record with a malformed Content-Length is skipped; the parser
+    # resyncs at the next record marker instead of crashing or dropping
+    # the file tail
+    good = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://ok.example/\r\nWARC-Date: d\r\n"
+        b"Content-Length: 4\r\n\r\ngood\r\n\r\n"
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\nWARC-Date: d\r\n"
+        b"Content-Length: abc\r\n\r\noops\r\n\r\n"
+    )
+    missing = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://none.example/\r\nWARC-Date: d\r\n\r\nx\r\n\r\n"
+    )
+    rows = list(parse_warc_bytes(bad + missing + good, "f"))
+    assert [r[3] for r in rows] == ["http://ok.example/"]
+    assert rows[0][6] == b"good"
