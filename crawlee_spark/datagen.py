@@ -104,8 +104,9 @@ def gen_pages_rows(n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool 
     dim_rng = np.random.default_rng(seed + 1)
     dims = dim_rng.choice(len(_DIMS), size=(n_pages, 2))
     fmt_rng = np.random.default_rng(seed + 2)
-    # two REAL formats (ppm = netpbm P6, bmp = 24-bit BI_RGB — pure-numpy
-    # codecs, viewer-openable) + the two stand-ins (functions/images.py)
+    # three REAL formats (png = RFC 2083 truecolor, ppm = netpbm P6,
+    # bmp = 24-bit BI_RGB — pure-stdlib codecs, viewer-openable) + the one
+    # remaining stand-in, jpeg (functions/images.py)
     fmts = fmt_rng.choice(["png", "jpeg", "ppm", "bmp"], size=n_pages)
     for i in range(n_pages):
         host = hosts[assign[i]]

@@ -10,7 +10,7 @@ The reference repo (Crawlee) has no image pipeline — this is the north_rule
 addition (SURVEY.md §2.8 last row). The *Spark* side here is fully real:
 binary columns in Arrow batches, `mapInPandas` decode, vectorized PSNR.
 
-Codec surface (two real, two stand-in):
+Codec surface (three real, one stand-in):
 
 - ``fmt='ppm'``  -> REAL binary PPM / P6 (netpbm spec: ``P6`` magic,
   whitespace/comment-tolerant ASCII header, maxval 255, raw RGB rows).
@@ -18,15 +18,19 @@ Codec surface (two real, two stand-in):
 - ``fmt='bmp'``  -> REAL Windows BMP, 24-bit uncompressed BI_RGB
   (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to 4
   bytes; negative-height top-down decode supported). Also viewer-openable.
-- ``fmt='png'``  -> STAND-IN ``b'FPNG' + zlib(raw RGB bytes)`` (lossless).
-- ``fmt='jpeg'`` -> STAND-IN ``b'FJPG' + zlib(quantized RGB)`` (lossy).
+- ``fmt='png'``  -> REAL PNG (RFC 2083 / ISO 15948): 8-bit truecolor
+  (color type 2), zlib-deflated IDAT, CRC-32-checked chunks. The encoder
+  emits filter 1 (Sub) scanlines; the decoder implements ALL FIVE row
+  filters (None/Sub/Up/Average/Paeth) so third-party PNGs decode too.
+  Pure stdlib ``zlib`` + numpy; viewer-openable.
+- ``fmt='jpeg'`` -> REAL baseline JPEG (ITU-T T.81; functions/jpeg.py):
+  JFIF container, 8-bit sequential DCT, YCbCr 4:4:4, Annex-K quantization
+  (quality 98) + typical Huffman tables. Genuinely lossy (~43 dB PSNR on
+  noise images — above the input_hint 40 dB bound), viewer-openable,
+  and the decoder accepts third-party baseline 4:4:4 JPEGs. Pure
+  numpy/stdlib — libjpeg/PIL are not in this container.
 
-PIL/libjpeg/libpng are not installed in this container, so the two
-DEFLATE-era formats are stand-ins with the same *shape* as real codecs.
-The jpeg path quantizes each channel to steps of 4 (max abs error 3,
-MSE <= ~4.1, PSNR ~= 42-47 dB — always above the 40 dB bound, and genuinely
-lossy so the PSNR branch is exercised). Swapping real codecs in = replacing
-``encode_image`` / ``decode_image`` bodies; every Spark call site stays.
+All four formats are therefore real interchange formats.
 """
 
 from __future__ import annotations
@@ -38,9 +42,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-_MAGIC_PNG = b"FPNG"
-_MAGIC_JPG = b"FJPG"
-_JPEG_Q = 4  # quantization step of the lossy stand-in
+from crawlee_spark.functions.jpeg import JpegFormatError, decode_jpeg, encode_jpeg
 
 
 class ImageFormatError(ValueError):
@@ -133,9 +135,112 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
     return np.ascontiguousarray(bgr[:, :, ::-1])
 
 
+# -- real codec: PNG, 8-bit truecolor (RFC 2083 / ISO 15948) -----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _encode_png(pixels: np.ndarray) -> bytes:
+    """Spec-valid PNG: bit depth 8, color type 2 (RGB), no interlace.
+
+    Scanlines use filter 1 (Sub) — horizontal byte deltas deflate far better
+    than raw pixels on natural images, and Sub is pure vectorized math
+    (per-row diff along x, no sequential dependency on encode)."""
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = pixels.reshape(h, w * 3)
+    # Sub filter: raw[x] - raw[x-3] (bytewise mod 256); first pixel verbatim
+    filtered = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    filtered[:, 0] = 1
+    filtered[:, 1:4] = rows[:, :3]
+    filtered[:, 4:] = rows[:, 3:] - rows[:, :-3]
+    idat = zlib.compress(filtered.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int = 3) -> np.ndarray:
+    """Reverse PNG row filters. ``raw`` is (h, 1+stride) filter-byte-prefixed
+    scanlines. None/Sub/Up are vectorized (Sub = per-channel cumsum); Average
+    and Paeth have a true sequential dependency along x, so they fall back to
+    a per-pixel loop — acceptable because this runs inside an Arrow-batched
+    UDF on thumbnail-scale rows, and our own encoder never emits them."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 1:  # Sub
+            rec = np.cumsum(line.reshape(-1, bpp).astype(np.uint32), axis=0)
+            rec = (rec & 0xFF).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            rec[:bpp] = line[:bpp] + (prev[:bpp] >> 1)
+            for x in range(bpp, stride):
+                rec[x] = (int(line[x]) + ((int(rec[x - bpp]) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ImageFormatError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    if not blob.startswith(_PNG_SIG):
+        raise ImageFormatError("bad magic for fmt 'png'")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(blob):
+        (length,), ctype = struct.unpack_from(">I", blob, pos), blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(blob):
+            raise ImageFormatError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ImageFormatError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ImageFormatError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ImageFormatError(
+            f"unsupported PNG variant (depth={depth} color={ctype_} interlace={interlace})")
+    stride = w * 3
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ImageFormatError(f"PNG raster size {len(raw)} != {h}*(1+{stride})")
+    return _png_unfilter(
+        np.frombuffer(raw, np.uint8).reshape(h, 1 + stride), h, stride
+    ).reshape(h, w, 3)
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array; ppm/bmp are real formats, png/jpeg
-    container-level stand-ins (module docstring)."""
+    """Encode an (h, w, 3) uint8 array; all four formats are real interchange
+    formats (module docstring)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ImageFormatError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
     if fmt == "ppm":
@@ -143,10 +248,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "bmp":
         return _encode_bmp(pixels)
     if fmt == "png":
-        return _MAGIC_PNG + zlib.compress(pixels.tobytes(), 6)
+        return _encode_png(pixels)
     if fmt == "jpeg":
-        q = (pixels.astype(np.int16) // _JPEG_Q * _JPEG_Q + _JPEG_Q // 2).clip(0, 255)
-        return _MAGIC_JPG + zlib.compress(q.astype(np.uint8).tobytes(), 6)
+        try:
+            return encode_jpeg(pixels)
+        except JpegFormatError as e:
+            raise ImageFormatError(str(e)) from e
     raise ImageFormatError(f"unsupported fmt {fmt!r}")
 
 
@@ -157,14 +264,13 @@ def decode_image(blob: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         px = _decode_ppm(blob)
     elif fmt == "bmp":
         px = _decode_bmp(blob)
-    elif fmt in ("png", "jpeg"):
-        magic = _MAGIC_PNG if fmt == "png" else _MAGIC_JPG
-        if not blob.startswith(magic):
-            raise ImageFormatError(f"bad magic for fmt {fmt!r}")
-        raw = zlib.decompress(blob[len(magic):])
-        if len(raw) != w * h * 3:
-            raise ImageFormatError(f"size mismatch: {len(raw)} != {w}*{h}*3")
-        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    elif fmt == "png":
+        px = _decode_png(blob)
+    elif fmt == "jpeg":
+        try:
+            px = decode_jpeg(blob)
+        except JpegFormatError as e:
+            raise ImageFormatError(str(e)) from e
     else:
         raise ImageFormatError(f"unsupported fmt {fmt!r}")
     if px.shape != (h, w, 3):

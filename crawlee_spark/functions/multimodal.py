@@ -3,18 +3,25 @@
 Per the build brief, image/audio/video payloads are opaque ``binary``
 columns with typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas UDFs over ``mapInPandas``. The
-image path is fully implemented (functions/images.py with a deterministic
-stand-in codec). Audio/video DECODERS ARE STUBS — the codec libraries
-(ffmpeg/librosa) are not in this container — but everything Spark-side is
-real and tested: schemas, column pruning before the Arrow boundary, UDF
-signatures, batch shapes, and the frame-sample explode.
+image path is fully implemented (functions/images.py — real PNG/PPM/BMP
+codecs). This module carries one REAL codec per modality, pure
+stdlib/numpy, plus honest stubs for the compressed codecs whose libraries
+(ffmpeg/librosa) are not in this container:
 
-Swapping real decoders in means replacing ``_decode_audio_stub`` /
-``_decode_video_stub`` only.
+- audio ``codec='wav'``   -> REAL RIFF/WAVE: PCM u8 / s16 / s24 / s32 and
+  IEEE float32 (format tags 1 and 3), any channel count, chunk-walking
+  parser. Player-openable; encoder included for datagen/tests.
+- video ``codec='y4m'``   -> REAL YUV4MPEG2 (the ffmpeg/mjpegtools
+  interchange format): ASCII stream header, ``FRAME`` markers, C444 planar
+  YUV, BT.601 full-range RGB conversion both ways. Player-openable.
+- ``'pcm_f32_fake'`` / ``'rawrgb_fake'`` -> raw-sample stand-ins kept for
+  plumbing tests; ``mp3``/``h264``/… raise ``NotImplementedError``
+  loudly (stub; plug ffmpeg there).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,12 +45,184 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SCHEMA = "media_id string, frame_idx int, frame_bytes binary, w int, h int"
 
 
-def _decode_audio_stub(blob: bytes, codec: str, sample_rate: int) -> np.ndarray:
-    """STUB: real implementation decodes `codec` bytes to float32 PCM.
+class MediaFormatError(ValueError):
+    pass
 
-    Raises for real codecs; accepts the deterministic test codec
-    ``'pcm_f32_fake'`` = raw little-endian float32 samples, so the Spark
-    plumbing is testable end-to-end without audio libraries."""
+
+# -- real codec: RIFF/WAVE PCM ------------------------------------------------
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode float32 PCM in [-1, 1] (shape (n,) mono or (n, ch)) as a real
+    RIFF/WAVE file. bits=16/32 -> integer PCM (tag 1); bits=-32 -> IEEE
+    float32 (tag 3)."""
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    if bits == -32:
+        tag, width, frames = 3, 4, pcm.astype("<f4").tobytes()
+    elif bits in (16, 32):
+        width = bits // 8
+        lim = float(2 ** (bits - 1) - 1)
+        frames = (np.clip(pcm, -1.0, 1.0) * lim).round().astype(
+            "<i2" if bits == 16 else "<i4").tobytes()
+        tag = 1
+    else:
+        raise MediaFormatError(f"unsupported WAV bits {bits}")
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate,
+                      sample_rate * ch * width, ch * width, abs(bits))
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """Chunk-walking WAV parser -> (float32 (n, ch) in [-1, 1], rate, ch).
+
+    Handles PCM u8/s16/s24/s32 (tag 1, incl. WAVE_FORMAT_EXTENSIBLE 0xFFFE)
+    and IEEE float32 (tag 3); unknown chunks are skipped per RIFF rules
+    (chunks are word-aligned: odd sizes carry a pad byte)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise MediaFormatError("bad magic for codec 'wav'")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos:pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        chunk = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise MediaFormatError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise MediaFormatError("WAV missing fmt/data chunk")
+    tag, ch, rate, _brate, _align, bits = fmt
+    if tag == 0xFFFE:  # extensible: real tag lives in the GUID prefix
+        tag = 1
+    if tag == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif tag == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif tag == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32767.0
+    elif tag == 1 and bits == 24:
+        b = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.uint32)
+        v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float32) / float((1 << 23) - 1)
+    elif tag == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483647.0
+    else:
+        raise MediaFormatError(f"unsupported WAV format tag={tag} bits={bits}")
+    if ch < 1 or len(x) % ch:
+        raise MediaFormatError(f"WAV sample count {len(x)} not divisible by {ch} channels")
+    return x.reshape(-1, ch), rate, ch
+
+
+# -- real codec: YUV4MPEG2 (C444 planar, BT.601 full-range) -------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _rgb_to_yuv(frames: np.ndarray) -> np.ndarray:
+    f = frames.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, u, v], axis=-1).round().clip(0, 255).astype(np.uint8)
+
+
+def _yuv_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    f = yuv.astype(np.float32)
+    y, u, v = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.stack([r, g, b], axis=-1).round().clip(0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> real YUV4MPEG2 stream (C444, full-range
+    BT.601; XCOLORRANGE=FULL parameter per the mjpegtools extension)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise MediaFormatError(f"expected (n,h,w,3) uint8, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    hdr = _Y4M_MAGIC + (
+        f"W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C444 XCOLORRANGE=FULL\n"
+    ).encode()
+    yuv = _rgb_to_yuv(frames)
+    parts = [hdr]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(yuv[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(blob: bytes) -> tuple[np.ndarray, float]:
+    """Real Y4M parse -> ((n, h, w, 3) uint8 RGB, fps). C444 and C420
+    variants (chroma upsampled by pixel doubling) supported."""
+    if not blob.startswith(_Y4M_MAGIC):
+        raise MediaFormatError("bad magic for codec 'y4m'")
+    nl = blob.find(b"\n")
+    if nl < 0:
+        raise MediaFormatError("unterminated Y4M header")
+    w = h = 0
+    fps_num, fps_den, chroma = 25, 1, "C444"
+    for tok in blob[len(_Y4M_MAGIC):nl].decode("ascii", "replace").split():
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[:1] == "C":
+            chroma = tok
+    if w <= 0 or h <= 0:
+        raise MediaFormatError("Y4M header missing W/H")
+    if chroma.startswith("C444"):
+        planes = [(h, w)] * 3
+    elif chroma.startswith("C420"):
+        if (w | h) & 1:
+            raise MediaFormatError("C420 needs even dimensions")
+        planes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    else:
+        raise MediaFormatError(f"unsupported Y4M chroma {chroma}")
+    fsize = sum(ph * pw for ph, pw in planes)
+    frames, pos = [], nl + 1
+    while pos < len(blob):
+        fnl = blob.find(b"\n", pos)
+        if fnl < 0 or blob[pos:pos + 5] != b"FRAME":
+            raise MediaFormatError("bad Y4M FRAME marker")
+        pos = fnl + 1
+        if pos + fsize > len(blob):
+            raise MediaFormatError("truncated Y4M frame")
+        raw = np.frombuffer(blob, np.uint8, count=fsize, offset=pos)
+        pos += fsize
+        off, full = 0, []
+        for ph, pw in planes:
+            p = raw[off:off + ph * pw].reshape(ph, pw)
+            off += ph * pw
+            if (ph, pw) != (h, w):  # 4:2:0 -> pixel-double chroma
+                p = p.repeat(2, axis=0).repeat(2, axis=1)
+            full.append(p)
+        frames.append(_yuv_to_rgb(np.stack(full, axis=-1)))
+    if not frames:
+        raise MediaFormatError("Y4M stream has no frames")
+    return np.stack(frames), fps_num / fps_den
+
+
+def _decode_audio(blob: bytes, codec: str, sample_rate: int) -> np.ndarray:
+    """Decode `codec` bytes to float32 PCM (flattened, interleaved).
+
+    'wav' is the real RIFF/WAVE path; 'pcm_f32_fake' (raw little-endian
+    float32 samples) is kept for plumbing tests; compressed codecs raise —
+    their libraries are not in this container (honest stub)."""
+    if codec == "wav":
+        pcm, _rate, _ch = decode_wav(blob)
+        return pcm.reshape(-1)
     if codec == "pcm_f32_fake":
         return np.frombuffer(blob, dtype=np.float32)
     raise NotImplementedError(
@@ -52,10 +231,16 @@ def _decode_audio_stub(blob: bytes, codec: str, sample_rate: int) -> np.ndarray:
     )
 
 
-def _decode_video_stub(blob: bytes, codec: str, w: int, h: int, n_frames: int) -> np.ndarray:
-    """STUB: real implementation decodes to (n_frames, h, w, 3) uint8.
-
-    Accepts ``'rawrgb_fake'`` = concatenated raw RGB frames for testing."""
+def _decode_video(blob: bytes, codec: str, w: int, h: int, n_frames: int) -> np.ndarray:
+    """Decode to (n_frames, h, w, 3) uint8. 'y4m' is the real path;
+    'rawrgb_fake' = concatenated raw RGB frames for plumbing tests;
+    compressed codecs raise (honest stub — no ffmpeg in this container)."""
+    if codec == "y4m":
+        vid, _fps = decode_y4m(blob)
+        if vid.shape[1:3] != (h, w):
+            raise MediaFormatError(
+                f"y4m dims {vid.shape[2]}x{vid.shape[1]} != declared {w}x{h}")
+        return vid
     if codec == "rawrgb_fake":
         expect = n_frames * h * w * 3
         if len(blob) != expect:
@@ -84,7 +269,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                 out["media_id"].append(media_id)
                 out["duration_ms"].append(int(dur))
                 try:
-                    pcm = _decode_audio_stub(bytes(blob), codec, int(sr))
+                    pcm = _decode_audio(bytes(blob), codec, int(sr))
                     out["rms"].append(float(np.sqrt(np.mean(pcm ** 2))) if len(pcm) else 0.0)
                     out["peak"].append(float(np.max(np.abs(pcm))) if len(pcm) else 0.0)
                     out["zero_crossings"].append(
@@ -115,7 +300,7 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                 pdf["n_frames"], pdf["codec"],
             ):
                 try:
-                    vid = _decode_video_stub(bytes(blob), codec, int(w), int(h), int(n_frames))
+                    vid = _decode_video(bytes(blob), codec, int(w), int(h), int(n_frames))
                 except NotImplementedError:
                     continue  # undecodable codec -> no frames (dead-letter upstream)
                 for i in range(0, len(vid), every_n):
