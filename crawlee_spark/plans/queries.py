@@ -1464,6 +1464,70 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED end-to-end crawl: the engine's final URL-seen set.
+
+    The link graph is derived from the ``documents`` table with
+    SQL-expressible rules — doc i links to each t in {(3i+1) % N,
+    (7i+2) % N, (i + N/2) % N} with t > i (a DAG, so the closure from seeds
+    {0,1,2} is a NON-TRIVIAL subset: 103 of 500 docs at sf0.01, BFS depth 8)
+    on hosts h{i%7}.test — so DuckDB can compute the ground truth as a
+    ``WITH RECURSIVE`` reachability closure while Spark runs the REAL
+    ``CrawlEngine`` BSP loop (seeds -> fetch -> extract links from actual
+    ``<a href>`` HTML -> enqueueLinks(strategy=all) -> MERGE) to the
+    empty-frontier fixpoint. Upgrades the flagship crawl from a rows-only
+    check to a value-checked one: any canonicalization, extraction, dedup or
+    frontier bug that loses/invents a URL breaks the hash match. (Crawl
+    ORDER stays pinned by the simulator parity suite — ordering is a
+    priority-queue semantics, not one SQL query.)"""
+    import tempfile
+
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+    from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc"))
+        n = d.count()  # one scalar job; N also appears in the oracle SQL
+
+        def _url(doc_col):
+            return F.concat(F.lit("http://h"), (doc_col % 7).cast("string"),
+                            F.lit(".test/doc/"), doc_col.cast("string"))
+
+        def _anchor(t):
+            return F.when(
+                t > F.col("doc"),
+                F.concat(F.lit('<a href="'), _url(t), F.lit('">x</a> ')),
+            ).otherwise(F.lit(""))
+
+        corpus = d.select(
+            _url(F.col("doc")).alias("url"),
+            F.concat(
+                _anchor((3 * F.col("doc") + 1) % n),
+                _anchor((7 * F.col("doc") + 2) % n),
+                _anchor((F.col("doc") + n // 2) % n),
+            ).alias("html"),
+        )
+        seeds = spark.createDataFrame(
+            [(f"http://h{i % 7}.test/doc/{i}", False, 0, None) for i in range(3)],
+            "url string, forefront boolean, depth int, label string",
+        )
+        wd = tempfile.mkdtemp(prefix="crawl_reach_")
+        eng = CrawlEngine(spark, wd, CrawlConfig(
+            num_buckets=4, enqueue=EnqueueLinksOptions(strategy="all")))
+        eng.add_seeds(seeds)
+        eng.run(corpus)
+        return (
+            eng.frontier.read()
+            .select("unique_key", "host")
+            .distinct()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """htmlToText: script/style dropped with content, tags → spaces,
     whitespace compressed (``packages/utils/src/internals/cheerio.ts:39-81``
@@ -2702,11 +2766,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "revenue_join": q_revenue_join,
     "sessionize": q_sessionize,
+    "crawl_reachability": q_crawl_reachability,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
     "crawl_end_to_end": q_crawl_end_to_end,
 }
+
+# Ground truth for the oracle-checked end-to-end crawl: reachability closure
+# over the same SQL-derived DAG the Spark query feeds the engine
+# (q_crawl_reachability docstring). DuckDB's recursive UNION is the fixpoint.
+ORACLE_CRAWL_REACHABILITY = """
+WITH RECURSIVE reach(doc) AS (
+    SELECT CAST(x AS BIGINT) FROM (VALUES (0), (1), (2)) v(x)
+    UNION
+    SELECT t FROM (
+        SELECT r.doc AS src,
+               unnest([(3 * r.doc + 1) % c.n,
+                       (7 * r.doc + 2) % c.n,
+                       (r.doc + c.n // 2) % c.n]) AS t
+        FROM reach r, (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) c
+    ) e WHERE e.t > e.src
+)
+SELECT 'http://h' || CAST(doc % 7 AS VARCHAR) || '.test/doc/' || CAST(doc AS VARCHAR)
+           AS unique_key,
+       'h' || CAST(doc % 7 AS VARCHAR) || '.test' AS host
+FROM reach
+"""
 
 ORACLES: dict[str, str] = {
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
@@ -2770,5 +2856,6 @@ ORACLES: dict[str, str] = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "revenue_join": ORACLE_REVENUE_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
+    "crawl_reachability": ORACLE_CRAWL_REACHABILITY,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }
