@@ -44,6 +44,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition",
     "pii_scrub",
+    "boilerplate",
     "top_terms",
     "stratified_sample",
     "hash_split",

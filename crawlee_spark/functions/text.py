@@ -328,3 +328,43 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % HASH_PRIME,
     )
+
+
+def _line_words(line: Column) -> Column:
+    return F.size(F.split(F.trim(line), " +"))
+
+
+def _line_link_chars(line: Column) -> Column:
+    # 3 * (number of '<a ' anchor openings)
+    return F.length(line) - F.length(F.regexp_replace(line, "<a ", ""))
+
+
+def is_content_line(line: Column, min_words: int = 10) -> Column:
+    """jusText/Arc90-style line classifier, integer-pure so the DuckDB
+    mirror matches bit-for-bit: a line is CONTENT iff it has >= min_words
+    whitespace words AND link density <= 0.2 — expressed without division
+    as ``5 * link_chars <= 3 * words`` (each anchor contributes the 3
+    characters of '<a ', and words >= 5*links <=> 5*3*links <= 3*words).
+
+    Boilerplate (nav menus, cookie banners, footers) is short and/or
+    link-dense; body prose is long and link-sparse — the two rules jusText
+    (Pomikalek 2011) and Arc90 readability both build on.
+    """
+    return (_line_words(line) >= F.lit(min_words)) & \
+        (F.lit(5) * _line_link_chars(line) <= F.lit(3) * _line_words(line))
+
+
+def strip_boilerplate(lines: Column, min_words: int = 10) -> Column:
+    """array<string> page lines -> struct(content_text, n_lines, n_kept,
+    boilerplate_frac). Zero-shuffle: pure array HOFs (filter + array_join)
+    evaluated in-row — at 100 TB this is a map-only stage, no explode.
+
+    DuckDB mirror: ``list_filter(lines, l -> ...)`` + ``array_to_string``.
+    """
+    kept = F.filter(lines, lambda ln: is_content_line(ln, min_words))
+    return F.struct(
+        F.array_join(kept, "\n").alias("content_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        ((F.size(lines) - F.size(kept)) / F.size(lines)).alias("boilerplate_frac"),
+    )

@@ -1556,6 +1556,59 @@ FROM documents
 """
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (jusText/Arc90-class): synthesized 5-line pages
+    (nav menu, body text, cookie banner, second body block, link-heavy
+    footer) -> integer-pure line classifier -> cleaned text + boilerplate
+    fraction. Zero-shuffle (array HOFs in one projection;
+    functions/text.py::strip_boilerplate)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.array(
+        F.lit('<a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a>'),
+        F.substring(F.col("text"), 1, 120),
+        F.lit("Accept all cookies to continue"),
+        F.concat(F.substring(F.col("text"), 40, 160), F.lit(" end of section "),
+                 F.col("lang")),
+        F.concat(F.lit("(c) 2024 "), F.col("source"),
+                 F.lit(' <a href="/privacy">Privacy</a> <a href="/terms">Terms</a>')),
+    )
+    out = T.strip_boilerplate(lines)
+    return d.select(
+        "doc_id",
+        out["content_text"].alias("content_text"),
+        out["n_lines"].alias("n_lines"),
+        out["n_kept"].alias("n_kept"),
+        out["boilerplate_frac"].alias("boilerplate_frac"),
+    )
+
+
+ORACLE_BOILERPLATE = r"""
+WITH pages AS (
+  SELECT doc_id,
+    ['<a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a>',
+     substr(text, 1, 120),
+     'Accept all cookies to continue',
+     substr(text, 40, 160) || ' end of section ' || lang,
+     '(c) 2024 ' || source || ' <a href="/privacy">Privacy</a> <a href="/terms">Terms</a>'
+    ] AS lines
+  FROM documents
+), kept AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l ->
+      len(string_split_regex(trim(l), ' +')) >= 10
+      AND 5 * (length(l) - length(replace(l, '<a ', '')))
+          <= 3 * len(string_split_regex(trim(l), ' +'))) AS k
+  FROM pages
+)
+SELECT doc_id,
+  array_to_string(k, chr(10)) AS content_text,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(k) AS INT) AS n_kept,
+  (len(lines) - len(k)) / len(lines) AS boilerplate_frac
+FROM kept
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -2767,6 +2820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_join": q_revenue_join,
     "sessionize": q_sessionize,
     "crawl_reachability": q_crawl_reachability,
+    "boilerplate": q_boilerplate,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -2857,5 +2911,6 @@ ORACLES: dict[str, str] = {
     "revenue_join": ORACLE_REVENUE_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "crawl_reachability": ORACLE_CRAWL_REACHABILITY,
+    "boilerplate": ORACLE_BOILERPLATE,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }

@@ -172,3 +172,35 @@ def test_repetition_gate_zero_shuffle_plan(spark):
     plan = q_text_repetition(spark, "/root/testdata/sf0.001")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_strip_boilerplate_pinned(spark):
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.functions.text import strip_boilerplate
+
+    body = " ".join(["word"] * 12)
+    rows = spark.createDataFrame([("d1",)], "doc_id string").select(
+        "doc_id",
+        strip_boilerplate(F.array(
+            # nav: 3 links, 3 words -> link-dense -> boilerplate
+            F.lit('<a href="/">Home</a> <a href="/a">A</a> <a href="/b">B</a>'),
+            F.lit(body),                       # 12 words, 0 links -> content
+            F.lit("Accept all cookies"),       # 3 words -> boilerplate
+            # 12 words + 1 link: 5*3=15 <= 3*14=42 -> still content
+            F.lit(body + ' see <a href="/x">x</a>'),
+        )).alias("s"),
+    ).select("doc_id", "s.*").collect()
+    r = rows[0]
+    assert r["n_lines"] == 4 and r["n_kept"] == 2
+    assert r["boilerplate_frac"] == 0.5
+    assert r["content_text"].startswith(body)
+    assert "cookies" not in r["content_text"] and "Home" not in r["content_text"]
+
+
+def test_boilerplate_query_zero_shuffle(spark):
+    from crawlee_spark.plans.queries import q_boilerplate
+
+    plan = q_boilerplate(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
