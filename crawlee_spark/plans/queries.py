@@ -1609,6 +1609,125 @@ FROM kept
 """
 
 
+def _gallery_html() -> F.Column:
+    """Deterministic page with a 5-image gallery per document: absolute src
+    with messy casing + tracking params + fragment, protocol-relative src,
+    a data: URI (must be dropped), a root-relative src with alt, and an
+    alt-less favicon (dropped by the require-alt rule). doc_id % 97 / % 53
+    create cross-document references to the SAME image so the best-caption
+    aggregation has real work at every sf."""
+    return F.concat(
+        F.lit('<html><body><p>gallery</p><img src="HTTPS://Img.'),
+        F.col("source"), F.lit(".COM/a/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit('.jpg?utm_source=feed&b=2&a=1#frag" alt="'),
+        F.substring("text", 1, 60),
+        F.lit('"><img alt="'), F.substring("text", 21, 48),
+        F.lit('" src="//cdn.'), F.col("source"), F.lit(".net/b/"),
+        (F.col("doc_id") % 53).cast("string"), F.lit('.png">'),
+        F.lit('<img src="data:image/gif;base64,R0lGOD" alt="spacer gif">'),
+        F.lit('<img src="/assets/logo-'), F.col("lang"),
+        F.lit('.svg" alt="logo '), F.col("lang"),
+        F.lit('"><img src="/favicon.ico"></body></html>'),
+    )
+
+
+def q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alt-text mining: harvest (image URL, caption) training pairs from
+    crawled HTML — the LAION/CommonCrawl recipe for building image+caption
+    datasets, downstream of the crawler's fetch log (north-star payload).
+
+    Pipeline (all JVM column expressions, one scan, one shuffle):
+    ``regexp_extract_all('<img [^>]*>')`` → explode → src/alt attribute
+    extraction → URL resolution (protocol-relative + root-relative against
+    the page origin, data:/javascript: dropped, reference absolutize
+    semantics ``enqueue_links/shared.ts:211-241``) → require non-empty alt
+    → canonicalize (uniqueKey semantics, ``request.ts:361-375``) →
+    groupBy(canonical image URL) keeping the BEST caption seen anywhere on
+    the web for that image (longest, then lexicographic, then lowest
+    doc_id — a total order, so map-side-combining ``max_by`` is exact and
+    no window/sort is needed). At 100 TB this is scan + one hash
+    aggregation on url — no joins, no skew pivot (hot images combine
+    map-side)."""
+    d = _t(spark, sf_dir, "documents")
+    origin = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    tags = d.select(
+        "doc_id", origin.alias("origin"), _gallery_html().alias("html")
+    ).select(
+        "doc_id", "origin",
+        F.explode(
+            F.regexp_extract_all("html", F.lit("<img [^>]*>"), F.lit(0))
+        ).alias("tag"),
+    )
+    src = F.regexp_extract("tag", 'src="([^"]*)"', 1)
+    alt = F.regexp_extract("tag", 'alt="([^"]*)"', 1)
+    resolved = (
+        F.when(src.startswith("//"), F.concat(F.lit("https:"), src))
+        .when(src.startswith("/"), F.concat(F.col("origin"), src))
+        .when(src.rlike("(?i)^https?://"), src)
+    )
+    refs = (
+        tags.select("doc_id", resolved.alias("url"), alt.alias("alt"))
+        .filter(F.col("url").isNotNull() & (F.col("alt") != ""))
+    )
+    pick = F.concat(
+        F.lpad(F.length("alt").cast("string"), 4, "0"), F.col("alt"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    return (
+        refs.select(
+            U.canonicalize(F.col("url")).alias("img_url"),
+            F.col("alt"), F.col("doc_id"), pick.alias("pick"),
+        )
+        .groupBy("img_url")
+        .agg(
+            F.max_by("alt", "pick").alias("caption"),
+            F.count("*").alias("n_refs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+ORACLE_IMAGE_CAPTION_PAIRS = f"""
+WITH pages AS (
+  SELECT doc_id, 'https://' || source || '.example.com' AS origin,
+    '<html><body><p>gallery</p><img src="HTTPS://Img.' || source || '.COM/a/'
+      || CAST(doc_id % 97 AS VARCHAR)
+      || '.jpg?utm_source=feed&b=2&a=1#frag" alt="' || substr(text, 1, 60)
+      || '"><img alt="' || substr(text, 21, 48)
+      || '" src="//cdn.' || source || '.net/b/' || CAST(doc_id % 53 AS VARCHAR)
+      || '.png"><img src="data:image/gif;base64,R0lGOD" alt="spacer gif">'
+      || '<img src="/assets/logo-' || lang || '.svg" alt="logo ' || lang
+      || '"><img src="/favicon.ico"></body></html>' AS html
+  FROM documents
+), tags AS (
+  SELECT doc_id, origin, unnest(regexp_extract_all(html, '<img [^>]*>')) AS tag
+  FROM pages
+), parsed AS (
+  SELECT doc_id, origin,
+    regexp_extract(tag, 'src="([^"]*)"', 1) AS src,
+    regexp_extract(tag, 'alt="([^"]*)"', 1) AS alt
+  FROM tags
+), refs AS (
+  SELECT doc_id, alt,
+    CASE WHEN src LIKE '//%' THEN 'https:' || src
+         WHEN src LIKE '/%' THEN origin || src
+         WHEN regexp_matches(src, '(?i)^https?://') THEN src
+    END AS url
+  FROM parsed
+), valid AS (
+  SELECT doc_id, ({_CANON_SQL}) AS img_url, alt
+  FROM refs WHERE url IS NOT NULL AND alt <> ''
+)
+SELECT img_url,
+  arg_max(alt, lpad(CAST(length(alt) AS VARCHAR), 4, '0') || alt
+               || lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS caption,
+  count(*) AS n_refs,
+  min(doc_id) AS first_doc
+FROM valid GROUP BY img_url
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -2821,6 +2940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "crawl_reachability": q_crawl_reachability,
     "boilerplate": q_boilerplate,
+    "image_caption_pairs": q_image_caption_pairs,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -2912,5 +3032,6 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "crawl_reachability": ORACLE_CRAWL_REACHABILITY,
     "boilerplate": ORACLE_BOILERPLATE,
+    "image_caption_pairs": ORACLE_IMAGE_CAPTION_PAIRS,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }
