@@ -1728,6 +1728,155 @@ FROM valid GROUP BY img_url
 """
 
 
+def q_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl CDX-J index selection: parse capture-index lines,
+    keep successful image captures, pick the latest capture per SURT key,
+    dedup identical payloads by content digest (see ``sources/cdx.py``
+    for format + scale notes). This is the step that decides which WARC
+    byte ranges to download — it runs on the ~250 GB index, not the
+    ~100 TB payload, which is the whole economy of the format.
+
+    Synthesis: each document emits 3 captures of its image URL (a fresh
+    200 image/jpeg, an older superseded 200, and a latest-but-failed
+    301/404/503 text/html revisit) plus, for every 50th doc, a corrupt
+    line that must be dropped by the parser, not crash the task. Lines
+    are REAL CDX-J strings built and then re-parsed, so the round trip
+    (format → regexp + get_json_object → select) is exercised end to
+    end, all JVM-side. Plan: scan → generate → two map-side-combinable
+    hash aggs; zero joins, zero windows."""
+    from crawlee_spark.sources import cdx
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    img_no = doc % 97
+    url = F.concat(
+        F.lit("https://WWW.Img"), (img_no % 7).cast("string"), F.lit("."),
+        F.col("source"), F.lit(".COM:8080/Photos/"), img_no.cast("string"),
+        F.lit(".jpg?q="), F.col("lang"),
+    )
+    mm = F.lpad((doc * 7 % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((doc % 28 + 1).cast("string"), 2, "0")
+    hh = F.lpad((doc % 24).cast("string"), 2, "0")
+    surt = cdx.surt_key(url)
+
+    def line(ts, status, mime, digest, length, offset, fname):
+        return cdx.format_cdxj(surt, ts, {
+            "url": url, "mime": F.lit(mime), "status": status,
+            "digest": digest, "length": length.cast("string"),
+            "offset": offset.cast("string"), "filename": fname,
+        })
+
+    fname1 = F.concat(F.lit("crawl-2026-"),
+                      F.lpad((doc % 5).cast("string"), 2, "0"), F.lit(".warc.gz"))
+    fname2 = F.concat(F.lit("crawl-2025-"),
+                      F.lpad((doc % 5).cast("string"), 2, "0"), F.lit(".warc.gz"))
+    ts1 = F.concat(F.lit("2026"), mm, dd, hh, F.lit("0000"))
+    ts2 = F.concat(F.lit("2025"), mm, dd, hh, F.lit("0000"))
+    ts3 = F.concat(F.lit("2026"), mm, dd, hh, F.lit("3000"))
+    status3 = (
+        F.when(doc % 3 == 0, "301").when(doc % 3 == 1, "404").otherwise("503")
+    )
+    l1 = line(ts1, F.lit("200"), "image/jpeg",
+              F.md5((doc % 251).cast("string")), doc + 1000, doc * 4096, fname1)
+    l2 = line(ts2, F.lit("200"), "image/jpeg",
+              F.md5((doc % 113 + 1000).cast("string")), doc + 900,
+              doc * 4096 + 7, fname2)
+    l3 = line(ts3, status3, "text/html",
+              F.md5((doc % 113 + 1000).cast("string")), doc + 500,
+              doc * 4096 + 13, fname1)
+    l4 = F.when(doc % 50 == 0, F.lit("cdx-corrupt ### {not json"))
+    lines = d.select(F.explode(F.array(l1, l2, l3, l4)).alias("line"))
+    return cdx.select_captures(cdx.parse_cdxj(lines), mime_prefix="image/")
+
+
+ORACLE_CDX_SELECT = r"""
+WITH pages AS (
+  SELECT doc_id,
+    'https://WWW.Img' || CAST(doc_id % 97 % 7 AS VARCHAR) || '.' || source
+      || '.COM:8080/Photos/' || CAST(doc_id % 97 AS VARCHAR)
+      || '.jpg?q=' || lang AS url,
+    lpad(CAST(doc_id * 7 % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') AS hh,
+    'crawl-2026-' || lpad(CAST(doc_id % 5 AS VARCHAR), 2, '0')
+      || '.warc.gz' AS fname1,
+    'crawl-2025-' || lpad(CAST(doc_id % 5 AS VARCHAR), 2, '0')
+      || '.warc.gz' AS fname2,
+    CASE WHEN doc_id % 3 = 0 THEN '301'
+         WHEN doc_id % 3 = 1 THEN '404' ELSE '503' END AS status3,
+    md5(CAST(doc_id % 251 AS VARCHAR)) AS digest1,
+    md5(CAST(doc_id % 113 + 1000 AS VARCHAR)) AS digest2
+  FROM documents
+), surted AS (
+  SELECT *,
+    array_to_string(list_reverse(string_split(
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+        ':[0-9]+$', ''), '^www\.', ''), '.')), ',') || ')' ||
+    CASE WHEN lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) = '' THEN '/'
+         ELSE lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) END AS surt
+  FROM pages
+), lines AS (
+  SELECT unnest(ARRAY[
+    surt || ' 2026' || mm || dd || hh || '0000 {"url": "' || url
+      || '", "mime": "image/jpeg", "status": "200", "digest": "' || digest1
+      || '", "length": "' || CAST(doc_id + 1000 AS VARCHAR)
+      || '", "offset": "' || CAST(doc_id * 4096 AS VARCHAR)
+      || '", "filename": "' || fname1 || '"}',
+    surt || ' 2025' || mm || dd || hh || '0000 {"url": "' || url
+      || '", "mime": "image/jpeg", "status": "200", "digest": "' || digest2
+      || '", "length": "' || CAST(doc_id + 900 AS VARCHAR)
+      || '", "offset": "' || CAST(doc_id * 4096 + 7 AS VARCHAR)
+      || '", "filename": "' || fname2 || '"}',
+    surt || ' 2026' || mm || dd || hh || '3000 {"url": "' || url
+      || '", "mime": "text/html", "status": "' || status3
+      || '", "digest": "' || digest2
+      || '", "length": "' || CAST(doc_id + 500 AS VARCHAR)
+      || '", "offset": "' || CAST(doc_id * 4096 + 13 AS VARCHAR)
+      || '", "filename": "' || fname1 || '"}',
+    CASE WHEN doc_id % 50 = 0 THEN 'cdx-corrupt ### {not json' END
+  ]) AS line
+  FROM surted
+), parsed AS (
+  SELECT
+    NULLIF(regexp_extract(line, '^(\S+) (\d{14}) \{', 1), '') AS surt,
+    NULLIF(regexp_extract(line, '^\S+ (\d{14}) \{', 1), '') AS ts,
+    json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                        '$.url') AS url,
+    json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                        '$.mime') AS mime,
+    json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                        '$.status') AS status,
+    json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                        '$.digest') AS digest,
+    CAST(json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                             '$.length') AS BIGINT) AS length,
+    CAST(json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                             '$.offset') AS BIGINT) AS "offset",
+    json_extract_string(NULLIF(regexp_extract(line, '^\S+ \d{14} (\{.*\})$', 1), ''),
+                        '$.filename') AS filename
+  FROM lines
+), valid AS (
+  SELECT *, ts || filename || lpad(CAST("offset" AS VARCHAR), 12, '0') AS pick
+  FROM parsed
+  WHERE surt IS NOT NULL AND ts IS NOT NULL
+    AND status = '200' AND mime LIKE 'image/%'
+), latest AS (
+  SELECT surt, arg_max(url, pick) AS url, max(ts) AS ts,
+    arg_max(digest, pick) AS digest, arg_max(length, pick) AS length,
+    arg_max("offset", pick) AS "offset", arg_max(filename, pick) AS filename
+  FROM valid GROUP BY surt
+)
+SELECT digest, min(surt) AS surt, arg_min(url, surt) AS url,
+  arg_min(ts, surt) AS ts, arg_min(length, surt) AS length,
+  arg_min("offset", surt) AS "offset",
+  arg_min(filename, surt) AS filename, count(*) AS n_urls
+FROM latest GROUP BY digest
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -2941,6 +3090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_reachability": q_crawl_reachability,
     "boilerplate": q_boilerplate,
     "image_caption_pairs": q_image_caption_pairs,
+    "cdx_select": q_cdx_select,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -3033,5 +3183,6 @@ ORACLES: dict[str, str] = {
     "crawl_reachability": ORACLE_CRAWL_REACHABILITY,
     "boilerplate": ORACLE_BOILERPLATE,
     "image_caption_pairs": ORACLE_IMAGE_CAPTION_PAIRS,
+    "cdx_select": ORACLE_CDX_SELECT,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }

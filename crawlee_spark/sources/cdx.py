@@ -1,0 +1,124 @@
+"""CDX-J (Common Crawl / web-archive capture index) parsing + selection.
+
+A CDX-J index line is ``<SURT key> <14-digit timestamp> <JSON blob>``
+where the JSON carries ``url``, ``mime``, ``status``, ``digest``,
+``length``, ``offset``, ``filename`` — enough to fetch the record with a
+single ranged read from the named ``.warc.gz`` file. Selecting from the
+index (status/mime filter, latest capture per URL, content-digest dedup)
+is how a training pipeline decides WHICH of the ~3B captures per Common
+Crawl snapshot to actually download, so it runs before any byte of
+payload moves.
+
+Reference parity: Crawlee has no archive-index reader (it crawls live);
+this is a task-brief training-pipeline source (SURVEY.md §2.11),
+format per the pywb CDXJ spec and Common Crawl's cc-index layout.
+
+Scale shape: one snapshot ships the index as ~300 sorted ``cdx-*.gz``
+shards (~250 GB); lines parse with JVM regexp + ``get_json_object``
+columnar expressions (no Python), selection is two hash aggregations
+(latest-per-key, then representative-per-digest) — both map-side
+combinable, so the shuffle carries one row per distinct key, not per
+capture. The index is sorted by SURT, so at cluster scale a prefix
+predicate partition-prunes via the secondary ``cluster.idx`` file;
+here that corresponds to an ordinary path/prefix filter pushed to the
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CDX_FIELDS = ("url", "mime", "status", "digest", "length", "offset", "filename")
+
+
+def surt_key(url: Column | str) -> Column:
+    """Sort-friendly URI Reordering Transform key for a URL column:
+    ``com,example,img)/path?query`` — host lowercased, ``www.`` and port
+    stripped, labels reversed and comma-joined, then ``)`` + the
+    lowercased path+query (``/`` when empty). Pure JVM expressions; the
+    DuckDB mirror lives in ``plans/queries.py`` (``_SURT_SQL``)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(F.regexp_replace(host, r":\d+$", ""), r"^www\.", "")
+    rest = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1))
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), rest)
+
+
+def format_cdxj(surt: Column, ts: Column, fields: dict[str, Column]) -> Column:
+    """Render one CDX-J line. ``fields`` values are string columns; keys
+    are emitted in CDX_FIELDS order so the line layout is deterministic
+    (Common Crawl emits a stable field order too)."""
+    parts = []
+    for k in CDX_FIELDS:
+        if k in fields:
+            parts.append(F.concat(F.lit(f'"{k}": "'), fields[k], F.lit('"')))
+    body = F.concat_ws(", ", *parts)
+    return F.concat(surt, F.lit(" "), ts, F.lit(" {"), body, F.lit("}"))
+
+
+def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse CDX-J lines into typed columns — JVM-side only: one anchored
+    regexp for the three space-separated parts, ``get_json_object`` per
+    JSON field (Jackson, no Python). Malformed lines (no JSON brace,
+    short timestamp) yield NULL surt/ts and are dropped, costing one row
+    not the task, mirroring the WARC resync policy (sources/warc.py)."""
+    line = F.col(line_col)
+    surt = F.regexp_extract(line, r"^(\S+) (\d{14}) \{", 1)
+    ts = F.regexp_extract(line, r"^\S+ (\d{14}) \{", 1)
+    blob = F.regexp_extract(line, r"^\S+ \d{14} (\{.*\})$", 1)
+    out = df.select(
+        F.when(surt != "", surt).alias("surt"),
+        F.when(ts != "", ts).alias("ts"),
+        *[F.get_json_object(blob, f"$.{k}").alias(k) for k in CDX_FIELDS],
+    ).filter(F.col("surt").isNotNull() & F.col("ts").isNotNull())
+    return out.withColumns(
+        {
+            "length": F.col("length").cast("long"),
+            "offset": F.col("offset").cast("long"),
+        }
+    )
+
+
+def select_captures(
+    parsed: DataFrame,
+    mime_prefix: str | None = None,
+    statuses: tuple[str, ...] = ("200",),
+) -> DataFrame:
+    """Index selection: keep acceptable captures (status class + MIME
+    prefix), pick the LATEST capture per SURT key, then dedup identical
+    payloads across URLs by content digest, keeping the lexicographically
+    first SURT (deterministic representative) and counting how many
+    distinct URLs shared the digest.
+
+    Two hash aggregations, zero joins/windows: ``max_by``/``min_by`` on a
+    packed fixed-width pick string gives a total order, so partial
+    aggregation combines map-side and the shuffle is one row per distinct
+    surt (agg 1) / digest (agg 2) — at 3B captures per snapshot that is
+    the floor for this computation."""
+    ok = parsed.filter(F.col("status").isin(*statuses))
+    if mime_prefix is not None:
+        ok = ok.filter(F.col("mime").startswith(mime_prefix))
+    # ts is fixed-width (14 digits) so string max IS latest; ties broken
+    # by filename+offset for determinism across identical re-captures.
+    cap_pick = F.concat(
+        F.col("ts"), F.col("filename"), F.lpad(F.col("offset").cast("string"), 12, "0")
+    )
+    latest = ok.groupBy("surt").agg(
+        F.max_by("url", cap_pick).alias("url"),
+        F.max("ts").alias("ts"),
+        F.max_by("digest", cap_pick).alias("digest"),
+        F.max_by("length", cap_pick).alias("length"),
+        F.max_by("offset", cap_pick).alias("offset"),
+        F.max_by("filename", cap_pick).alias("filename"),
+    )
+    return latest.groupBy("digest").agg(
+        F.min("surt").alias("surt"),
+        F.min_by("url", "surt").alias("url"),
+        F.min_by("ts", "surt").alias("ts"),
+        F.min_by("length", "surt").alias("length"),
+        F.min_by("offset", "surt").alias("offset"),
+        F.min_by("filename", "surt").alias("filename"),
+        F.count("*").alias("n_urls"),
+    )

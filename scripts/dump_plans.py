@@ -217,6 +217,27 @@ CHECKS = {
         ("rates dim broadcast", r"BroadcastHashJoin"),
         ("partial agg before exchange", r"HashAggregate"),
     ],
+    "image_caption_pairs": [
+        # alt-text mining is scan -> explode -> ONE grouped aggregate on
+        # the canonical image URL; max_by packs the keep-best pick into a
+        # partial-combining aggregate (SortAggregate because of the
+        # ordering argument — still partial/final), never a window
+        ("no window", r"Window", "absent"),
+        ("no join", r"Join", "absent"),
+        ("partial agg before exchange", r"SortAggregate|HashAggregate"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("codegen", "codegen"),
+    ],
+    "cdx_select": [
+        # index selection is scan -> generate -> TWO grouped aggregates
+        # (latest-per-surt, representative-per-digest), both map-side
+        # combining; no joins, no windows, no global funnel
+        ("no window", r"Window", "absent"),
+        ("no join", r"Join", "absent"),
+        ("partial agg before exchange", r"SortAggregate|HashAggregate"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("codegen", "codegen"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
