@@ -66,6 +66,8 @@ HEADLINE = [
     "token_mix",
     "dedup_keep_best",
     "dedup_components",
+    "image_caption_pairs",
+    "cdx_select",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",
