@@ -68,6 +68,8 @@ HEADLINE = [
     "dedup_components",
     "image_caption_pairs",
     "cdx_select",
+    "recrawl_priority",
+    "warc_read_plan",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

@@ -1877,6 +1877,136 @@ FROM latest GROUP BY digest
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2003; see
+    ``operators/recrawl.py``): estimate per-URL change rates from capture
+    history and rank revisits by ``n_changes * age_days``.
+
+    Synthesis: 4 captures per document URL, emitted deliberately OUT of
+    chronological order (index shards merge many crawls); the content
+    "epoch" advances between captures k and k+1 when a deterministic
+    doc-keyed condition fires, so n_changes varies 0..3 across docs.
+    The oracle derives the same statistics INDEPENDENTLY via a lag
+    window over (url, ts) — a different algorithm than the engine's
+    sorted-array fold, which is what makes this oracle strong."""
+    from crawlee_spark.operators.recrawl import change_history, recrawl_priority
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    url = F.concat(F.lit("https://www.pix."), F.col("source"),
+                   F.lit(".net/i/"), doc.cast("string"), F.lit(".jpg"))
+    mm = F.lpad((doc * 7 % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((doc % 28 + 1).cast("string"), 2, "0")
+    c12 = F.when((doc + 1) % 3 == 0, 1).otherwise(0)
+    c23 = F.when((doc + 2) % 4 == 0, 1).otherwise(0)
+    c34 = F.when((doc + 3) % 5 == 0, 1).otherwise(0)
+    epochs = [F.lit(0), c12, c12 + c23, c12 + c23 + c34]
+
+    def cap(k: int) -> F.Column:
+        ts = F.concat(F.lit(str(2020 + k)), mm, dd, F.lit("000000"))
+        dig = F.md5(F.concat(doc.cast("string"), F.lit(":"),
+                             epochs[k - 1].cast("string")))
+        return F.struct(ts.alias("t"), dig.alias("d"))
+
+    caps = d.select(
+        url.alias("url"),
+        # scrambled emission order: 3, 1, 4, 2
+        F.explode(F.array(cap(3), cap(1), cap(4), cap(2))).alias("c"),
+    ).select("url", F.col("c.t").alias("ts"), F.col("c.d").alias("digest"))
+    return recrawl_priority(change_history(caps), now="20270101")
+
+
+ORACLE_RECRAWL_PRIORITY = r"""
+WITH pages AS (
+  SELECT doc_id,
+    'https://www.pix.' || source || '.net/i/' || CAST(doc_id AS VARCHAR)
+      || '.jpg' AS url,
+    lpad(CAST(doc_id * 7 % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+    CASE WHEN (doc_id + 1) % 3 = 0 THEN 1 ELSE 0 END AS c12,
+    CASE WHEN (doc_id + 2) % 4 = 0 THEN 1 ELSE 0 END AS c23,
+    CASE WHEN (doc_id + 3) % 5 = 0 THEN 1 ELSE 0 END AS c34
+  FROM documents
+), caps AS (
+  SELECT url, '2021' || mm || dd || '000000' AS ts,
+    md5(CAST(doc_id AS VARCHAR) || ':0') AS digest FROM pages
+  UNION ALL
+  SELECT url, '2022' || mm || dd || '000000',
+    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c12 AS VARCHAR)) FROM pages
+  UNION ALL
+  SELECT url, '2023' || mm || dd || '000000',
+    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c12 + c23 AS VARCHAR)) FROM pages
+  UNION ALL
+  SELECT url, '2024' || mm || dd || '000000',
+    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c12 + c23 + c34 AS VARCHAR))
+  FROM pages
+), lagged AS (
+  SELECT url, ts, digest,
+    lag(digest) OVER (PARTITION BY url ORDER BY ts) AS prev
+  FROM caps
+), hist AS (
+  SELECT url, count(*) AS n_obs,
+    sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END)
+      AS n_changes,
+    min(ts) AS first_ts, max(ts) AS last_ts
+  FROM lagged GROUP BY url
+)
+SELECT url, n_obs, n_changes, first_ts, last_ts,
+  date_diff('day', CAST(strptime(substr(last_ts, 1, 8), '%Y%m%d') AS DATE),
+            DATE '2027-01-01') AS age_days,
+  n_changes * date_diff('day',
+    CAST(strptime(substr(last_ts, 1, 8), '%Y%m%d') AS DATE),
+    DATE '2027-01-01') AS priority
+FROM hist
+"""
+
+
+def q_warc_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged-read planning over index-selected WARC records (see
+    ``sources/cdx.py::plan_ranged_reads``): coalesce (filename, offset,
+    length) rows into batched byte-range GETs with a bounded waste gap.
+
+    Synthesis: record r of each file sits at ``r*1000 +
+    (r//5)*50000`` with a 700-900 B payload, so runs of 5 records
+    coalesce (200-300 B inter-record gaps) and every 5th record starts a
+    new read (50 KB jump > the 16 KB gap budget). The oracle mirrors the
+    lag + running-sum derivation in SQL."""
+    from crawlee_spark.sources.cdx import plan_ranged_reads
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    r = F.floor(doc / 7)
+    records = d.select(
+        F.concat(F.lit("crawl-"), (doc % 7).cast("string"),
+                 F.lit(".warc.gz")).alias("filename"),
+        (r * 1000 + F.floor(r / 5) * 50000).alias("offset"),
+        (doc % 200 + 700).alias("length"),
+    )
+    return plan_ranged_reads(records, gap_bytes=16384)
+
+
+ORACLE_WARC_READ_PLAN = r"""
+WITH recs AS (
+  SELECT 'crawl-' || CAST(doc_id % 7 AS VARCHAR) || '.warc.gz' AS filename,
+    (doc_id // 7) * 1000 + ((doc_id // 7) // 5) * 50000 AS "offset",
+    doc_id % 200 + 700 AS length
+  FROM documents
+), flagged AS (
+  SELECT *, CASE WHEN lag("offset" + length) OVER w IS NULL
+                   OR "offset" > lag("offset" + length) OVER w + 16384
+              THEN 1 ELSE 0 END AS new_grp
+  FROM recs WINDOW w AS (PARTITION BY filename ORDER BY "offset")
+), grouped AS (
+  SELECT *, sum(new_grp) OVER (PARTITION BY filename ORDER BY "offset") AS grp
+  FROM flagged
+)
+SELECT filename, grp, min("offset") AS range_start,
+  max("offset" + length) AS range_end, count(*) AS n_records,
+  max("offset" + length) - min("offset") - sum(length) AS waste_bytes
+FROM grouped GROUP BY filename, grp
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -3091,6 +3221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate": q_boilerplate,
     "image_caption_pairs": q_image_caption_pairs,
     "cdx_select": q_cdx_select,
+    "recrawl_priority": q_recrawl_priority,
+    "warc_read_plan": q_warc_read_plan,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -3184,5 +3316,7 @@ ORACLES: dict[str, str] = {
     "boilerplate": ORACLE_BOILERPLATE,
     "image_caption_pairs": ORACLE_IMAGE_CAPTION_PAIRS,
     "cdx_select": ORACLE_CDX_SELECT,
+    "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
+    "warc_read_plan": ORACLE_WARC_READ_PLAN,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }

@@ -81,6 +81,38 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+def plan_ranged_reads(records: DataFrame, gap_bytes: int = 16384) -> DataFrame:
+    """Coalesce selected (filename, offset, length) records into batched
+    byte-range read tasks — the step between index selection and the
+    actual WARC fetches. Object stores price and rate-limit per request,
+    so adjacent records in the same file should ride one ranged GET; a
+    new read group starts when the next record begins more than
+    ``gap_bytes`` past the previous record's end.
+
+    Shape: ONE exchange, partitioned by filename; within a file, a lag +
+    running-sum window ordered by offset assigns group ids, then a
+    grouped aggregate emits one row per read. Per-file row counts are
+    bounded by file size / record size (~30k for a 150 MB WARC at ~5 KB
+    records), so per-filename partitions cannot skew unboundedly. Output
+    ``waste_bytes`` (range bytes minus payload bytes) is the tuning
+    signal for ``gap_bytes``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("filename").orderBy("offset")
+    prev_end = F.lag(F.col("offset") + F.col("length")).over(w)
+    new_grp = F.when(
+        prev_end.isNull() | (F.col("offset") > prev_end + gap_bytes), 1
+    ).otherwise(0)
+    grouped = records.withColumn("grp", F.sum(new_grp).over(w))
+    return grouped.groupBy("filename", "grp").agg(
+        F.min("offset").alias("range_start"),
+        F.max(F.col("offset") + F.col("length")).alias("range_end"),
+        F.count("*").alias("n_records"),
+        (F.max(F.col("offset") + F.col("length")) - F.min("offset")
+         - F.sum("length")).alias("waste_bytes"),
+    )
+
+
 def select_captures(
     parsed: DataFrame,
     mime_prefix: str | None = None,

@@ -238,6 +238,22 @@ CHECKS = {
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
         ("codegen", "codegen"),
     ],
+    "recrawl_priority": [
+        # change-rate estimation is ONE url-keyed grouped aggregate; the
+        # per-group capture list is bounded (captures-per-URL), the fold
+        # is an in-row array HOF — no window, no join, no funnel
+        ("no window", r"Window", "absent"),
+        ("no join", r"Join", "absent"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("codegen", "codegen"),
+    ],
+    "warc_read_plan": [
+        # the lag + running-sum windows both run per FILENAME partition
+        # (bounded by records-per-file) over one exchange; never global
+        ("filename-partitioned exchange", r"hashpartitioning\(filename"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("no join", r"Join", "absent"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
