@@ -70,6 +70,7 @@ HEADLINE = [
     "cdx_select",
     "recrawl_priority",
     "warc_read_plan",
+    "image_header_sniff",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

@@ -435,3 +435,53 @@ def resize_images(df, out_w: int, out_h: int):
             yield pd.DataFrame(out)
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(do_resize, schema)
+
+
+def sniff_header(blob):
+    """``struct(fmt, w, h)`` from magic bytes + fixed header offsets —
+    ALL JVM column expressions (``substring``/``hex``/``conv``): format
+    detection and dimension extraction never cross into Python at all,
+    unlike the decode path above which legitimately needs numpy. This is
+    the cheap pre-filter a 100 TB image pipeline runs BEFORE decode (drop
+    undersized/oversized/unknown images from the read set, or route rows
+    by format) — at that point spending a Python batch per row just to
+    read 8 header bytes would dominate the stage.
+
+    Formats: PNG (IHDR w/h, big-endian 32-bit at bytes 17/21), GIF87a/89a
+    (logical screen w/h, little-endian 16-bit at 7/9), BMP
+    (BITMAPINFOHEADER w/h, little-endian 32-bit at 19/23; top-down
+    negative-height files read as their 2^32 complement — callers that
+    accept top-down BMPs should normalize), JPEG (magic only — dimensions
+    live in a variable-offset SOF marker, which is the decoder's job).
+    Anything else (or a blob too short for its header) yields
+    ``('unknown', NULL, NULL)``.
+    """
+    from pyspark.sql import functions as F
+
+    def hx(pos: int, n: int):
+        return F.hex(F.substring(blob, pos, n))
+
+    def be(pos: int, n: int):
+        return F.conv(hx(pos, n), 16, 10).cast("int")
+
+    def le(pos: int, n: int):
+        raw = hx(pos, n)
+        pairs = [F.substring(raw, 2 * i + 1, 2) for i in reversed(range(n))]
+        return F.conv(F.concat(*pairs), 16, 10).cast("int")
+
+    is_png = hx(1, 8) == "89504E470D0A1A0A"
+    is_gif = hx(1, 6).isin("474946383761", "474946383961")
+    is_bmp = hx(1, 2) == "424D"
+    is_jpeg = hx(1, 3) == "FFD8FF"
+    fmt = (
+        F.when(is_png & (F.length(blob) >= 24), "png")
+        .when(is_gif & (F.length(blob) >= 10), "gif")
+        .when(is_bmp & (F.length(blob) >= 26), "bmp")
+        .when(is_jpeg, "jpeg")
+        .otherwise("unknown")
+    )
+    w = (F.when(fmt == "png", be(17, 4)).when(fmt == "gif", le(7, 2))
+         .when(fmt == "bmp", le(19, 4)))
+    h = (F.when(fmt == "png", be(21, 4)).when(fmt == "gif", le(9, 2))
+         .when(fmt == "bmp", le(23, 4)))
+    return F.struct(fmt.alias("fmt"), w.alias("w"), h.alias("h"))

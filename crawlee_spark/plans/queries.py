@@ -2007,6 +2007,71 @@ FROM grouped GROUP BY filename, grp
 """
 
 
+def q_image_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side image header sniffing (``functions/images.py::
+    sniff_header``): format + dimensions from magic bytes with ZERO
+    Python — the pre-decode filter of an image pipeline.
+
+    Synthesis: build REAL format headers (PNG IHDR / GIF89a logical
+    screen / BITMAPINFOHEADER / JFIF) as hex → ``unhex`` binary from
+    per-doc (w, h), then sniff them back with the generic byte logic.
+    The oracle never touches bytes — it derives (fmt, w, h) from the
+    same closed-form synthesis parameters, so the two sides agree only
+    if the endian/offset parsing is actually right (independent
+    derivations)."""
+    from crawlee_spark.functions.images import sniff_header
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    w = (doc % 2048 + 16).cast("int")
+    h = (doc * 3 % 2048 + 16).cast("int")
+
+    def be4(x):
+        return F.lpad(F.hex(x), 8, "0")
+
+    def _rev_pairs(hexcol, n):
+        return F.concat(*[F.substring(hexcol, 2 * i + 1, 2)
+                          for i in reversed(range(n))])
+
+    def le4(x):
+        return _rev_pairs(be4(x), 4)
+
+    def le2(x):
+        return _rev_pairs(F.lpad(F.hex(x), 4, "0"), 2)
+
+    hdr = (
+        F.when(doc % 29 == 0, F.lit("DEADBEEF"))
+        .when(doc % 4 == 0, F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"), be4(w), be4(h),
+            F.lit("0802000000")))
+        .when(doc % 4 == 1, F.concat(
+            F.lit("474946383961"), le2(w), le2(h), F.lit("00")))
+        .when(doc % 4 == 2, F.concat(
+            F.lit("424D46000000000000003600000028000000"
+                  ""), le4(w), le4(h)))
+        .otherwise(F.lit("FFD8FFE000104A46494600"))
+    )
+    sniffed = d.select(doc.alias("doc_id"),
+                       sniff_header(F.unhex(hdr)).alias("s"))
+    return sniffed.select("doc_id", F.col("s.fmt").alias("fmt"),
+                          F.col("s.w").alias("w"), F.col("s.h").alias("h"))
+
+
+ORACLE_IMAGE_HEADER_SNIFF = """
+SELECT doc_id,
+  CASE WHEN doc_id % 29 = 0 THEN 'unknown'
+       WHEN doc_id % 4 = 0 THEN 'png'
+       WHEN doc_id % 4 = 1 THEN 'gif'
+       WHEN doc_id % 4 = 2 THEN 'bmp'
+       ELSE 'jpeg' END AS fmt,
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 4 = 3 THEN NULL
+       ELSE doc_id % 2048 + 16 END AS w,
+  CASE WHEN doc_id % 29 = 0 OR doc_id % 4 = 3 THEN NULL
+       ELSE doc_id * 3 % 2048 + 16 END AS h
+FROM documents
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -3223,6 +3288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_select": q_cdx_select,
     "recrawl_priority": q_recrawl_priority,
     "warc_read_plan": q_warc_read_plan,
+    "image_header_sniff": q_image_header_sniff,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -3318,5 +3384,6 @@ ORACLES: dict[str, str] = {
     "cdx_select": ORACLE_CDX_SELECT,
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "warc_read_plan": ORACLE_WARC_READ_PLAN,
+    "image_header_sniff": ORACLE_IMAGE_HEADER_SNIFF,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }

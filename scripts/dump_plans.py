@@ -254,6 +254,13 @@ CHECKS = {
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
         ("no join", r"Join", "absent"),
     ],
+    "image_header_sniff": [
+        # format detection + dimension extraction is a pure scan-project
+        # (hex/conv/substring column expressions) — no Python, no shuffle
+        ("no shuffle (scan-project)", r"Exchange", "absent"),
+        ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
+        ("codegen", "codegen"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.

@@ -251,3 +251,30 @@ def test_real_formats_flow_through_validator(spark):
     )
     out = validate_pages(df, seed=11).collect()
     assert len(out) == 40 and all(r["ok"] for r in out)
+
+
+def test_sniff_header_on_real_codec_output(spark):
+    """The JVM-side header sniffer must agree with the repo's own REAL
+    encoders (PNG/BMP) and with an externally-pinned GIF89a header —
+    independent derivations of the same bytes."""
+    from crawlee_spark.functions.images import encode_image, sniff_header
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(24, 37, 3), dtype=np.uint8)  # h=24, w=37
+    gif = b"GIF89a" + (37).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00\x00\x00"
+    rows = [
+        ("png", bytearray(encode_image(img, "png"))),
+        ("bmp", bytearray(encode_image(img, "bmp"))),
+        ("gif", bytearray(gif)),
+        ("jpeg", bytearray(encode_image(img, "jpeg"))),
+        ("short", bytearray(b"\x89PNG")),  # right magic, truncated header
+        ("junk", bytearray(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09")),
+    ]
+    df = spark.createDataFrame(rows, "tag string, blob binary")
+    got = {r["tag"]: r["s"] for r in df.select("tag", sniff_header(df.blob).alias("s")).collect()}
+    assert got["png"] == ("png", 37, 24)
+    assert got["bmp"] == ("bmp", 37, 24)
+    assert got["gif"] == ("gif", 37, 24)
+    assert got["jpeg"][0] == "jpeg" and got["jpeg"][1] is None
+    assert got["short"][0] == "unknown"
+    assert got["junk"][0] == "unknown"
