@@ -71,6 +71,7 @@ HEADLINE = [
     "recrawl_priority",
     "warc_read_plan",
     "image_header_sniff",
+    "crawl_capacity",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

@@ -2072,6 +2072,52 @@ FROM documents
 """
 
 
+def q_crawl_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-bounded crawl capacity planning: per-host frontier
+    drain time. With a per-host crawl delay, a host's pending queue
+    drains in ``n_pending * delay_secs`` no matter how many executors
+    exist — the politeness budget, not the cluster, is the throughput
+    ceiling (docs/SCALE.md shuffle-budget argument as a query). The
+    host with the max drain time is the crawl's critical path; flagging
+    it is how an operator decides to split a hot host by shard or
+    negotiate a higher rate.
+
+    Shape: one host-keyed grouped aggregate, then a broadcast join
+    against the 1-row global max (the token_mix pattern) — per-host
+    rows never funnel to one partition. Integer arithmetic only."""
+    d = _t(spark, sf_dir, "documents")
+    hostnum = F.col("doc_id") % 7
+    host = F.concat(F.lit("h"), hostnum.cast("string"), F.lit("."),
+                    F.col("source"), F.lit(".com"))
+    pending = d.select(host.alias("host"), (hostnum % 5 + 1).alias("delay_secs"))
+    per_host = pending.groupBy("host").agg(
+        F.count("*").alias("n_pending"),
+        F.first("delay_secs").alias("delay_secs"),
+    ).select(
+        "host", "n_pending", "delay_secs",
+        (F.col("n_pending") * F.col("delay_secs")).alias("drain_secs"),
+    )
+    top = per_host.agg(F.max("drain_secs").alias("max_drain"))
+    return per_host.join(F.broadcast(top)).select(
+        "host", "n_pending", "delay_secs", "drain_secs",
+        (F.col("drain_secs") == F.col("max_drain")).alias("is_critical"),
+    )
+
+
+ORACLE_CRAWL_CAPACITY = """
+WITH per_host AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.com' AS host,
+    count(*) AS n_pending,
+    min(doc_id % 7 % 5 + 1) AS delay_secs,
+    count(*) * min(doc_id % 7 % 5 + 1) AS drain_secs
+  FROM documents GROUP BY 1
+)
+SELECT host, n_pending, delay_secs, drain_secs,
+  drain_secs = max(drain_secs) OVER () AS is_critical
+FROM per_host
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -3289,6 +3335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_priority": q_recrawl_priority,
     "warc_read_plan": q_warc_read_plan,
     "image_header_sniff": q_image_header_sniff,
+    "crawl_capacity": q_crawl_capacity,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -3385,5 +3432,6 @@ ORACLES: dict[str, str] = {
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "warc_read_plan": ORACLE_WARC_READ_PLAN,
     "image_header_sniff": ORACLE_IMAGE_HEADER_SNIFF,
+    "crawl_capacity": ORACLE_CRAWL_CAPACITY,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }

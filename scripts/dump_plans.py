@@ -261,6 +261,14 @@ CHECKS = {
         ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
         ("codegen", "codegen"),
     ],
+    "crawl_capacity": [
+        # host-keyed agg + broadcast 1-row global max; the per-host rows
+        # must never funnel into a single partition or a global window
+        ("no window", r"Window", "absent"),
+        ("global max broadcast back", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("codegen", "codegen"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
