@@ -10,7 +10,7 @@ The reference repo (Crawlee) has no image pipeline — this is the north_rule
 addition (SURVEY.md §2.8 last row). The *Spark* side here is fully real:
 binary columns in Arrow batches, `mapInPandas` decode, vectorized PSNR.
 
-Codec surface (three real, one stand-in):
+Codec surface (five real formats):
 
 - ``fmt='ppm'``  -> REAL binary PPM / P6 (netpbm spec: ``P6`` magic,
   whitespace/comment-tolerant ASCII header, maxval 255, raw RGB rows).
@@ -30,7 +30,14 @@ Codec surface (three real, one stand-in):
   and the decoder accepts third-party baseline 4:4:4 JPEGs. Pure
   numpy/stdlib — libjpeg/PIL are not in this container.
 
-All four formats are therefore real interchange formats.
+- ``fmt='gif'``  -> REAL GIF89a (functions/gif.py): palette-indexed,
+  variable-width LZW (3..12-bit codes, clear/EOI, dictionary growth +
+  reset), 255-byte sub-blocks; decoder also handles GIF87a, local color
+  tables, interlacing, and extension blocks. Encoding requires <= 256
+  distinct colors (palette membership is the GIF contract; quantization
+  is caller policy) and is bit-exact within it. Pure numpy/stdlib.
+
+All five formats are therefore real interchange formats.
 """
 
 from __future__ import annotations
@@ -239,7 +246,7 @@ def _decode_png(blob: bytes) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array; all four formats are real interchange
+    """Encode an (h, w, 3) uint8 array; all five formats are real interchange
     formats (module docstring)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ImageFormatError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
@@ -253,6 +260,13 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         try:
             return encode_jpeg(pixels)
         except JpegFormatError as e:
+            raise ImageFormatError(str(e)) from e
+    if fmt == "gif":
+        from crawlee_spark.functions.gif import GifFormatError, encode_gif
+
+        try:
+            return encode_gif(pixels)
+        except GifFormatError as e:
             raise ImageFormatError(str(e)) from e
     raise ImageFormatError(f"unsupported fmt {fmt!r}")
 
@@ -270,6 +284,13 @@ def decode_image(blob: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         try:
             px = decode_jpeg(blob)
         except JpegFormatError as e:
+            raise ImageFormatError(str(e)) from e
+    elif fmt == "gif":
+        from crawlee_spark.functions.gif import GifFormatError, decode_gif
+
+        try:
+            px = decode_gif(blob)
+        except GifFormatError as e:
             raise ImageFormatError(str(e)) from e
     else:
         raise ImageFormatError(f"unsupported fmt {fmt!r}")
