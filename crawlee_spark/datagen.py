@@ -14,15 +14,14 @@ Everything is a pure function of (seed, n_pages, n_hosts) — no wall clock, no
 external data. The same generator feeds pytest (tiny), integration tests
 (medium) and the bench harness (large), per FIXTURES.md "Scale points".
 
-IMAGE CODEC NOTE: the fmt mix is half REAL formats — `fmt='ppm'` (netpbm
-P6) and `fmt='bmp'` (24-bit BI_RGB), pure-numpy codecs producing
-viewer-openable bytes — and half CLEARLY-MARKED stand-ins, since
-PIL/libjpeg/libpng are not in this container
-(:mod:`crawlee_spark.functions.images`): "png" = zlib(raw RGB) (lossless),
-"jpeg" = zlib(quantized RGB) (lossy, PSNR ≈ 46 dB > 40 dB bound). The Spark
-plumbing (binary column, Arrow batches, vectorized decode, PSNR math) is real
-for all four. Swapping in PIL/libjpeg is a two-function change in
-functions/images.py.
+IMAGE CODEC NOTE: every format in the mix is a REAL interchange format
+(:mod:`crawlee_spark.functions.images` — PIL/libjpeg are not in this
+container, so the codecs are pure numpy/stdlib): `png` (RFC 2083
+truecolor), `jpeg` (baseline ITU-T T.81, genuinely lossy ~43 dB), `ppm`
+(netpbm P6), `bmp` (24-bit BI_RGB), `gif` (GIF89a LZW; palette-indexed,
+so gif rows carry web-safe-quantized pixels — the palettization IS the
+format's contract, and the round trip is then bit-exact). All
+viewer-openable.
 """
 
 from __future__ import annotations
@@ -87,6 +86,14 @@ def gen_page_pixels(seed: int, i: int, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def quantize_web_safe(pixels: np.ndarray) -> np.ndarray:
+    """Web-safe 216-color quantization (6 levels per channel, 0/51/../255)
+    — the reference transform for `fmt='gif'` rows: GIF is palette-indexed
+    (<= 256 colors), so the page's canonical pixels ARE the palettized
+    ones, and the codec round trip is bit-exact."""
+    return (pixels // 51 * 51).astype(np.uint8)
+
+
 def gen_caption(seed: int, i: int) -> str:
     rng = np.random.default_rng((seed * 31 + i) % (1 << 31))
     words = " ".join(rng.choice(_WORDS, size=6))
@@ -104,16 +111,16 @@ def gen_pages_rows(n_pages: int, n_hosts: int, seed: int = 42, with_bytes: bool 
     dim_rng = np.random.default_rng(seed + 1)
     dims = dim_rng.choice(len(_DIMS), size=(n_pages, 2))
     fmt_rng = np.random.default_rng(seed + 2)
-    # three REAL formats (png = RFC 2083 truecolor, ppm = netpbm P6,
-    # bmp = 24-bit BI_RGB — pure-stdlib codecs, viewer-openable) + the one
-    # remaining stand-in, jpeg (functions/images.py)
-    fmts = fmt_rng.choice(["png", "jpeg", "ppm", "bmp"], size=n_pages)
+    # five REAL formats (module docstring); gif rows palettize first
+    fmts = fmt_rng.choice(["png", "jpeg", "ppm", "bmp", "gif"], size=n_pages)
     for i in range(n_pages):
         host = hosts[assign[i]]
         w, h = _DIMS[dims[i][0]], _DIMS[dims[i][1]]
         fmt = str(fmts[i])
         if with_bytes:
             pixels = gen_page_pixels(seed, i, w, h)
+            if fmt == "gif":
+                pixels = quantize_web_safe(pixels)
             blob = encode_image(pixels, fmt)
             ph = phash_pixels(decode_image(blob, fmt, w, h))
         else:

@@ -346,7 +346,7 @@ def make_validator(seed: int = 42, psnr_min: float = 40.0):
     ``image_id`` = ``img-{i:012d}`` — so the validator is self-contained on
     executors (no driver data, no shuffle).
     """
-    from crawlee_spark.datagen import gen_caption, gen_page_pixels
+    from crawlee_spark.datagen import gen_caption, gen_page_pixels, quantize_web_safe
 
     def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -363,10 +363,12 @@ def make_validator(seed: int = 42, psnr_min: float = 40.0):
                     i = int(image_id.split("-")[1])
                     decoded = decode_image(bytes(blob), fmt, int(w), int(h))
                     ref = gen_page_pixels(seed, i, int(w), int(h))
+                    if fmt == "gif":  # palette-indexed: canonical pixels
+                        ref = quantize_web_safe(ref)  # are the quantized ones
                     p_db = psnr(decoded, ref)
                     if fmt == "jpeg":  # the only lossy format
                         pix_ok = p_db >= psnr_min
-                    else:  # png/ppm/bmp are lossless: exact pixel equality
+                    else:  # png/ppm/bmp/gif are lossless: exact equality
                         pix_ok = bool(np.array_equal(decoded, ref))
                     ph_ok = phash_pixels(decoded) == int(ph)
                     cap_ok = caption == gen_caption(seed, i)

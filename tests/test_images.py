@@ -244,7 +244,7 @@ def test_real_formats_flow_through_validator(spark):
         for r in datagen.gen_pages_rows(40, 3, seed=11)
     ]
     fmts = {r["fmt"] for r in rows}
-    assert {"ppm", "bmp"} <= fmts  # mix actually exercises the real codecs
+    assert {"ppm", "bmp", "gif"} <= fmts  # mix actually exercises the real codecs
     df = spark.createDataFrame(
         rows,
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
