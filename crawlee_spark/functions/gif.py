@@ -165,8 +165,12 @@ def decode_gif(blob: bytes) -> np.ndarray:
     WARC digest upstream)."""
     try:
         return _decode_gif(blob)
-    except (struct.error, IndexError) as e:
-        raise GifFormatError(f"truncated GIF: {e}") from e
+    except GifFormatError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        # numpy reshape/broadcast errors from truncated color tables or
+        # out-of-bounds image descriptors are corrupt-input, not bugs
+        raise GifFormatError(f"corrupt GIF: {e}") from e
 
 
 def _decode_gif(blob: bytes) -> np.ndarray:

@@ -485,12 +485,15 @@ def sniff_header(blob):
         return F.hex(F.substring(blob, pos, n))
 
     def be(pos: int, n: int):
-        return F.conv(hx(pos, n), 16, 10).cast("int")
+        # long, not int: a top-down BMP stores height as a negative
+        # int32, which reads back as its 2^32 complement — an int cast
+        # would THROW under ANSI mode (Spark 4 default) and kill the job
+        return F.conv(hx(pos, n), 16, 10).cast("long")
 
     def le(pos: int, n: int):
         raw = hx(pos, n)
         pairs = [F.substring(raw, 2 * i + 1, 2) for i in reversed(range(n))]
-        return F.conv(F.concat(*pairs), 16, 10).cast("int")
+        return F.conv(F.concat(*pairs), 16, 10).cast("long")
 
     is_png = hx(1, 8) == "89504E470D0A1A0A"
     is_gif = hx(1, 6).isin("474946383761", "474946383961")

@@ -1644,9 +1644,9 @@ def q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics ``enqueue_links/shared.ts:211-241``) → require non-empty alt
     → canonicalize (uniqueKey semantics, ``request.ts:361-375``) →
     groupBy(canonical image URL) keeping the BEST caption seen anywhere on
-    the web for that image (longest, then lexicographic, then lowest
-    doc_id — a total order, so map-side-combining ``max_by`` is exact and
-    no window/sort is needed). At 100 TB this is scan + one hash
+    the web for that image (longest, then lexicographically greatest,
+    then highest doc_id — a total order, so map-side-combining ``max_by``
+    is exact and no window/sort is needed). At 100 TB this is scan + one hash
     aggregation on url — no joins, no skew pivot (hot images combine
     map-side)."""
     d = _t(spark, sf_dir, "documents")
@@ -1789,6 +1789,18 @@ def q_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx.select_captures(cdx.parse_cdxj(lines), mime_prefix="image/")
 
 
+_SURT_SQL = r"""
+array_to_string(list_reverse(string_split(
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+    ':[0-9]+$', ''), '^www\.', ''), '.')), ',') || ')' ||
+CASE WHEN lower(regexp_extract(url,
+       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) = '' THEN '/'
+     ELSE lower(regexp_extract(url,
+       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) END
+"""  # DuckDB mirror of sources/cdx.py::surt_key — keep the two in lockstep
+
+
 ORACLE_CDX_SELECT = r"""
 WITH pages AS (
   SELECT doc_id,
@@ -1808,15 +1820,7 @@ WITH pages AS (
     md5(CAST(doc_id % 113 + 1000 AS VARCHAR)) AS digest2
   FROM documents
 ), surted AS (
-  SELECT *,
-    array_to_string(list_reverse(string_split(
-      regexp_replace(regexp_replace(
-        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-        ':[0-9]+$', ''), '^www\.', ''), '.')), ',') || ')' ||
-    CASE WHEN lower(regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) = '' THEN '/'
-         ELSE lower(regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) END AS surt
+  SELECT *, __SURT_SQL__ AS surt
   FROM pages
 ), lines AS (
   SELECT unnest(ARRAY[
@@ -1875,6 +1879,7 @@ SELECT digest, min(surt) AS surt, arg_min(url, surt) AS url,
   arg_min(filename, surt) AS filename, count(*) AS n_urls
 FROM latest GROUP BY digest
 """
+ORACLE_CDX_SELECT = ORACLE_CDX_SELECT.replace("__SURT_SQL__", _SURT_SQL)
 
 
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,10 +73,14 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(ts != "", ts).alias("ts"),
         *[F.get_json_object(blob, f"$.{k}").alias(k) for k in CDX_FIELDS],
     ).filter(F.col("surt").isNotNull() & F.col("ts").isNotNull())
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # of a non-numeric length/offset (some archive CDX variants emit '-')
+    # would kill the task; a malformed FIELD must cost a NULL, same as a
+    # malformed LINE costs a row
     return out.withColumns(
         {
-            "length": F.col("length").cast("long"),
-            "offset": F.col("offset").cast("long"),
+            "length": F.col("length").try_cast("long"),
+            "offset": F.col("offset").try_cast("long"),
         }
     )
 

@@ -269,6 +269,12 @@ def test_sniff_header_on_real_codec_output(spark):
         ("jpeg", bytearray(encode_image(img, "jpeg"))),
         ("short", bytearray(b"\x89PNG")),  # right magic, truncated header
         ("junk", bytearray(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09")),
+        # top-down BMP: negative height must NOT throw under ANSI mode
+        # (reads as the 2^32 complement per the docstring contract)
+        ("bmp-topdown", bytearray(
+            b"BM" + b"\x00" * 12 + (40).to_bytes(4, "little")
+            + (37).to_bytes(4, "little")
+            + (-24).to_bytes(4, "little", signed=True) + b"\x00" * 4)),
     ]
     df = spark.createDataFrame(rows, "tag string, blob binary")
     got = {r["tag"]: r["s"] for r in df.select("tag", sniff_header(df.blob).alias("s")).collect()}
@@ -278,3 +284,4 @@ def test_sniff_header_on_real_codec_output(spark):
     assert got["jpeg"][0] == "jpeg" and got["jpeg"][1] is None
     assert got["short"][0] == "unknown"
     assert got["junk"][0] == "unknown"
+    assert got["bmp-topdown"] == ("bmp", 37, (1 << 32) - 24)
