@@ -175,3 +175,50 @@ def write_warc_file(
         out.write(gzip.compress(member) if compress else member)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def write_warc(df: "DataFrame", out_dir: str, compress: bool = True) -> None:
+    """Distributed WARC export: each partition's executor writes ONE
+    ``part-NNNNN.warc.gz`` with one gzip member per record — the same
+    file-granular sharding Common Crawl itself ships, and the exact dual
+    of ``read_warc`` (file = unit of parallelism, members independently
+    decodable). Input columns: ``rec_type, url, warc_date, payload``.
+
+    No driver bottleneck: rows never leave their executor; ``out_dir`` is
+    shared storage on a real cluster (object-store mount / HDFS), the
+    local FS here. Task retries are safe — each attempt writes
+    ``<file>.tmp-<attemptId>`` and atomically renames over the final
+    name, so a re-executed partition replaces, never corrupts or
+    duplicates, its file (rename-last-wins; partial writes are invisible
+    because the final name only ever points at a complete file). Empty
+    partitions write nothing (an empty gzip stream is not a valid
+    member)."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def dump(rows) -> None:
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        ctx = TaskContext.get()
+        final = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{ext}")
+        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        recs = (
+            (r["rec_type"], r["url"], r["warc_date"], bytes(r["payload"]))
+            for r in _chain_one(first, it)
+        )
+        write_warc_file(tmp, recs, compress=compress)
+        os.replace(tmp, final)
+
+    df.foreachPartition(dump)
+
+
+def _chain_one(first, rest):
+    yield first
+    yield from rest

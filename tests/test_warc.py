@@ -103,3 +103,42 @@ def test_corrupt_record_resync():
     rows = list(parse_warc_bytes(bad + missing + good, "f"))
     assert [r[3] for r in rows] == ["http://ok.example/"]
     assert rows[0][6] == b"good"
+
+
+def test_write_warc_distributed_round_trip(spark, tmp_path):
+    from crawlee_spark.sources.warc import write_warc
+
+    rows = [
+        ("response", f"https://h{i % 3}.test/p/{i}",
+         f"2026-08-19T00:00:{i:02d}Z", bytearray(f"payload-{i}".encode()))
+        for i in range(17)
+    ]
+    df = spark.createDataFrame(
+        rows, "rec_type string, url string, warc_date string, payload binary"
+    ).repartition(5)
+    out = str(tmp_path / "export")
+    write_warc(df, out)
+    import os
+    parts = sorted(os.listdir(out))
+    assert parts and all(p.endswith(".warc.gz") for p in parts)
+    assert not any(".tmp-" in p for p in parts)
+    back = read_warc(spark, out, glob="*.warc.gz")
+    got = sorted((r["url"], bytes(r["payload"]).decode()) for r in back.collect())
+    assert got == sorted((u, p.decode()) for _, u, _, p in rows)
+    # idempotence: a re-run (task retry analog) replaces, never duplicates
+    write_warc(df, out)
+    back2 = read_warc(spark, out, glob="*.warc.gz")
+    assert back2.count() == 17
+
+
+def test_write_warc_skips_empty_partitions(spark, tmp_path):
+    from crawlee_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [("response", "https://a.test/", "2026-01-01T00:00:00Z", bytearray(b"x"))],
+        "rec_type string, url string, warc_date string, payload binary",
+    ).repartition(8)
+    out = str(tmp_path / "sparse")
+    write_warc(df, out)
+    import os
+    assert len(os.listdir(out)) == 1  # 7 empty partitions write nothing
