@@ -475,7 +475,8 @@ def sniff_header(blob):
     (BITMAPINFOHEADER w/h, little-endian 32-bit at 19/23; top-down
     negative-height files read as their 2^32 complement — callers that
     accept top-down BMPs should normalize), JPEG (magic only — dimensions
-    live in a variable-offset SOF marker, which is the decoder's job).
+    live in a variable-offset SOF marker, which is the decoder's job),
+    PPM/P6 (magic only — dims are variable-offset ASCII header tokens).
     Anything else (or a blob too short for its header) yields
     ``('unknown', NULL, NULL)``.
     """
@@ -499,11 +500,15 @@ def sniff_header(blob):
     is_gif = hx(1, 6).isin("474946383761", "474946383961")
     is_bmp = hx(1, 2) == "424D"
     is_jpeg = hx(1, 3) == "FFD8FF"
+    # netpbm P6: 'P6' + whitespace; dims are variable-offset ASCII tokens,
+    # so like jpeg this is magic-only (the decoder owns the header walk)
+    is_ppm = hx(1, 2) == "5036"
     fmt = (
         F.when(is_png & (F.length(blob) >= 24), "png")
         .when(is_gif & (F.length(blob) >= 10), "gif")
         .when(is_bmp & (F.length(blob) >= 26), "bmp")
         .when(is_jpeg, "jpeg")
+        .when(is_ppm, "ppm")
         .otherwise("unknown")
     )
     w = (F.when(fmt == "png", be(17, 4)).when(fmt == "gif", le(7, 2))

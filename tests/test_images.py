@@ -267,6 +267,7 @@ def test_sniff_header_on_real_codec_output(spark):
         ("bmp", bytearray(encode_image(img, "bmp"))),
         ("gif", bytearray(gif)),
         ("jpeg", bytearray(encode_image(img, "jpeg"))),
+        ("ppm", bytearray(encode_image(img, "ppm"))),
         ("short", bytearray(b"\x89PNG")),  # right magic, truncated header
         ("junk", bytearray(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09")),
         # top-down BMP: negative height must NOT throw under ANSI mode
@@ -282,6 +283,7 @@ def test_sniff_header_on_real_codec_output(spark):
     assert got["bmp"] == ("bmp", 37, 24)
     assert got["gif"] == ("gif", 37, 24)
     assert got["jpeg"][0] == "jpeg" and got["jpeg"][1] is None
+    assert got["ppm"][0] == "ppm" and got["ppm"][1] is None
     assert got["short"][0] == "unknown"
     assert got["junk"][0] == "unknown"
     assert got["bmp-topdown"] == ("bmp", 37, (1 << 32) - 24)
