@@ -275,6 +275,42 @@ def apply_reclaim(
     return out.drop("_r")
 
 
+def apply_priority(existing: DataFrame, prio: DataFrame, step: int) -> DataFrame:
+    """Fold a (url_hash, priority) dim into the queue order: matched
+    PENDING rows are promoted into the forefront band, ordered among
+    themselves by descending priority (higher = fetched first), ahead of
+    every normal-FIFO row — the generalization of the boolean forefront
+    flag to a numeric ``Request.priority``, and the hook that lets e.g.
+    the freshness scheduler (``operators/recrawl.py``) drive fetch order.
+
+    Encoding: ``order_no = -(((step+1) << STEP_SHIFT) + priority)`` — the
+    same sign convention as forefront (negative sorts first), priority in
+    the low bits so it never collides with another step's band (clamped
+    to STEP_SHIFT bits). Handled rows and rows absent from the dim keep
+    their order_no untouched; a superseding call with a new dim simply
+    re-MERGEs (last write wins, snapshot-isolated like every mutation)."""
+    cap = (1 << STEP_SHIFT) - 1
+    p = prio.select(
+        "url_hash",
+        F.least(F.col("priority").cast("long"), F.lit(cap)).alias("_prio"),
+    )
+    out = existing.join(p, on="url_hash", how="left")
+    hit = (
+        F.col("_prio").isNotNull()
+        & F.col("handled_step").isNull()
+        & F.col("order_no").isNotNull()
+    )
+    base = F.lit((step + 1) << STEP_SHIFT).cast("long")
+    out = (
+        out.withColumn(
+            "order_no",
+            F.when(hit, -(base + F.col("_prio"))).otherwise(F.col("order_no")),
+        )
+        .withColumn("forefront", F.when(hit, F.lit(True)).otherwise(F.col("forefront")))
+    )
+    return out.drop("_prio")
+
+
 def apply_dead(existing: DataFrame, dead_keys: DataFrame, step: int) -> DataFrame:
     """Terminal failure: mark handled with an error (dead-letter semantics of
     the failedRequestHandler path, ``basic-crawler.ts:1334-1385``)."""
@@ -360,6 +396,31 @@ class FrontierTable:
             return {"added": added, "already_present": batch_n - added}
         finally:
             normalized.unpersist()
+
+    def reprioritize(self, prio: DataFrame, step: int) -> int:
+        """MERGE a (url_hash, priority) dim into the queue order (see
+        ``apply_priority``): one commit over the touched buckets only.
+        Returns the number of pending rows promoted. Shuffle cost is the
+        dim join over touched buckets — the dim is typically small
+        (revisit candidates), so Spark broadcasts it."""
+        hit = (
+            self.pending()
+            .join(prio.select("url_hash").distinct(), on="url_hash", how="inner")
+        )
+        touched = [r["bucket"] for r in hit.select("bucket").distinct().collect()]
+        if not touched:
+            return 0
+        existing = self.read(buckets=touched)
+        updated = apply_priority(existing, prio, step)
+        self.table.commit_buckets(
+            updated, "reprioritize", {"step": step}, touched=touched
+        )
+        return (
+            self.read(buckets=touched)
+            .join(prio.select("url_hash").distinct(), on="url_hash", how="inner")
+            .filter(F.col("handled_step").isNull() & (F.col("order_no") < 0))
+            .count()
+        )
 
     def delete_requests(self, keys: DataFrame) -> int:
         """``deleteRequest(id)`` (``packages/types/src/storages.ts:297``):

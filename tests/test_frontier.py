@@ -132,3 +132,50 @@ def test_delete_requests(spark, ft):
     # a deleted URL may be re-enqueued (it left the URL-seen set)
     stats = ft.add_requests(_urls(spark, ["https://h0.com/p/0"]), step=1)
     assert stats["added"] == 1
+
+
+def test_reprioritize_promotes_by_numeric_priority(spark, ft):
+    ft.add_requests(
+        _urls(spark, [f"https://h{i % 2}.com/p/{i}" for i in range(6)]), step=0
+    )
+    rows = {r["url"]: r for r in ft.read().collect()}
+    # mark one row handled so the dim must skip it
+    handled_hash = rows["https://h0.com/p/0"]["url_hash"]
+    from crawlee_spark.operators.frontier import apply_handled
+
+    ft.table.commit_buckets(
+        apply_handled(ft.read(), spark.createDataFrame(
+            [(handled_hash,)], "url_hash long"), step=0),
+        "mark", {},
+    )
+    prio = spark.createDataFrame(
+        [
+            (rows["https://h0.com/p/2"]["url_hash"], 5),
+            (rows["https://h1.com/p/3"]["url_hash"], 9),
+            (handled_hash, 100),  # handled: must NOT resurface
+            (12345678901234, 7),  # unknown hash: no-op
+        ],
+        "url_hash long, priority long",
+    )
+    assert ft.reprioritize(prio, step=1) == 2
+    head = [
+        r["url"]
+        for r in ft.pending().orderBy("order_no", "depth", "url_hash").collect()
+    ]
+    # priority 9 first, then 5, then normal FIFO; handled row absent
+    assert head[:2] == ["https://h1.com/p/3", "https://h0.com/p/2"]
+    assert "https://h0.com/p/0" not in head
+    assert len(head) == 5
+    assert ft.table.history()[-1]["operation"] == "reprioritize"
+    # counters unchanged by a pure reorder
+    assert ft.counters()["total"] == 6 and ft.counters()["pending"] == 5
+    # a second dim supersedes: boost a FIFO row above everything
+    prio2 = spark.createDataFrame(
+        [(rows["https://h1.com/p/5"]["url_hash"], 1000)], "url_hash long, priority long"
+    )
+    assert ft.reprioritize(prio2, step=2) == 1
+    head2 = [
+        r["url"]
+        for r in ft.pending().orderBy("order_no", "depth", "url_hash").collect()
+    ]
+    assert head2[0] == "https://h1.com/p/5"
