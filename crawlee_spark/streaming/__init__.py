@@ -4,3 +4,4 @@ from crawlee_spark.streaming.stream_crawl import (  # noqa: F401
     windowed_fetch_rate,
 )
 from crawlee_spark.streaming.stream_dedup import StreamingDedup  # noqa: F401
+from crawlee_spark.streaming.stream_cdx import StreamingCdxIngest  # noqa: F401

@@ -140,3 +140,47 @@ def test_streaming_dedup_in_batch_and_cross_batch(spark, tmp_path):
         spark.createDataFrame([(10, base)], "doc_id long, text string"), 0
     )
     assert sd.corpus_ids() == {10, 11, 21}
+
+
+def test_streaming_cdx_ingest_selects_and_enqueues(spark, tmp_path):
+    """Two index shards landing in sequence: only 200 image captures
+    enqueue; a cross-shard re-capture of the same URL dedups through the
+    frontier MERGE; a restart replay adds nothing."""
+    from crawlee_spark.streaming.stream_cdx import StreamingCdxIngest
+
+    def line(surt, ts, url, status="200", mime="image/jpeg"):
+        return (f'{surt} {ts} {{"url": "{url}", "mime": "{mime}", '
+                f'"status": "{status}", "digest": "d-{url}", "length": "10", '
+                f'"offset": "0", "filename": "f.warc.gz"}}')
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    (shard_dir / "cdx-000.txt").write_text("\n".join([
+        line("com,a)/1.jpg", "20260101000000", "https://a.com/1.jpg"),
+        line("com,a)/2.jpg", "20260101000000", "https://a.com/2.jpg"),
+        line("com,a)/3.html", "20260101000000", "https://a.com/3.html",
+             mime="text/html"),            # wrong mime: filtered
+        line("com,a)/4.jpg", "20260101000000", "https://a.com/4.jpg",
+             status="404"),                # failed capture: filtered
+        "corrupt line {",                  # malformed: dropped, not fatal
+    ]))
+    (shard_dir / "cdx-001.txt").write_text("\n".join([
+        line("com,a)/1.jpg", "20260201000000", "https://a.com/1.jpg"),  # re-capture
+        line("com,b)/5.jpg", "20260101000000", "https://b.com/5.jpg"),
+    ]))
+
+    ing = StreamingCdxIngest(spark, str(tmp_path / "ingest"))
+    batches = ing.drain(str(shard_dir), str(tmp_path / "ckpt"), timeout_secs=240)
+    assert [b["batch_id"] for b in batches] == [0, 1]
+    assert batches[0]["added"] == 2                  # 1.jpg, 2.jpg
+    assert batches[1]["added"] == 1                  # 5.jpg; 1.jpg deduped
+    assert batches[1]["already_present"] == 1
+    urls = {r["url"] for r in ing.frontier.pending().collect()}
+    assert urls == {"https://a.com/1.jpg", "https://a.com/2.jpg",
+                    "https://b.com/5.jpg"}
+
+    # restart with the same checkpoint: foreachBatch replays are skipped
+    ing2 = StreamingCdxIngest(spark, str(tmp_path / "ingest"))
+    again = ing2.drain(str(shard_dir), str(tmp_path / "ckpt"), timeout_secs=240)
+    assert again == []
+    assert ing2.frontier.counters()["total"] == 3
