@@ -292,7 +292,12 @@ def apply_priority(existing: DataFrame, prio: DataFrame, step: int) -> DataFrame
     cap = (1 << STEP_SHIFT) - 1
     p = prio.select(
         "url_hash",
-        F.least(F.col("priority").cast("long"), F.lit(cap)).alias("_prio"),
+        # clamp to [0, cap]: a negative priority must not escape the step
+        # band (it would subtract from base and collide with other bands)
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("priority").cast("long"), F.lit(cap)),
+        ).alias("_prio"),
     )
     out = existing.join(p, on="url_hash", how="left")
     hit = (

@@ -179,3 +179,20 @@ def test_reprioritize_promotes_by_numeric_priority(spark, ft):
         for r in ft.pending().orderBy("order_no", "depth", "url_hash").collect()
     ]
     assert head2[0] == "https://h1.com/p/5"
+    # a negative priority clamps to 0: stays inside its step band (still
+    # promoted, but never colliding with another step's encoding)
+    prio3 = spark.createDataFrame(
+        [(rows["https://h0.com/p/4"]["url_hash"], -50)], "url_hash long, priority long"
+    )
+    assert ft.reprioritize(prio3, step=3) == 1
+    from crawlee_spark.operators.frontier import STEP_SHIFT
+
+    promoted = ft.pending().filter(
+        F.col("url") == "https://h0.com/p/4").collect()[0]
+    assert promoted["order_no"] == -((3 + 1) << STEP_SHIFT)
+    # step-3 band beats the step-2 band (later reprioritize wins the head)
+    head3 = [
+        r["url"]
+        for r in ft.pending().orderBy("order_no", "depth", "url_hash").collect()
+    ]
+    assert head3[0] == "https://h0.com/p/4"
