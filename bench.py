@@ -72,6 +72,8 @@ HEADLINE = [
     "warc_read_plan",
     "image_header_sniff",
     "crawl_capacity",
+    "trap_detection",
+    "adaptive_backoff",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

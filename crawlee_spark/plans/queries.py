@@ -2123,6 +2123,128 @@ FROM per_host
 """
 
 
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (``operators/traps.py::detect_traps``):
+    hosts whose URL space explodes into many URLs over few path templates
+    with low content diversity (session-id links, calendar grids —
+    Mercator's spider traps). Trap hosts here emit per-doc session paths
+    ``/s/<md5-16>/p/<N>`` over only 4 distinct content keys; normal hosts
+    alternate ``/article/<id>`` and ``/tag/<t>/page/<id>`` with fully
+    distinct content — high URL-per-template ratio alone must NOT flag
+    them (the content test is what separates an article archive from a
+    trap). One grouped agg, three exact count-distincts (Expand 3x),
+    integer threshold arithmetic — hash-exact."""
+    from crawlee_spark.operators.traps import detect_traps
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    hostnum = doc % 11
+    host = F.concat(F.lit("h"), hostnum.cast("string"), F.lit(".example.com"))
+    sess = F.substring(F.md5(doc.cast("string")), 1, 16)
+    path = (
+        F.when(hostnum < 3,
+               F.concat(F.lit("/s/"), sess, F.lit("/p/"),
+                        (doc % 97).cast("string")))
+        .when(doc % 2 == 0, F.concat(F.lit("/article/"), doc.cast("string")))
+        .otherwise(F.concat(F.lit("/tag/"), (doc % 23).cast("string"),
+                            F.lit("/page/"), doc.cast("string")))
+    )
+    content = F.when(
+        hostnum < 3,
+        F.md5(F.concat(F.lit("t:"), hostnum.cast("string"), F.lit(":"),
+                       (doc % 4).cast("string"))),
+    ).otherwise(F.md5(F.concat(F.lit("d:"), doc.cast("string"))))
+    urls = d.select(host.alias("host"), path.alias("path"),
+                    content.alias("content_key"))
+    return detect_traps(urls)
+
+
+ORACLE_TRAP_DETECTION = r"""
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS host,
+    CASE WHEN doc_id % 11 < 3
+      THEN '/s/' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+           || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+      WHEN doc_id % 2 = 0 THEN '/article/' || CAST(doc_id AS VARCHAR)
+      ELSE '/tag/' || CAST(doc_id % 23 AS VARCHAR)
+           || '/page/' || CAST(doc_id AS VARCHAR)
+    END AS path,
+    CASE WHEN doc_id % 11 < 3
+      THEN md5('t:' || CAST(doc_id % 11 AS VARCHAR) || ':'
+               || CAST(doc_id % 4 AS VARCHAR))
+      ELSE md5('d:' || CAST(doc_id AS VARCHAR)) END AS content
+  FROM documents
+), t AS (
+  SELECT host, path,
+    regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'X', 'g'),
+                   '[0-9]+', 'N', 'g') AS tpl,
+    content
+  FROM u
+)
+SELECT host,
+  count(DISTINCT path) AS n_urls,
+  count(DISTINCT tpl) AS n_templates,
+  count(DISTINCT content) AS n_content,
+  (count(DISTINCT path) >= 20
+   AND count(DISTINCT path) >= 10 * count(DISTINCT tpl)
+   AND count(DISTINCT path) >= 5 * count(DISTINCT content)) AS is_trap
+FROM t GROUP BY host
+"""
+
+
+def q_adaptive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-rate-adaptive politeness backoff
+    (``operators/traps.py::adaptive_delays``): per-host crawl-delay
+    multiplier from the 429/403 share of fetch attempts, emitted as the
+    (host, crawl_delay) dim ``select_fetch_set(host_delays=...)`` / the
+    engine consume. Hosts are seeded with deterministic block rates
+    (~50% / 25% / 8% / 2% tiers via event-id modular arithmetic);
+    well-behaved hosts produce NO row — the broadcast dim stays
+    O(misbehaving hosts). Integer cross-multiplied thresholds,
+    hash-exact."""
+    from crawlee_spark.operators.traps import adaptive_delays
+
+    e = _t(spark, sf_dir, "events")
+    hostnum = F.col("user_id") % 17
+    k = (
+        F.when(hostnum < 2, 2).when(hostnum < 5, 4)
+        .when(hostnum < 8, 12).otherwise(50)
+    )
+    blocked = F.col("event_id") % k == 0
+    status = F.when(
+        blocked, F.when(F.col("event_id") % 2 == 0, 429).otherwise(403)
+    ).otherwise(200)
+    log = e.select(
+        F.concat(F.lit("h"), hostnum.cast("string"),
+                 F.lit(".shop.example")).alias("host"),
+        status.alias("status_code"),
+    )
+    return adaptive_delays(log, base_delay_secs=1.0)
+
+
+ORACLE_ADAPTIVE_BACKOFF = """
+WITH log AS (
+  SELECT 'h' || CAST(user_id % 17 AS VARCHAR) || '.shop.example' AS host,
+    CASE WHEN event_id % (CASE WHEN user_id % 17 < 2 THEN 2
+                               WHEN user_id % 17 < 5 THEN 4
+                               WHEN user_id % 17 < 8 THEN 12
+                               ELSE 50 END) = 0
+         THEN CASE WHEN event_id % 2 = 0 THEN 429 ELSE 403 END
+         ELSE 200 END AS status_code
+  FROM events
+), agg AS (
+  SELECT host, count(*) AS t,
+    sum(CASE WHEN status_code IN (429, 403) THEN 1 ELSE 0 END) AS b
+  FROM log GROUP BY host
+), m AS (
+  SELECT host, CASE WHEN 5*b >= 2*t THEN 8 WHEN 5*b >= t THEN 4
+                    WHEN 20*b >= t THEN 2 ELSE 1 END AS mult
+  FROM agg
+)
+SELECT host, CAST(mult AS DOUBLE) AS crawl_delay FROM m WHERE mult > 1
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -3341,6 +3463,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_read_plan": q_warc_read_plan,
     "image_header_sniff": q_image_header_sniff,
     "crawl_capacity": q_crawl_capacity,
+    "trap_detection": q_trap_detection,
+    "adaptive_backoff": q_adaptive_backoff,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -3438,5 +3562,7 @@ ORACLES: dict[str, str] = {
     "warc_read_plan": ORACLE_WARC_READ_PLAN,
     "image_header_sniff": ORACLE_IMAGE_HEADER_SNIFF,
     "crawl_capacity": ORACLE_CRAWL_CAPACITY,
+    "trap_detection": ORACLE_TRAP_DETECTION,
+    "adaptive_backoff": ORACLE_ADAPTIVE_BACKOFF,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }
