@@ -344,6 +344,12 @@ def minhash_lsh_matches_sigs(
         first_eq = F.when(eq, F.lit(i)).otherwise(first_eq)
     return (
         n.join(o, on=["band", "bh"])
+        # a doc is never a dup of ITSELF: disjoint id spaces make this a
+        # no-op in normal operation, but on a foreachBatch replay whose
+        # sigs already landed (streaming/stream_dedup.py) the batch's own
+        # rows are in the corpus side — without this, every replayed
+        # survivor would self-match and flip to dup-of-corpus
+        .filter(F.col("n.id") != F.col("o.id"))
         .filter(first_eq == F.col("band"))
         .groupBy(F.col("n.id").alias("id"))
         .agg(

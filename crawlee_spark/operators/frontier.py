@@ -375,11 +375,15 @@ class FrontierTable:
     def add_requests(
         self, raw: DataFrame, step: int, keep_fragment: bool = False,
         use_extended_unique_key: bool = False,
+        summary_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Canonicalize + dedup + MERGE a batch of raw URLs. Returns counts
         {'added': n, 'already_present': m} (wasAlreadyPresent analog —
         batch-internal duplicates count as already_present, matching the
-        per-item results of ``request_provider.ts:171-262``)."""
+        per-item results of ``request_provider.ts:171-262``).
+        ``summary_extra`` lands in the commit summary (lineage) — e.g. the
+        streaming ingest stamps its checkpoint identity for replay
+        detection."""
         normalized = normalize_requests(raw, step, self.num_buckets, keep_fragment,
                                         use_extended_unique_key)
         normalized = normalized.persist()
@@ -393,7 +397,8 @@ class FrontierTable:
             fresh = merge_new_requests(existing, batch)
             new_content = existing.unionByName(fresh)
             self.table.commit_buckets(
-                new_content, "add_requests", {"step": step, "batch": batch_n}
+                new_content, "add_requests",
+                {"step": step, "batch": batch_n, **(summary_extra or {})},
             )
             added = (
                 self.read(buckets=touched).filter(F.col("enqueued_step") == step).count()

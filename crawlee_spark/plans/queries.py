@@ -1793,12 +1793,19 @@ _SURT_SQL = r"""
 array_to_string(list_reverse(string_split(
   regexp_replace(regexp_replace(
     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-    ':[0-9]+$', ''), '^www\.', ''), '.')), ',') || ')' ||
+    ':[0-9]+$', ''), '^www\.', ''), '.')), ',') ||
+CASE WHEN regexp_extract(lower(regexp_extract(url,
+       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':([0-9]+)$', 1)
+     NOT IN ('', '80', '443')
+     THEN ':' || regexp_extract(lower(regexp_extract(url,
+       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':([0-9]+)$', 1)
+     ELSE '' END || ')' ||
 CASE WHEN lower(regexp_extract(url,
        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) = '' THEN '/'
      ELSE lower(regexp_extract(url,
        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)) END
-"""  # DuckDB mirror of sources/cdx.py::surt_key — keep the two in lockstep
+"""  # DuckDB mirror of sources/cdx.py::surt_key (non-default ports kept)
+#   — keep the two in lockstep
 
 
 ORACLE_CDX_SELECT = r"""
@@ -1863,21 +1870,22 @@ WITH pages AS (
                         '$.filename') AS filename
   FROM lines
 ), valid AS (
-  SELECT *, ts || filename || lpad(CAST("offset" AS VARCHAR), 12, '0') AS pick
+  SELECT *, ts || coalesce(filename, '')
+    || lpad(CAST(coalesce("offset", 0) AS VARCHAR), 12, '0') AS pick
   FROM parsed
   WHERE surt IS NOT NULL AND ts IS NOT NULL
     AND status = '200' AND mime LIKE 'image/%'
 ), latest AS (
-  SELECT surt, arg_max(url, pick) AS url, max(ts) AS ts,
+  SELECT surt, arg_max(url, pick) AS url, arg_max(ts, pick) AS ts,
     arg_max(digest, pick) AS digest, arg_max(length, pick) AS length,
     arg_max("offset", pick) AS "offset", arg_max(filename, pick) AS filename
   FROM valid GROUP BY surt
 )
-SELECT digest, min(surt) AS surt, arg_min(url, surt) AS url,
+SELECT max(digest) AS digest, min(surt) AS surt, arg_min(url, surt) AS url,
   arg_min(ts, surt) AS ts, arg_min(length, surt) AS length,
   arg_min("offset", surt) AS "offset",
   arg_min(filename, surt) AS filename, count(*) AS n_urls
-FROM latest GROUP BY digest
+FROM latest GROUP BY coalesce(digest, 'nodigest:' || surt)
 """
 ORACLE_CDX_SELECT = ORACLE_CDX_SELECT.replace("__SURT_SQL__", _SURT_SQL)
 

@@ -34,26 +34,43 @@ CDX_FIELDS = ("url", "mime", "status", "digest", "length", "offset", "filename")
 
 def surt_key(url: Column | str) -> Column:
     """Sort-friendly URI Reordering Transform key for a URL column:
-    ``com,example,img)/path?query`` — host lowercased, ``www.`` and port
-    stripped, labels reversed and comma-joined, then ``)`` + the
-    lowercased path+query (``/`` when empty). Pure JVM expressions; the
-    DuckDB mirror lives in ``plans/queries.py`` (``_SURT_SQL``)."""
+    ``com,example,img)/path?query`` — host lowercased, ``www.`` stripped,
+    labels reversed and comma-joined, then ``)`` + the lowercased
+    path+query (``/`` when empty). DEFAULT ports (80/443) are stripped;
+    any other port is kept pywb-style after the labels
+    (``com,example:8080)/x``) — distinct origins must not collapse to
+    one key. (pywb strips :80 only for http and :443 only for https;
+    stripping both unconditionally is the documented simplification.)
+    Pure JVM expressions; the DuckDB mirror lives in ``plans/queries.py``
+    (``_SURT_SQL``), the pure-Python twin in tests/test_cdx_property.py."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(F.regexp_replace(host, r":\d+$", ""), r"^www\.", "")
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", "")
+    port_sfx = F.when(
+        (port != "") & (port != "80") & (port != "443"),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
     rest = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1))
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
-    return F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), rest)
+    return F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                    port_sfx, F.lit(")"), rest)
 
 
 def format_cdxj(surt: Column, ts: Column, fields: dict[str, Column]) -> Column:
     """Render one CDX-J line. ``fields`` values are string columns; keys
     are emitted in CDX_FIELDS order so the line layout is deterministic
-    (Common Crawl emits a stable field order too)."""
+    (Common Crawl emits a stable field order too). Values are JSON-string
+    escaped (``\\`` then ``"``) — raw double-quotes DO occur in crawled
+    URLs, and an unescaped one would corrupt the whole JSON blob, turning
+    every field of the capture NULL on re-parse."""
     parts = []
     for k in CDX_FIELDS:
         if k in fields:
-            parts.append(F.concat(F.lit(f'"{k}": "'), fields[k], F.lit('"')))
+            esc = F.regexp_replace(fields[k], r'(["\\])', "\\\\$1")
+            parts.append(F.concat(F.lit(f'"{k}": "'), esc, F.lit('"')))
     body = F.concat_ws(", ", *parts)
     return F.concat(surt, F.lit(" "), ts, F.lit(" {"), body, F.lit("}"))
 
@@ -138,23 +155,41 @@ def select_captures(
         ok = ok.filter(F.col("mime").startswith(mime_prefix))
     # ts is fixed-width (14 digits) so string max IS latest; ties broken
     # by filename+offset for determinism across identical re-captures.
+    # NULL-SAFE: variant CDX rows may carry a NULL filename/offset ('-'
+    # fields), and a NULL pick would make max_by SKIP that capture while
+    # any independently-aggregated column still saw it — every output
+    # field must come from the ONE capture the pick chose, so ts is
+    # max_by too, never a bare max.
     cap_pick = F.concat(
-        F.col("ts"), F.col("filename"), F.lpad(F.col("offset").cast("string"), 12, "0")
+        F.col("ts"),
+        F.coalesce(F.col("filename"), F.lit("")),
+        F.lpad(F.coalesce(F.col("offset"), F.lit(0)).cast("string"), 12, "0"),
     )
     latest = ok.groupBy("surt").agg(
         F.max_by("url", cap_pick).alias("url"),
-        F.max("ts").alias("ts"),
+        F.max_by("ts", cap_pick).alias("ts"),
         F.max_by("digest", cap_pick).alias("digest"),
         F.max_by("length", cap_pick).alias("length"),
         F.max_by("offset", cap_pick).alias("offset"),
         F.max_by("filename", cap_pick).alias("filename"),
     )
-    return latest.groupBy("digest").agg(
-        F.min("surt").alias("surt"),
-        F.min_by("url", "surt").alias("url"),
-        F.min_by("ts", "surt").alias("ts"),
-        F.min_by("length", "surt").alias("length"),
-        F.min_by("offset", "surt").alias("offset"),
-        F.min_by("filename", "surt").alias("filename"),
-        F.count("*").alias("n_urls"),
+    # digest-less captures (variant CDX without the digest field) must NOT
+    # collapse into one NULL group — a missing digest says "unknown
+    # content", so each such URL stays its own download
+    dkey = F.coalesce(
+        F.col("digest"), F.concat(F.lit("nodigest:"), F.col("surt"))
+    )
+    return (
+        latest.groupBy(dkey.alias("_dk"))
+        .agg(
+            F.max("digest").alias("digest"),
+            F.min("surt").alias("surt"),
+            F.min_by("url", "surt").alias("url"),
+            F.min_by("ts", "surt").alias("ts"),
+            F.min_by("length", "surt").alias("length"),
+            F.min_by("offset", "surt").alias("offset"),
+            F.min_by("filename", "surt").alias("filename"),
+            F.count("*").alias("n_urls"),
+        )
+        .drop("_dk")
     )

@@ -71,9 +71,13 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml",
         "sitemap_url",
         F.col("pos").cast("long").alias("pos"),
         xml_unescape(_tag_of(F.col("_b"), "loc")).alias("url"),
-        F.to_date(_tag_of(F.col("_b"), "lastmod")).alias("lastmod"),
+        # try_*, never plain to_date/cast: ANSI mode is on (Spark 4
+        # default), and real-world sitemaps DO carry <lastmod>frequently
+        # </lastmod> / <priority>high</priority> — a malformed FIELD must
+        # cost a NULL, not the task (same policy as cdx.parse_cdxj)
+        F.try_to_date(_tag_of(F.col("_b"), "lastmod")).alias("lastmod"),
         _tag_of(F.col("_b"), "changefreq").alias("changefreq"),
-        _tag_of(F.col("_b"), "priority").cast("double").alias("priority"),
+        _tag_of(F.col("_b"), "priority").try_cast("double").alias("priority"),
     )
     return out.filter(F.col("url").isNotNull())
 

@@ -31,7 +31,19 @@ STATE_SCHEMA = "next_allowed_at long, emitted bigint"
 
 
 def make_gate(delay_secs: float):
-    """Build the applyInPandasWithState function for a given host delay."""
+    """Build the applyInPandasWithState function for a given host delay.
+
+    Determinism: a big host group arrives as SEVERAL pandas chunks (Arrow
+    batch size), so the chunks are concatenated before the one global
+    (ts, url) sort — sorting per chunk would make admit/defer decisions
+    depend on chunk boundaries. Memory = one host's rows in one
+    micro-batch (politeness keys are per-host, bounded by the batch).
+
+    Spacing: ``ts`` is integer event-time seconds, so the next allowed
+    slot is ``ceil(ts + delay_secs)`` — a fractional delay rounds UP
+    (never silently down to 0), keeping the documented ">= delay_secs
+    apart" contract."""
+    import math
 
     def gate(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -42,15 +54,19 @@ def make_gate(delay_secs: float):
         else:
             next_allowed, emitted = 0, 0
         rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(["ts", "url"]).iterrows():
-                ts = int(r["ts"])
-                if ts >= next_allowed:
-                    rows.append({"host": host, "url": r["url"], "ts": ts, "allowed": True})
-                    next_allowed = ts + int(delay_secs)
-                    emitted += 1
-                else:
-                    rows.append({"host": host, "url": r["url"], "ts": ts, "allowed": False})
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks
+            else pd.DataFrame(columns=["host", "url", "ts"])
+        )
+        for _, r in batch.sort_values(["ts", "url"]).iterrows():
+            ts = int(r["ts"])
+            if ts >= next_allowed:
+                rows.append({"host": host, "url": r["url"], "ts": ts, "allowed": True})
+                next_allowed = math.ceil(ts + delay_secs)
+                emitted += 1
+            else:
+                rows.append({"host": host, "url": r["url"], "ts": ts, "allowed": False})
         state.update((next_allowed, emitted))
         yield pd.DataFrame(rows, columns=["host", "url", "ts", "allowed"])
 

@@ -45,17 +45,25 @@ class StreamingCdxIngest:
         )
         self.batches: list[dict[str, Any]] = []
 
-    def _committed_batches(self) -> set[int]:
-        # the frontier is dedicated to this ingest, so every add_requests
-        # commit came from a batch and records step = batch_id
+    def _committed_batches(self, ckpt: str) -> set[int]:
+        # batch ids are only unique WITHIN one streaming checkpoint: a
+        # rebuilt checkpoint dir renumbers from 0 against the same
+        # frontier, so the stamp is (checkpoint, batch_id) — a bare
+        # batch_id would make the new stream skip genuinely new shards
+        # that happen to land in low-numbered batches. (Deleting and
+        # recreating the SAME checkpoint path still collides; the MERGE
+        # dedup bounds the damage to skipped-not-duplicated, documented.)
         return {
             int(m["summary"]["step"])
             for m in self.frontier.table.history()
-            if m.get("operation") == "add_requests" and "step" in m.get("summary", {})
+            if m.get("operation") == "add_requests"
+            and "step" in m.get("summary", {})
+            and m.get("summary", {}).get("ckpt") == ckpt
         }
 
-    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in self._committed_batches():
+    def _process_batch(self, batch_df: DataFrame, batch_id: int,
+                       ckpt: str) -> None:
+        if int(batch_id) in self._committed_batches(ckpt):
             return  # replay after restart: commit already landed
         selected = select_captures(
             parse_cdxj(batch_df.select(F.col("value").alias("line"))),
@@ -64,10 +72,12 @@ class StreamingCdxIngest:
         reqs = selected.select(
             "url", F.lit(False).alias("forefront"), F.lit(0).alias("depth")
         )
-        # step = batch_id stamps the commit summary, making replays
+        # (ckpt, batch_id) stamps the commit summary, making replays
         # detectable; an all-duplicate batch still commits (MERGE keeps
         # content identical), so the stamp always lands for non-empty input
-        stats = self.frontier.add_requests(reqs, step=int(batch_id))
+        stats = self.frontier.add_requests(
+            reqs, step=int(batch_id), summary_extra={"ckpt": ckpt}
+        )
         self.batches.append({"batch_id": int(batch_id), **stats})
 
     def start(self, shard_dir: str, checkpoint_dir: str,
@@ -77,8 +87,10 @@ class StreamingCdxIngest:
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .text(shard_dir)
         )
+        ckpt = os.path.abspath(checkpoint_dir)
         writer = (
-            stream.writeStream.foreachBatch(self._process_batch)
+            stream.writeStream
+            .foreachBatch(lambda df, bid: self._process_batch(df, bid, ckpt))
             .option("checkpointLocation", checkpoint_dir)
         )
         if available_now:

@@ -53,7 +53,15 @@ class StreamingCrawl:
         if not self.engine.frontier.exists():
             self.engine.add_seeds(urls)
         else:
-            self.engine.frontier.add_requests(urls, step=self.engine.step)
+            # same canonicalization flags as add_seeds / the superstep's
+            # enqueue — a keep_fragment / extended-unique-key config must
+            # not depend on WHICH batch delivered a URL
+            cfg = self.engine.cfg
+            self.engine.frontier.add_requests(
+                urls, step=self.engine.step,
+                keep_fragment=cfg.keep_fragment,
+                use_extended_unique_key=cfg.use_extended_unique_key,
+            )
         stats = self.engine.run_superstep(self.corpus, self.robots)
         self.batches.append({"batch_id": batch_id, **stats})
 

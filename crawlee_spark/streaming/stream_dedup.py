@@ -18,11 +18,14 @@ volume ∝ batch × collision rate, never corpus².
 
 Recovery: the stream checkpoint replays unprocessed files; the signature and
 decision tables are append-only segment logs, and ``foreachBatch`` may
-re-run a batch on restart — re-admitting the same doc ids is idempotent for
-dedup DECISIONS downstream (a replayed survivor matches itself and would be
-dropped on re-ingest only if its own signature landed before the crash, so
-exactly-once admission needs the batch_id recorded with each segment, which
-``AppendTable`` summaries carry — resume skips batch ids already committed).
+re-run a batch on restart. Exactly-once is layered: the DECISIONS append is
+the admission stamp and commits LAST, so a stamped batch is skipped whole;
+a crash in the window between the sigs append and the stamp replays the
+batch, where (a) the matcher's self-id exclusion keeps already-landed
+survivors classified ``admitted`` (a doc is never a dup of itself) and
+(b) the sigs append is skipped for a batch id already in the sigs lineage —
+no duplicate rows, no flipped decisions (pinned by
+tests/test_streaming.py::test_streaming_dedup_replay_after_sig_commit_crash).
 """
 
 from __future__ import annotations
@@ -58,6 +61,20 @@ class StreamingDedup:
         self.batches: list[dict[str, Any]] = []
 
     def _committed_batches(self) -> set[int]:
+        # the DECISIONS table is the admission stamp: it is appended LAST
+        # in _process_batch, so its batch_id implies the sigs landed too.
+        # (Stamping sigs alone would miss zero-admission batches — they
+        # skip the sigs append — and a replay would double their decision
+        # rows.)
+        if not self.decisions.exists():
+            return set()
+        return {
+            int(m["summary"]["batch_id"])
+            for m in self.decisions.history()
+            if "batch_id" in m.get("summary", {})
+        }
+
+    def _sig_batches(self) -> set[int]:
         if not self.sigs.exists():
             return set()
         return {
@@ -101,10 +118,17 @@ class StreamingDedup:
                 F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
             )
         )
-        self.decisions.append(decided, {"batch_id": int(batch_id)}, coalesce=2)
+        # commit order matters for crash recovery: sigs FIRST, decisions
+        # (the stamp) LAST. A crash between the two leaves sigs committed
+        # without a stamp; the replay recomputes (the matcher's self-id
+        # exclusion keeps survivors correct against the already-landed
+        # sigs) and skips only the sig re-append — no duplicate rows, no
+        # duplicate decisions.
         n_admitted = survivors.count()
-        if n_admitted or not self.sigs.exists():
+        if (n_admitted or not self.sigs.exists()) \
+                and int(batch_id) not in self._sig_batches():
             self.sigs.append(survivors, {"batch_id": int(batch_id)}, coalesce=2)
+        self.decisions.append(decided, {"batch_id": int(batch_id)}, coalesce=2)
         self.batches.append({
             "batch_id": int(batch_id),
             "seen": sig_new.count(),

@@ -21,14 +21,18 @@ def surt_py(url: str) -> str:
     """Python twin of the Spark/DuckDB surt expressions — same anchored
     patterns run through CPython's `re` (a third regex engine: catches
     Java/RE2/`re` behavior drift), same empty-match fallbacks as Spark's
-    regexp_extract (no match -> '')."""
+    regexp_extract (no match -> ''). Non-default ports are kept
+    pywb-style after the labels; 80/443 are stripped."""
     m = _HOST_RE.match(url)
-    host = (m.group(1) if m else "").lower()
-    host = re.sub(r":\d+$", "", host)
+    hostport = (m.group(1) if m else "").lower()
+    pm = re.search(r":(\d+)$", hostport)
+    port = pm.group(1) if pm else ""
+    host = re.sub(r":\d+$", "", hostport)
     host = re.sub(r"^www\.", "", host)
+    sfx = f":{port}" if port not in ("", "80", "443") else ""
     m = _REST_RE.match(url)
     rest = (m.group(1) if m else "").lower() or "/"
-    return ",".join(reversed(host.split("."))) + ")" + rest
+    return ",".join(reversed(host.split("."))) + sfx + ")" + rest
 
 
 _URLISH = st.builds(

@@ -21,6 +21,11 @@ URLSET = """<?xml version="1.0" encoding="UTF-8"?>
   <url><loc>https://a.test/plain</loc></url>
   <url><lastmod>2026-01-01</lastmod></url>
   <url><loc> https://a.test/spaced </loc><priority>0.5</priority></url>
+  <url>
+    <loc>https://a.test/messy</loc>
+    <lastmod>frequently</lastmod>
+    <priority>high</priority>
+  </url>
 </urlset>"""
 
 INDEX = """<?xml version="1.0"?>
@@ -37,7 +42,7 @@ def _df(spark, xml, url="https://a.test/sitemap.xml"):
 def test_parse_urlset(spark):
     rows = parse_sitemap(_df(spark, URLSET)).orderBy("pos").collect()
     # the loc-less entry is dropped; pos is raw document order (gap at 2)
-    assert [r["pos"] for r in rows] == [0, 1, 3]
+    assert [r["pos"] for r in rows] == [0, 1, 3, 4]
     assert rows[0]["url"] == "https://a.test/p?x=1&y=2"  # &amp; unescaped
     assert str(rows[0]["lastmod"]) == "2026-03-04"
     assert rows[0]["changefreq"] == "daily"
@@ -46,6 +51,10 @@ def test_parse_urlset(spark):
     assert rows[1]["lastmod"] is None and rows[1]["priority"] is None
     assert rows[2]["url"] == "https://a.test/spaced"  # whitespace trimmed
     assert rows[2]["priority"] == 0.5
+    # real-world junk values: the FIELD goes NULL, the task survives
+    # (ANSI mode would otherwise throw on to_date/cast)
+    assert rows[3]["url"] == "https://a.test/messy"
+    assert rows[3]["lastmod"] is None and rows[3]["priority"] is None
 
 
 def test_parse_index(spark):
@@ -109,6 +118,6 @@ def test_sitemap_requests_into_frontier(spark, tmp_path):
     assert "user_data" in reqs.columns
     ft = FrontierTable.create(spark, str(tmp_path / "f"), num_buckets=4)
     res = ft.add_requests(reqs, step=0)
-    # 5 distinct locs; a.test/plain duplicated across files (#frag stripped)
-    assert res["added"] == 4
+    # 6 distinct locs; a.test/plain duplicated across files (#frag stripped)
+    assert res["added"] == 5
     assert res["already_present"] == 1

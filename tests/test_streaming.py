@@ -184,3 +184,78 @@ def test_streaming_cdx_ingest_selects_and_enqueues(spark, tmp_path):
     again = ing2.drain(str(shard_dir), str(tmp_path / "ckpt"), timeout_secs=240)
     assert again == []
     assert ing2.frontier.counters()["total"] == 3
+
+
+def test_streaming_dedup_replay_after_sig_commit_crash(spark, tmp_path):
+    """The crash window between the sigs append and the decisions stamp:
+    the replay must recompute decisions WITHOUT flipping already-admitted
+    docs to dup-of-corpus (self-match exclusion) and WITHOUT duplicating
+    signature rows."""
+    import json
+
+    from crawlee_spark.streaming import StreamingDedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq2 = "iceberg snapshots give copy on write tables time travel reads"
+    doc_dir = tmp_path / "docs"
+    doc_dir.mkdir()
+    (doc_dir / "a.json").write_text(json.dumps({"doc_id": 10, "text": base}))
+    (doc_dir / "b.json").write_text("\n".join(
+        json.dumps(d) for d in [
+            {"doc_id": 20, "text": base},   # dup of corpus doc 10
+            {"doc_id": 21, "text": uniq2},
+        ]
+    ))
+    sd = StreamingDedup(spark, str(tmp_path / "dd"))
+    sd.drain(str(doc_dir), str(tmp_path / "ckpt"), timeout_secs=240)
+    assert sd.corpus_ids() == {10, 21}
+
+    # simulate the crash: batch 1's sigs landed, its decisions stamp did not
+    dec_hist = sd.decisions.history()
+    sd.decisions.rollback(int(dec_hist[-2]["id"]))
+    assert 1 not in sd._committed_batches()
+    assert 1 in sd._sig_batches()
+
+    replay = spark.createDataFrame(
+        [(20, base), (21, uniq2)], "doc_id long, text string")
+    sd._process_batch(replay, 1)
+    # no duplicate signature rows, corpus unchanged
+    assert sd.sigs.read().count() == 2
+    assert sd.corpus_ids() == {10, 21}
+    dec = {
+        r["doc_id"]: (r["action"], r["first_match"])
+        for r in sd.decisions.read().filter("batch_id = 1").collect()
+    }
+    # 21 is already in the corpus, but it must NOT self-match
+    assert dec[21] == ("admitted", None)
+    assert dec[20] == ("dup-of-corpus", 10)
+
+
+def test_streaming_cdx_fresh_checkpoint_does_not_skip_new_shards(spark, tmp_path):
+    """Batch ids restart at 0 under a rebuilt checkpoint; the replay stamp
+    is (checkpoint, batch), so a fresh checkpoint re-reads everything —
+    old shards MERGE as already-present, NEW shards still enqueue."""
+    from crawlee_spark.streaming.stream_cdx import StreamingCdxIngest
+
+    def line(surt, url):
+        return (f'{surt} 20260101000000 {{"url": "{url}", '
+                f'"mime": "image/jpeg", "status": "200", "digest": "d-{url}",'
+                f' "length": "10", "offset": "0", "filename": "f.warc.gz"}}')
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    (shard_dir / "cdx-000.txt").write_text(line("com,a)/1.jpg",
+                                                "https://a.com/1.jpg"))
+    ing = StreamingCdxIngest(spark, str(tmp_path / "ingest"))
+    ing.drain(str(shard_dir), str(tmp_path / "ckptA"), timeout_secs=240)
+    assert ing.frontier.counters()["total"] == 1
+
+    # checkpoint lost + a new shard lands; the rebuilt stream renumbers
+    # batches from 0 — the old run also committed a batch 0
+    (shard_dir / "cdx-001.txt").write_text(line("com,b)/2.jpg",
+                                                "https://b.com/2.jpg"))
+    ing2 = StreamingCdxIngest(spark, str(tmp_path / "ingest"))
+    batches = ing2.drain(str(shard_dir), str(tmp_path / "ckptB"), timeout_secs=240)
+    assert len(batches) == 2  # nothing skipped under the fresh checkpoint
+    urls = {r["url"] for r in ing2.frontier.pending().collect()}
+    assert urls == {"https://a.com/1.jpg", "https://b.com/2.jpg"}
