@@ -50,7 +50,6 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -232,42 +231,29 @@ def build_cuckoo_shards(frontier_keys: DataFrame) -> dict[int, CuckooShard]:
 def prefilter_batch_cuckoo(
     batch: DataFrame, shards: dict[int, CuckooShard]
 ) -> tuple[DataFrame, DataFrame]:
-    """Split (definitely_unseen, maybe_seen); same Arrow-batched split as the
-    Bloom path, numpy membership over the whole batch."""
+    """Cuckoo split — shares ``urlseen.split_by_filter`` with the Bloom
+    path (both shard sets speak the same might_contain protocol)."""
+    from crawlee_spark.operators.urlseen import split_by_filter
+
     if not shards:
         return batch, batch.filter(F.lit(False))
-    shard_set = CuckooShardSet(shards)
-
-    def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            maybe = shard_set.might_contain(
-                pdf["bucket"].to_numpy(), pdf["url_hash"].to_numpy(dtype=np.int64)
-            )
-            pdf = pdf.copy()
-            pdf["_maybe"] = maybe
-            yield pdf
-
-    from pyspark.sql.types import BooleanType, StructField, StructType
-
-    schema = StructType(list(batch.schema.fields) + [StructField("_maybe", BooleanType())])
-    marked = batch.mapInPandas(mark, schema)
-    return (
-        marked.filter(~F.col("_maybe")).drop("_maybe"),
-        marked.filter(F.col("_maybe")).drop("_maybe"),
-    )
+    return split_by_filter(batch, CuckooShardSet(shards))
 
 
 def merge_with_cuckoo(
     existing: DataFrame, batch: DataFrame, shards: dict[int, CuckooShard]
 ) -> DataFrame:
-    """Cuckoo-accelerated MERGE-NOT-MATCHED (semantics identical to
+    """Cuckoo-accelerated MERGE-NOT-MATCHED — shares
+    ``urlseen.merge_with_filter`` (semantics identical to
     ``frontier.merge_new_requests``; the exact anti-join backstop runs only
-    on filter positives)."""
-    unseen, maybe = prefilter_batch_cuckoo(batch, shards)
-    really_new = maybe.join(
-        existing.select("url_hash"), on="url_hash", how="left_anti"
-    )
-    return unseen.unionByName(really_new)
+    on filter positives). No shards -> plain exact merge (no mark pass)."""
+    from crawlee_spark.operators.urlseen import merge_with_filter
+
+    if not shards:
+        from crawlee_spark.operators.frontier import merge_new_requests
+
+        return merge_new_requests(existing, batch)
+    return merge_with_filter(existing, batch, CuckooShardSet(shards))
 
 
 class CuckooUrlSeen:

@@ -835,7 +835,14 @@ def line_dedup(
     """
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
-    lines = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+    # the empty-doc guard must test the TEXT, not size(toks): split('', ' ')
+    # is [''] (size 1), so a size==0 test never fires and every empty doc
+    # would emit one '' line — the first would keep it and all later empty
+    # docs would vanish as its duplicates. With the text test, every empty
+    # doc has 0 lines and drops out of the output uniformly.
+    lines = F.when(
+        F.col(text_col) == "", F.array().cast("array<string>")
+    ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
             lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),

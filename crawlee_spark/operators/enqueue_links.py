@@ -4,7 +4,9 @@ Reproduces the reference pipeline (``packages/core/src/enqueue_links/
 enqueue_links.ts:235-384``):
 
   extract (pandas UDF)  ->  explode  ->  validity filter  ->  user transform
-  ->  include(globs|regexps) first-match  ->  exclude any-match
+  (``enqueue_links.ts:362-375``: transformRequestFunction runs BEFORE any
+  pattern/strategy filtering, so filters test the final url)
+  ->  exclude any-match  ->  include(globs|regexps) first-match
   ->  EnqueueStrategy scope filter (all | same-hostname | same-domain |
       same-origin; default same-hostname when no user patterns,
       ``enqueue_links.ts:314-316``)  ->  limit  ->  frontier rows
@@ -89,7 +91,13 @@ class EnqueueLinksOptions:
     forefront: bool = False
     label: str | None = None
     # DataFrame -> DataFrame user hook (transformRequestFunction analog,
-    # ``shared.ts:258-264``) applied between validity filter and patterns.
+    # ``shared.ts:258-264``) applied between the validity filter and the
+    # pattern/strategy filters (``enqueue_links.ts:362-375``). The hook may
+    # rewrite `url`/`label`/`forefront`/`depth` (filters see the rewritten
+    # url) and may drop rows; it MUST pass every other column through
+    # unchanged — in particular the filtering context columns `_src_url`,
+    # `_loaded_url`, `rel_order` (enqueue_links raises if they are missing
+    # after the hook).
     transform: Callable[[DataFrame], DataFrame] | None = None
 
     @property
@@ -157,7 +165,9 @@ def _any_match(col, regexes: list[str]):
     return cond
 
 
-def apply_strategy(out: DataFrame, strategy: str) -> DataFrame:
+def apply_strategy(out: DataFrame, strategy: str,
+                   link_col: str = "link", base_col: str = "url",
+                   loaded_col: str = "loaded_url") -> DataFrame:
     """Scope filter comparing the candidate ``link`` against its source page.
 
     - same-hostname: identical lowercased host (default strategy) — vs the
@@ -179,7 +189,7 @@ def apply_strategy(out: DataFrame, strategy: str) -> DataFrame:
     """
     if strategy == STRATEGY_ALL:
         return out
-    link, base = F.col("link"), F.col("url")
+    link, base = F.col(link_col), F.col(base_col)
     if strategy == STRATEGY_SAME_HOSTNAME:
         return out.filter(urls.host_of(link) == urls.host_of(base))
     if strategy == STRATEGY_SAME_ORIGIN:
@@ -190,7 +200,7 @@ def apply_strategy(out: DataFrame, strategy: str) -> DataFrame:
         out = psl.attach_registrable_domain(out, urls.host_of(link), "_rd_link")
         out = psl.attach_registrable_domain(out, urls.host_of(base), "_rd_base")
         out = psl.attach_registrable_domain(
-            out, urls.host_of(F.col("loaded_url")), "_rd_loaded"
+            out, urls.host_of(F.col(loaded_col)), "_rd_loaded"
         )
         return out.filter(
             (F.col("_rd_loaded") == F.col("_rd_base"))
@@ -211,22 +221,13 @@ def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None
     opt = options or EnqueueLinksOptions()
     links = extract_links_df(fetched)
 
-    out = links
-    excl = opt.exclude_regexes()
-    if excl:
-        out = out.filter(~_any_match(F.col("link"), excl))
-    if opt.user_patterns:
-        out = out.filter(_any_match(F.col("link"), opt.include_regexes()))
-        # reference: explicit patterns replace the DEFAULT strategy, but an
-        # explicitly-set strategy (any value) still ANDs in
-        # (``enqueue_links.ts:314-316, 366-376``)
-        if opt.strategy is not None:
-            out = apply_strategy(out, opt.strategy)
-    else:
-        out = apply_strategy(out, opt.effective_strategy)
-
-    out = out.select(
+    # request-option rows FIRST: the user transform rewrites candidates
+    # BEFORE any pattern/strategy filtering (enqueue_links.ts:362-375 maps
+    # transformRequestFunction over the options, THEN createRequests
+    # filters) — so excludes/includes always test the FINAL url
+    out = links.select(
         F.col("url").alias("_src_url"),
+        F.col("loaded_url").alias("_loaded_url"),
         F.col("link").alias("url"),
         (F.col("depth") + 1).alias("depth"),
         F.lit(opt.forefront).alias("forefront"),
@@ -235,6 +236,30 @@ def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None
     )
     if opt.transform is not None:
         out = opt.transform(out)
+        missing = {"url", "_src_url", "_loaded_url", "rel_order"} - set(out.columns)
+        if missing:
+            raise ValueError(
+                f"enqueue transform dropped required columns {sorted(missing)}; "
+                "it must pass _src_url/_loaded_url/rel_order through unchanged "
+                "(they carry the filtering context — see EnqueueLinksOptions)"
+            )
+
+    link = F.col("url")
+    excl = opt.exclude_regexes()
+    if excl:
+        out = out.filter(~_any_match(link, excl))
+    if opt.user_patterns:
+        out = out.filter(_any_match(link, opt.include_regexes()))
+        # reference: explicit patterns replace the DEFAULT strategy, but an
+        # explicitly-set strategy (any value) still ANDs in
+        # (``enqueue_links.ts:314-316, 366-376``)
+        if opt.strategy is not None:
+            out = apply_strategy(out, opt.strategy, link_col="url",
+                                 base_col="_src_url", loaded_col="_loaded_url")
+    else:
+        out = apply_strategy(out, opt.effective_strategy, link_col="url",
+                             base_col="_src_url", loaded_col="_loaded_url")
+
     if opt.limit is not None:
         # per source page in document order (``enqueue_links.ts:379`` slices
         # the first n links of ONE enqueueLinks call = one page here) — a
@@ -248,7 +273,7 @@ def enqueue_links(fetched: DataFrame, options: EnqueueLinksOptions | None = None
             .filter(F.col("_lrank") <= opt.limit)
             .drop("_lrank")
         )
-    return out.drop("rel_order", "_src_url")
+    return out.drop("rel_order", "_src_url", "_loaded_url")
 
 
 # -- pure-Python mirror (simulator spec) ------------------------------------

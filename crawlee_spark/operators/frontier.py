@@ -222,7 +222,9 @@ def apply_handled(existing: DataFrame, handled_keys: DataFrame, step: int) -> Da
     """markRequestHandled for every url_hash in ``handled_keys``:
     ``order_no = NULL``, ``handled_step = step``
     (``request_provider.ts:377-404``)."""
-    hk = handled_keys.select("url_hash").withColumn("_h", F.lit(True))
+    # distinct: a duplicate key in the dim must not fan the left join out
+    # into duplicated frontier rows (PK invariant of the table)
+    hk = handled_keys.select("url_hash").distinct().withColumn("_h", F.lit(True))
     return (
         existing.join(hk, on="url_hash", how="left")
         .withColumn(
@@ -249,9 +251,11 @@ def apply_reclaim(
     ``reclaim_keys`` needs ``url_hash`` and may carry ``error``.
     """
     has_error = "error" in reclaim_keys.columns
-    rk = reclaim_keys.select(
-        "url_hash",
-        *( [F.col("error").alias("_err")] if has_error else [] ),
+    # one row per key (min error for determinism): duplicate dim keys must
+    # not fan the left join out into duplicated frontier rows
+    rk = (
+        reclaim_keys.groupBy("url_hash").agg(F.min("error").alias("_err"))
+        if has_error else reclaim_keys.select("url_hash").distinct()
     ).withColumn("_r", F.lit(True))
     out = existing.join(rk, on="url_hash", how="left")
     new_order = order_no_expr(step, F.lit(forefront)).cast("long")
@@ -290,13 +294,14 @@ def apply_priority(existing: DataFrame, prio: DataFrame, step: int) -> DataFrame
     their order_no untouched; a superseding call with a new dim simply
     re-MERGEs (last write wins, snapshot-isolated like every mutation)."""
     cap = (1 << STEP_SHIFT) - 1
-    p = prio.select(
-        "url_hash",
+    # max priority per key: a duplicate dim key (two revisit signals for
+    # one URL) must not fan the left join out into duplicated frontier rows
+    p = prio.groupBy("url_hash").agg(
         # clamp to [0, cap]: a negative priority must not escape the step
         # band (it would subtract from base and collide with other bands)
         F.greatest(
             F.lit(0).cast("long"),
-            F.least(F.col("priority").cast("long"), F.lit(cap)),
+            F.least(F.max("priority").cast("long"), F.lit(cap)),
         ).alias("_prio"),
     )
     out = existing.join(p, on="url_hash", how="left")
@@ -320,8 +325,10 @@ def apply_dead(existing: DataFrame, dead_keys: DataFrame, step: int) -> DataFram
     """Terminal failure: mark handled with an error (dead-letter semantics of
     the failedRequestHandler path, ``basic-crawler.ts:1334-1385``)."""
     has_error = "error" in dead_keys.columns
-    dk = dead_keys.select(
-        "url_hash", *([F.col("error").alias("_err")] if has_error else [])
+    # one row per key (min error for determinism) — see apply_reclaim
+    dk = (
+        dead_keys.groupBy("url_hash").agg(F.min("error").alias("_err"))
+        if has_error else dead_keys.select("url_hash").distinct()
     ).withColumn("_d", F.lit(True))
     out = (
         existing.join(dk, on="url_hash", how="left")
@@ -394,14 +401,17 @@ class FrontierTable:
             if not touched:
                 return {"added": 0, "already_present": 0}
             existing = self.read(buckets=touched)
-            fresh = merge_new_requests(existing, batch)
+            fresh = merge_new_requests(existing, batch).localCheckpoint(eager=True)
+            # count the MERGE output itself, never `enqueued_step == step`
+            # over the table: two batches sharing a step (two seed frames,
+            # streamed batches between supersteps) would otherwise count
+            # each other's rows. The checkpoint also pins the anti-join
+            # result so the commit write reuses it instead of re-running it.
+            added = fresh.count()
             new_content = existing.unionByName(fresh)
             self.table.commit_buckets(
                 new_content, "add_requests",
                 {"step": step, "batch": batch_n, **(summary_extra or {})},
-            )
-            added = (
-                self.read(buckets=touched).filter(F.col("enqueued_step") == step).count()
             )
             return {"added": added, "already_present": batch_n - added}
         finally:

@@ -204,7 +204,9 @@ def advance_politeness(
         ).cast("int")
         dom_steps = F.ceil(base_delay / step_secs).cast("int")
         keyed = fh.select("host", host_steps.alias("_d")).unionByName(
-            fh.select(
+            # a null domain (PSL lookup miss) must not persist a junk
+            # null-key state row that gets rewritten every superstep
+            fh.filter(F.col(domain_col).isNotNull()).select(
                 F.concat(F.lit(DOMAIN_KEY_PREFIX), F.col(domain_col)).alias("host"),
                 dom_steps.alias("_d"),
             )

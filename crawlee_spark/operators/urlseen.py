@@ -178,17 +178,15 @@ def build_shards(
     return out
 
 
-def prefilter_batch(
-    batch: DataFrame, shards: dict[int, BloomShard]
-) -> tuple[DataFrame, DataFrame]:
-    """Split (definitely_unseen, maybe_seen) with a vectorized Arrow UDF.
+def split_by_filter(batch: DataFrame, shard_set) -> tuple[DataFrame, DataFrame]:
+    """Split (definitely_unseen, maybe_seen) with a vectorized Arrow UDF,
+    over ANY shard set exposing ``might_contain(buckets, keys) -> bool
+    ndarray`` — the protocol both Bloom (``_ShardSet``) and cuckoo
+    (``cuckoo.CuckooShardSet``) implement, so the mark pass and the split
+    live in exactly one place.
 
     numpy bit-tests over the whole batch; shards ship once per executor via
     closure serialization (Spark broadcast of the pickled UDF)."""
-    if not shards:
-        return batch, batch.filter(F.lit(False))
-    shard_set = _ShardSet(shards)
-    cols = batch.columns
 
     def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,18 +207,40 @@ def prefilter_batch(
     )
 
 
-def merge_with_bloom(
-    existing: DataFrame, batch: DataFrame, shards: dict[int, BloomShard]
-) -> DataFrame:
-    """Bloom-accelerated MERGE-NOT-MATCHED: the exact anti-join runs only on
-    Bloom positives; definitely-unseen rows bypass it. Semantically identical
-    to ``frontier.merge_new_requests`` (the backstop join guarantees
-    exactness); the Bloom prunes the join's left side."""
-    unseen, maybe = prefilter_batch(batch, shards)
+def merge_with_filter(existing: DataFrame, batch: DataFrame,
+                      shard_set) -> DataFrame:
+    """Filter-accelerated MERGE-NOT-MATCHED over any might_contain shard
+    set: the exact anti-join runs only on filter positives;
+    definitely-unseen rows bypass it. Semantically identical to
+    ``frontier.merge_new_requests`` (the backstop join guarantees
+    exactness); the filter prunes the join's left side."""
+    unseen, maybe = split_by_filter(batch, shard_set)
     really_new = maybe.join(
         existing.select("url_hash"), on="url_hash", how="left_anti"
     )
     return unseen.unionByName(really_new)
+
+
+def prefilter_batch(
+    batch: DataFrame, shards: dict[int, BloomShard]
+) -> tuple[DataFrame, DataFrame]:
+    """Bloom split — see ``split_by_filter``."""
+    if not shards:
+        return batch, batch.filter(F.lit(False))
+    return split_by_filter(batch, _ShardSet(shards))
+
+
+def merge_with_bloom(
+    existing: DataFrame, batch: DataFrame, shards: dict[int, BloomShard]
+) -> DataFrame:
+    """Bloom-accelerated MERGE-NOT-MATCHED — see ``merge_with_filter``.
+    No shards -> plain exact merge: nothing to prune with, so skip the
+    Arrow mark pass entirely (and keep the anti-join backstop)."""
+    if not shards:
+        from crawlee_spark.operators.frontier import merge_new_requests
+
+        return merge_new_requests(existing, batch)
+    return merge_with_filter(existing, batch, _ShardSet(shards))
 
 
 class UrlSeenShards:

@@ -2774,7 +2774,11 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LINE_DEDUP = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS t
+  FROM documents),
 ex AS (
   SELECT doc_id,
          CAST(unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS INT) AS pos,

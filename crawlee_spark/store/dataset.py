@@ -60,8 +60,14 @@ class Dataset:
         rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (start + t[1],))
         with_seq = self.spark.createDataFrame(rdd, schema)
         n = with_seq.count()
+        # cumulative per-segment seq bounds (aligned with the manifest's
+        # cumulative ``segments`` list): get_data's pruning reads ONE
+        # manifest instead of walking the whole history per call
+        prev = (self.table.manifest()["summary"].get("seq_bounds", [])
+                if self.table.exists() else [])
         self.table.append(with_seq, {"item_count": start + n,
-                                     "seq_min": start, "seq_max": start + n - 1})
+                                     "seq_min": start, "seq_max": start + n - 1,
+                                     "seq_bounds": prev + [[start, start + n - 1]]})
         return n
 
     def get_data(
@@ -72,19 +78,51 @@ class Dataset:
         fields: list[str] | None = None,
     ) -> DataFrame:
         """getData with the reference's offset/limit/desc/fields options
-        (``dataset.ts:262-302``)."""
-        df = self.table.read()
-        order = F.col("seq").desc() if desc else F.col("seq").asc()
-        df = df.orderBy(order)
-        if offset:
-            df = df.offset(offset)
-        if limit is not None:
-            df = df.limit(limit)
+        (``dataset.ts:262-302``).
+
+        ``seq`` is a DENSE global insertion index (push_data starts each
+        batch at the previous item_count), so offset/limit translate
+        EXACTLY into a seq range — which prunes at the segment level via
+        the per-append (seq_min, seq_max) manifest summaries: a
+        getData(offset, limit) over a large dataset reads only the
+        overlapping segments, never the whole table."""
+        total = self.item_count()
+        if desc:
+            hi = total - offset                       # exclusive
+            lo = hi - limit if limit is not None else 0
+        else:
+            lo = offset
+            hi = lo + limit if limit is not None else total
+        lo = max(lo, 0)
+        df = self._read_seq_range(lo, hi)
+        df = df.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        df = df.orderBy(F.col("seq").desc() if desc else F.col("seq").asc())
         if fields:
             df = df.select(*fields)
         else:
             df = df.drop("seq")
         return df
+
+    def _read_seq_range(self, lo: int, hi: int) -> DataFrame:
+        """Read only the segments whose (seq_min, seq_max) overlap [lo, hi),
+        from the LATEST manifest's cumulative ``seq_bounds`` (one metadata
+        read, not an O(appends) history walk). A table written before
+        seq_bounds existed falls back to reading everything — never prune
+        blindly on unknown bounds."""
+        import os as _os
+
+        m = self.table.manifest()
+        segments = m.get("segments", [])
+        bounds = m.get("summary", {}).get("seq_bounds")
+        if bounds is None or len(bounds) != len(segments):
+            keep = list(segments)
+        else:
+            keep = [seg for seg, (smin, smax) in zip(segments, bounds)
+                    if smax >= lo and smin < hi]
+        if not keep:
+            return self.spark.createDataFrame([], m["schema_ddl"])
+        paths = [_os.path.join(self.table.data_dir, s) for s in keep]
+        return self.spark.read.parquet(*paths)
 
     def export_to_json(self, path: str) -> None:
         """exportToJSON (``dataset.ts:332-360``) — single ordered file."""
@@ -115,7 +153,8 @@ def _csv_cell(v: Any) -> str:
     if v is None:
         return ""
     s = str(v)
-    if any(c in s for c in ",\"\n"):
+    # \r included: RFC 4180 readers treat a bare CR as a record break
+    if any(c in s for c in ",\"\n\r"):
         s = '"' + s.replace('"', '""') + '"'
     return s
 
@@ -133,28 +172,52 @@ class KeyValueStore:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, key: str) -> str:
+        # reversible percent-encoding (quote of EVERY non-alnum/-/. char,
+        # including '_' so it can't collide with an encoded byte): distinct
+        # keys never map to one file, and keys() can decode exactly
+        from urllib.parse import quote
+
+        safe = quote(key, safe="-.").replace("_", "%5F")
+        return os.path.join(self.root, f"{safe}.json")
+
+    def _legacy_path(self, key: str) -> str:
+        # pre-encoding scheme (non-alnum -> '_'): kept as a read fallback so
+        # stores written by older versions don't silently read as missing
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
         return os.path.join(self.root, f"{safe}.json")
+
+    def _resolve(self, key: str) -> str:
+        """Path for ``key``, migrating a legacy-named file in place the
+        first time the key is touched under the new scheme."""
+        p = self._path(key)
+        if not os.path.exists(p):
+            old = self._legacy_path(key)
+            if old != p and os.path.exists(old):
+                os.replace(old, p)
+        return p
 
     def set_value(self, key: str, value: Any) -> None:
         if value is None:
             self.delete_value(key)
             return
-        _atomic_write(self._path(key), json.dumps(value, default=str))
+        _atomic_write(self._resolve(key), json.dumps(value, default=str))
 
     def get_value(self, key: str, default: Any = None) -> Any:
-        p = self._path(key)
+        p = self._resolve(key)
         if not os.path.exists(p):
             return default
         with open(p) as f:
             return json.load(f)
 
     def delete_value(self, key: str) -> None:
-        p = self._path(key)
+        p = self._resolve(key)
         if os.path.exists(p):
             os.remove(p)
 
     def keys(self) -> list[str]:
+        from urllib.parse import unquote
+
         return sorted(
-            f[: -len(".json")] for f in os.listdir(self.root) if f.endswith(".json")
+            unquote(f[: -len(".json")])
+            for f in os.listdir(self.root) if f.endswith(".json")
         )

@@ -254,7 +254,6 @@ class SnapshotTable:
     def expire_snapshots(self, keep_last: int = 3) -> None:
         """Drop data dirs unreachable from the last ``keep_last`` snapshots."""
         keep_ids = set()
-        sid = self.current_snapshot_id()
         chain = self.history()
         for m in chain[-keep_last:]:
             keep_ids.update(m["buckets"].values())

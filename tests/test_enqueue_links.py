@@ -18,6 +18,8 @@ from crawlee_spark.operators.enqueue_links import (
 
 import re
 
+import pyspark.sql.functions as F
+
 PAGE = "https://a.example.com/p/1"
 HTML = (
     '<a href="/p/2">same host</a>'
@@ -169,3 +171,32 @@ def test_spark_patterns_parity(spark):
         for o in enqueue_links_py(r["url"], r["html"], 0, opt)
     )
     assert got == want
+
+
+def test_transform_runs_before_patterns_and_strategy(spark):
+    # reference order (enqueue_links.ts:362-375): transformRequestFunction
+    # rewrites candidates BEFORE excludes/includes/strategy, so filters
+    # always test the FINAL url
+    html = ('<a href="https://x.com/keep">k</a>'
+            '<a href="https://x.com/rewrite-me">r</a>')
+    fetched = spark.createDataFrame(
+        [{"url": "https://x.com/", "html": html, "depth": 0}],
+        "url string, html string, depth int",
+    )
+
+    def to_mirror(df):
+        return df.withColumn(
+            "url",
+            F.regexp_replace("url", "x\\.com/rewrite-me", "mirror.org/moved"),
+        )
+
+    # exclude targets the REWRITTEN form: it must fire
+    opt = EnqueueLinksOptions(transform=to_mirror,
+                              exclude_regexps=[r"mirror\.org"])
+    got = sorted(r["url"] for r in enqueue_links(fetched, opt).collect())
+    assert got == ["https://x.com/keep"]
+
+    # default same-hostname strategy scopes on the rewritten url too
+    opt2 = EnqueueLinksOptions(transform=to_mirror)
+    got2 = sorted(r["url"] for r in enqueue_links(fetched, opt2).collect())
+    assert got2 == ["https://x.com/keep"]  # mirror.org fails same-hostname

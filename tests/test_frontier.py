@@ -196,3 +196,34 @@ def test_reprioritize_promotes_by_numeric_priority(spark, ft):
         for r in ft.pending().orderBy("order_no", "depth", "url_hash").collect()
     ]
     assert head3[0] == "https://h0.com/p/4"
+
+
+def test_add_requests_same_step_batches_count_independently(spark, ft):
+    """Two batches at the SAME step (two seed frames, streamed batches
+    between supersteps): each must report its own added/already_present,
+    not the step's cumulative rows."""
+    b1 = _urls(spark, [f"https://s.com/p/{i}" for i in range(3)])
+    assert ft.add_requests(b1, step=0) == {"added": 3, "already_present": 0}
+    # identical re-add at the same step: nothing new
+    assert ft.add_requests(b1, step=0) == {"added": 0, "already_present": 3}
+    # fully-new batch at the same step: no negative already_present
+    b2 = _urls(spark, [f"https://s.com/q/{i}" for i in range(2)])
+    assert ft.add_requests(b2, step=0) == {"added": 2, "already_present": 0}
+    assert ft.counters()["total"] == 5
+
+
+def test_mutator_dims_with_duplicate_keys_keep_pk_invariant(spark, ft):
+    """Duplicate url_hash rows in a mutation dim (e.g. two revisit signals
+    unioned) must not fan out the frontier left join into duplicate rows."""
+    ft.add_requests(_urls(spark, [f"https://d.com/p/{i}" for i in range(3)]), step=0)
+    rows = {r["url"]: r for r in ft.read().collect()}
+    h = rows["https://d.com/p/1"]["url_hash"]
+    dup_prio = spark.createDataFrame(
+        [(h, 5), (h, 9)], "url_hash long, priority long")
+    assert ft.reprioritize(dup_prio, step=1) == 1
+    assert ft.read().count() == 3  # PK invariant holds
+    # max priority wins for the promoted row
+    from crawlee_spark.operators.frontier import STEP_SHIFT
+
+    got = ft.pending().filter(F.col("url_hash") == h).collect()[0]
+    assert got["order_no"] == -(((1 + 1) << STEP_SHIFT) + 9)

@@ -110,3 +110,12 @@ def test_line_dedup_plan_is_aggregate_not_window(spark):
         df._jdf.queryExecution(), "formatted")
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_line_dedup_empty_docs_drop_uniformly(spark):
+    # split('', ' ') is [''] — without the text guard the FIRST empty doc
+    # would keep one '' line and later empty docs would vanish as its dups
+    docs = _docs(spark, [(0, ""), (1, ""), (2, "a b")])
+    out = {r["doc_id"]: r for r in line_dedup(docs, window=2).collect()}
+    assert set(out) == {2}  # every empty doc has 0 lines, none keeps ''
+    assert out[2]["clean_text"] == "a b"

@@ -82,3 +82,52 @@ def test_requests_from_manifest(spark, tmp_path):
     )
     got = sorted(r["url"] for r in requests_from_manifest(spark, str(p)).collect())
     assert got == ["https://a.com/x", "https://b.net/y", "https://c.org/z"]
+
+
+def test_kv_store_keys_never_collide(tmp_path):
+    kv = KeyValueStore(str(tmp_path / "kv"))
+    kv.set_value("a/b", 1)
+    kv.set_value("a_b", 2)
+    kv.set_value("a b", 3)
+    assert kv.get_value("a/b") == 1
+    assert kv.get_value("a_b") == 2
+    assert kv.get_value("a b") == 3
+    assert kv.keys() == ["a b", "a/b", "a_b"]  # decoded, all distinct
+
+
+def test_csv_export_quotes_carriage_return(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    ds.push_data(spark.createDataFrame([(1, "x\ry")], "k int, v string"))
+    cp = str(tmp_path / "out.csv")
+    ds.export_to_csv(cp)
+    body = open(cp, newline="").read()  # raw: no universal-newline mangling
+    assert '"x\ry"' in body  # bare CR must be quoted (RFC 4180)
+
+
+def test_get_data_prunes_segments_by_seq_range(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    for b in range(4):  # 4 segments x 5 rows, seq 0..19
+        ds.push_data(spark.createDataFrame(
+            [(b * 5 + i,) for i in range(5)], "k int"))
+    got = [r["k"] for r in ds.get_data(offset=6, limit=3).collect()]
+    assert got == [6, 7, 8]
+    # the pruned plan reads only the one overlapping segment
+    pruned = ds._read_seq_range(6, 9)
+    assert pruned.count() == 5  # exactly segment 2's rows (seq 5..9)
+    # desc + offset spans a segment boundary
+    got_desc = [r["k"] for r in ds.get_data(offset=1, limit=4, desc=True).collect()]
+    assert got_desc == [18, 17, 16, 15]
+    # beyond-the-end offset: empty frame with the right schema
+    assert ds.get_data(offset=100, limit=5).count() == 0
+
+
+def test_kv_store_reads_legacy_filenames(tmp_path):
+    # a store written by the pre-encoding scheme (non-alnum -> '_') must
+    # still read, and gets migrated to the collision-free name on touch
+    root = tmp_path / "kv"
+    root.mkdir()
+    (root / "crawl_stats.json").write_text('{"n": 7}')  # legacy 'crawl/stats'
+    kv = KeyValueStore(str(root))
+    assert kv.get_value("crawl/stats") == {"n": 7}
+    assert kv.get_value("crawl/stats") == {"n": 7}  # after migration too
+    assert "crawl/stats" in kv.keys()
