@@ -20,10 +20,14 @@ from dataclasses import dataclass
 class Cookie:
     name: str
     value: str
-    domain: str = ""       # leading-dot normalized away; empty = host-only
+    domain: str = ""       # leading-dot normalized away
     path: str = "/"
     expires: float | None = None  # epoch seconds; None = session cookie
     secure: bool = False
+    # RFC 6265 host-only flag: no Domain attribute was present — the cookie
+    # is sent ONLY to the exact origin host, never to subdomains (the
+    # tough-cookie ``hostOnly`` flag the reference jar tracks)
+    host_only: bool = False
 
 
 def parse_set_cookie(header: str, default_domain: str = "",
@@ -37,6 +41,13 @@ def parse_set_cookie(header: str, default_domain: str = "",
     tough-cookie jar honors both attributes). Callers that keep ``now=0``
     get Max-Age as a relative offset, matching ``cookie_header(now=...)``
     on the same zero-based clock.
+
+    ``default_domain`` is the ORIGIN host of the response. Domain scoping
+    follows RFC 6265 §5.3 steps 5-6: no Domain attribute -> host-only
+    cookie (sent to the exact origin only); a Domain attribute that is a
+    public suffix (supercookie, e.g. ``Domain=com``) or that the origin
+    host does not domain-match (cross-site set) -> the whole cookie is
+    IGNORED (returns None), exactly like the reference's tough-cookie jar.
     """
     parts = [p.strip() for p in header.split(";")]
     if not parts or "=" not in parts[0]:
@@ -45,7 +56,7 @@ def parse_set_cookie(header: str, default_domain: str = "",
     name = name.strip()
     if not name:
         return None
-    domain, path, expires, secure = default_domain, "/", None, False
+    domain, path, expires, secure = "", "/", None, False
     saw_max_age = False
     for p in parts[1:]:
         k, _, v = p.partition("=")
@@ -70,7 +81,24 @@ def parse_set_cookie(header: str, default_domain: str = "",
                 pass
         elif k == "secure":
             secure = True
-    return Cookie(name, value.strip(), domain.lower(), path, expires, secure)
+    origin = default_domain.lower()
+    if not domain:
+        # no Domain attribute: host-only, scoped to the exact origin
+        return Cookie(name, value.strip(), origin, path, expires, secure,
+                      host_only=True)
+    if _is_public_suffix(domain):
+        return None  # RFC 6265 §5.3 step 5: supercookie — ignore
+    if origin and not _domain_matches(domain, origin):
+        return None  # §5.3 step 6: origin outside the claimed domain
+    return Cookie(name, value.strip(), domain, path, expires, secure)
+
+
+def _is_public_suffix(domain: str) -> bool:
+    """d is a public suffix iff 'probe.d' is exactly an eTLD+1."""
+    from crawlee_spark.functions.psl import registrable_domain_psl_py
+
+    probe = "probe." + domain
+    return registrable_domain_psl_py(probe) == probe
 
 
 def merge_cookies(jar: list[Cookie], new: list[Cookie]) -> list[Cookie]:
@@ -93,6 +121,12 @@ def _domain_matches(cookie_domain: str, host: str) -> bool:
     if not cookie_domain:
         return False
     return host == cookie_domain or host.endswith("." + cookie_domain)
+
+
+def _cookie_matches_host(c: Cookie, host: str) -> bool:
+    if c.host_only:
+        return host == c.domain  # exact origin only (RFC 6265 §5.4)
+    return _domain_matches(c.domain, host)
 
 
 def _path_matches(cookie_path: str, path: str) -> bool:
@@ -121,7 +155,7 @@ def cookie_header(jar: list[Cookie], url: str, now: float = 0.0) -> str:
             continue
         if c.secure and not https:
             continue
-        if not _domain_matches(c.domain, host):
+        if not _cookie_matches_host(c, host):
             continue
         if not _path_matches(c.path, path or "/"):
             continue

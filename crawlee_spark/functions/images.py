@@ -311,7 +311,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def phash_pixels(pixels: np.ndarray, grid: int = 8) -> int:
     """64-bit perceptual-hash-style digest: mean-threshold over an 8x8
     block-downsampled grayscale (stable function of decoded pixels; signed
-    int64 so it round-trips through a Spark ``long`` column)."""
+    int64 so it round-trips through a Spark ``long`` column). ``grid`` is
+    capped at 8: grid*grid bits must fit the 64-bit signed conversion and
+    the Spark long column (a 16x16 grid would build a 256-bit int that
+    overflows the Arrow conversion)."""
+    if grid > 8:
+        raise ValueError(f"phash grid {grid} > 8 exceeds the 64-bit hash")
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     ys = np.linspace(0, h, grid + 1).astype(int)
@@ -438,23 +443,33 @@ def resize_images(df, out_w: int, out_h: int):
     Demonstrates the multimodal transform plumbing: binary in, binary out,
     schema ``image_id string, bytes binary, w int, h int, fmt string``.
     """
-    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "error string")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                   "error")}
             for image_id, blob, w, h, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
-                px = decode_image(bytes(blob), fmt, int(w), int(h))
-                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                resized = px[yi][:, xi]
+                # per-row error discipline, same as make_validator /
+                # extract_features: one corrupt blob costs one error row,
+                # never the Spark task
+                try:
+                    px = decode_image(bytes(blob), fmt, int(w), int(h))
+                    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    enc = encode_image(px[yi][:, xi], "png")
+                    err = None
+                except (ImageFormatError, ValueError) as e:
+                    enc, err = None, str(e)
                 out["image_id"].append(image_id)
-                out["bytes"].append(encode_image(resized, "png"))
-                out["w"].append(out_w)
-                out["h"].append(out_h)
-                out["fmt"].append("png")
+                out["bytes"].append(enc)
+                out["w"].append(out_w if err is None else None)
+                out["h"].append(out_h if err is None else None)
+                out["fmt"].append("png" if err is None else None)
+                out["error"].append(err)
             yield pd.DataFrame(out)
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(do_resize, schema)

@@ -221,8 +221,13 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, code
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (YCbCr 4:4:4)."""
+def encode_jpeg(pixels: np.ndarray, quality: int = 98,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (YCbCr 4:4:4).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (DC predictors reset, writer byte-aligned) — the spec
+    feature that makes partial-corruption recovery possible, and the
+    round-trip pin for the decoder's restart path."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise JpegFormatError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
     h, w = pixels.shape[:2]
@@ -246,6 +251,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
                                 (0x01, _DC_CHROMA), (0x11, _AC_CHROMA)):
         seg = bytes([tc_th]) + bytes(bits) + bytes(vals)
         parts.append(b"\xFF\xC4" + struct.pack(">H", 2 + len(seg)) + seg)
+    if restart_interval:
+        parts.append(b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval))
     sos = struct.pack(">B", 3)
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += struct.pack(">BB", cid, tdta)
@@ -266,7 +273,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
         q = qy if ci == 0 else qc
         coeffs = np.einsum("ux,nxy,vy->nuv", _DCT_M, comp_blocks[ci] - 128.0, _DCT_M)
         zz.append(np.round(coeffs / q).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG])
+    rst = 0
     for b in range(n_mcu):
+        if restart_interval and b and b % restart_interval == 0:
+            writer.flush()
+            parts.append(bytes(writer.out))
+            parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            writer = _BitWriter()
+            prev = [0, 0, 0]
         for ci in range(3):
             row = zz[ci][b]
             dc_codes = dc_l if ci == 0 else dc_c
@@ -313,9 +328,16 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _fill(self, need: int) -> None:
+        # fill EXACTLY until `need` bits are buffered — never greedily past
+        # it: a greedy prefetch near a restart boundary would read the
+        # interval's final data bytes into acc and then hit the RSTn
+        # marker, and raising _Restart there throws away real entropy bits
+        # (the last MCU of every interval would decode corrupt). With
+        # need-based filling, a marker encountered mid-read means the
+        # interval genuinely ran out of bits (corrupt input).
         d = self.data
-        while self.nbits <= 24:
+        while self.nbits < need:
             if self.pos >= len(d):
                 raise JpegFormatError("truncated entropy data")
             byte = d[self.pos]
@@ -338,7 +360,7 @@ class _BitReader:
         if n == 0:
             return 0
         if self.nbits < n:
-            self._fill()
+            self._fill(n)
         v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
@@ -372,7 +394,19 @@ def _extend(code: int, size: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale broadcast to 3)."""
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale broadcast to
+    3). Structurally corrupt input raises JpegFormatError — same error
+    contract as decode_gif (images.decode_image catches format errors
+    per row; a raw IndexError would kill the whole Spark task)."""
+    try:
+        return _decode_jpeg(blob)
+    except JpegFormatError:
+        raise
+    except (struct.error, IndexError, ValueError, _Restart) as e:
+        raise JpegFormatError(f"corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
     if len(blob) < 4 or blob[:2] != b"\xFF\xD8":
         raise JpegFormatError("bad magic for fmt 'jpeg'")
     pos = 2
@@ -480,13 +514,22 @@ def _decode_scan(blob, pos, sof, scan, qtables, htables, ri):
             if ri and mcu % ri == 0 and mcu < n_mcu:
                 # expect a restart marker next (byte-aligned)
                 p = reader.pos
-                # skip to the marker if we stopped mid-byte
-                while p < len(blob) and not (blob[p] == 0xFF and 0xD0 <= blob[p + 1] <= 0xD7):
+                # skip to the marker if we stopped mid-byte (bounds-safe:
+                # p+1 must exist before indexing it)
+                while p + 1 < len(blob) and not (
+                        blob[p] == 0xFF and 0xD0 <= blob[p + 1] <= 0xD7):
                     p += 1
+                if p + 1 >= len(blob):
+                    raise JpegFormatError("missing restart marker")
                 reader.pos = p
                 reader.align_after_restart()
                 prev = [0] * ncomp
         except _Restart as r:
+            # corrupt interval: resync at the marker and RE-decode this
+            # MCU from the next interval's data — clear its partial rows
+            # first (stale AC coefficients would survive the retry)
+            for ci in range(ncomp):
+                zz[ci][mcu][:] = 0
             reader.pos = r.pos
             reader.align_after_restart()
             prev = [0] * ncomp

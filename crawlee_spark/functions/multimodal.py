@@ -85,22 +85,35 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
     (chunks are word-aligned: odd sizes carry a pad byte)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise MediaFormatError("bad magic for codec 'wav'")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, sub_tag = 12, None, None, None
     while pos + 8 <= len(blob):
         cid, size = blob[pos:pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        if pos + 8 + size > len(blob):
+            # a declared size past the end is a truncated download — it
+            # must raise, not silently decode the short slice as a valid
+            # (shorter) file
+            raise MediaFormatError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(blob) - pos - 8} remain")
         chunk = blob[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:
                 raise MediaFormatError("short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            if fmt[0] == 0xFFFE:
+                # extensible: the real format code is the first 2 bytes of
+                # the SubFormat GUID (after cbSize=22: ValidBits/ChannelMask)
+                if size < 40:
+                    raise MediaFormatError("short extensible fmt chunk")
+                sub_tag = struct.unpack_from("<H", chunk, 24)[0]
         elif cid == b"data":
             data = chunk
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise MediaFormatError("WAV missing fmt/data chunk")
     tag, ch, rate, _brate, _align, bits = fmt
-    if tag == 0xFFFE:  # extensible: real tag lives in the GUID prefix
-        tag = 1
+    if tag == 0xFFFE:  # extensible: real tag came from the SubFormat GUID
+        tag = sub_tag
     if tag == 3 and bits == 32:
         x = np.frombuffer(data, "<f4").astype(np.float32)
     elif tag == 1 and bits == 8:
@@ -301,8 +314,11 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             ):
                 try:
                     vid = _decode_video(bytes(blob), codec, int(w), int(h), int(n_frames))
-                except NotImplementedError:
-                    continue  # undecodable codec -> no frames (dead-letter upstream)
+                except (NotImplementedError, MediaFormatError, ValueError):
+                    # undecodable codec OR corrupt blob -> no frames for
+                    # THIS row (dead-letter upstream); one bad download
+                    # must never kill the whole Spark task
+                    continue
                 for i in range(0, len(vid), every_n):
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(i)

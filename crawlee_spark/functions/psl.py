@@ -71,7 +71,23 @@ def load_rules(path: str = PSL_PATH, include_private: bool = True) -> PslRules:
                 wild.add(s[2:])
             else:
                 exact.add(s)
-    assert max((r.count(".") + 1) for r in exact) <= MAX_RULE_LABELS
+    # a hard error, not an assert (asserts vanish under -O), and over ALL
+    # rule kinds: the Spark path's best-k CASE chain only covers label
+    # counts up to MAX_RULE_LABELS (+1 for wildcards) — a future PSL
+    # revision exceeding it would otherwise silently return wrong
+    # registrable domains from the Spark side while the py twin is right
+    widest = max(
+        max((r.count(".") + 1) for r in exact) if exact else 0,
+        # a wildcard parent with k labels acts as a (k+1)-label rule;
+        # exceptions match as k-label public suffixes
+        max((r.count(".") + 2) for r in wild) if wild else 0,
+        max((r.count(".") + 1) for r in exc) if exc else 0,
+    )
+    if widest > MAX_RULE_LABELS + 1:
+        raise ValueError(
+            f"PSL rule needs {widest} labels > MAX_RULE_LABELS+1="
+            f"{MAX_RULE_LABELS + 1}; bump MAX_RULE_LABELS (functions/psl.py)"
+        )
     return PslRules(frozenset(exact), frozenset(wild), frozenset(exc))
 
 

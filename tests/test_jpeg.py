@@ -111,3 +111,32 @@ def test_entropy_data_is_byte_stuffed():
             i += 2
         else:
             i += 1
+
+
+def test_restart_interval_round_trip():
+    # DRI + RSTn path: the decoder must produce EXACTLY the pixels of the
+    # unsegmented encoding (same quantized coefficients, only the entropy
+    # stream is split). Pins the need-based bit fill: a greedy prefetch
+    # used to eat the last MCU of each interval at the marker boundary.
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(px, quality=90))
+    for ri in (1, 2, 5, 7):  # 15 MCUs: aligned and straggler tails
+        blob = encode_jpeg(px, quality=90, restart_interval=ri)
+        assert b"\xff\xdd\x00\x04" in blob  # DRI segment present
+        got = decode_jpeg(blob)
+        assert np.array_equal(got, plain), f"ri={ri}"
+
+
+def test_corrupt_jpeg_raises_format_error_not_indexerror():
+    import pytest
+
+    from crawlee_spark.functions.jpeg import JpegFormatError
+
+    good = encode_jpeg(np.zeros((24, 24, 3), np.uint8), restart_interval=1)
+    sos = good.find(b"\xff\xda")
+    # cuts in the headers and inside the entropy stream (a cut that only
+    # drops the final EOI byte after all MCUs decoded is legitimately fine)
+    for cut in (3, 20, sos + 8, sos + (len(good) - sos) // 2):
+        with pytest.raises(JpegFormatError):
+            decode_jpeg(good[:cut])

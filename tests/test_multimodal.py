@@ -4,6 +4,7 @@ and Spark plumbing: schemas, Arrow batch shapes, frame explode."""
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
@@ -147,3 +148,32 @@ def test_stub_raises_for_real_codecs():
         _decode_audio(b"", "opus", 48000)
     with pytest.raises(NotImplementedError):
         _decode_video(b"", "av1", 1, 1, 1)
+
+
+def test_wav_extensible_float_subformat():
+    # WAVE_FORMAT_EXTENSIBLE wrapping IEEE float: the real tag lives in
+    # the SubFormat GUID's first two bytes — hardcoding tag=1 would parse
+    # the float bit patterns as int32 garbage
+    rng = np.random.default_rng(3)
+    pcm = (rng.random((480, 2), dtype=np.float32) * 2 - 1).astype(np.float32)
+    frames = pcm.astype("<f4").tobytes()
+    # extensible fmt chunk: 16 base + cbSize(22) = 40 bytes
+    guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 2, 48000, 48000 * 8, 8, 32)
+           + struct.pack("<H", 22)            # cbSize
+           + struct.pack("<HI", 32, 0b11)     # valid bits, channel mask
+           + struct.pack("<H", 3) + guid_tail)  # SubFormat: IEEE float
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    x, rate, ch = decode_wav(blob)
+    assert (rate, ch) == (48000, 2)
+    assert np.allclose(x, pcm, atol=1e-7)
+
+
+def test_wav_truncated_data_chunk_raises():
+    import pytest
+
+    good = encode_wav(np.zeros(1000, np.float32), 8000, bits=16)
+    with pytest.raises(MediaFormatError):
+        decode_wav(good[: len(good) - 500])  # data chunk cut mid-way

@@ -130,3 +130,31 @@ def test_parse_set_cookie_expires_and_max_age_precedence():
         default_domain="a.test", now=5.0,
     )
     assert rev.expires == 105.0
+
+
+def test_cookie_rfc6265_domain_scoping():
+    # no Domain attribute -> host-only: exact origin only, never subdomains
+    c = parse_set_cookie("sid=x", default_domain="shop.example.com")
+    assert c.host_only and c.domain == "shop.example.com"
+    jar = [c]
+    assert cookie_header(jar, "http://shop.example.com/") == "sid=x"
+    assert cookie_header(jar, "http://deep.shop.example.com/") == ""
+    assert cookie_header(jar, "http://example.com/") == ""
+    # Domain attribute: sent to the domain and its subdomains
+    c2 = parse_set_cookie("t=1; Domain=example.com",
+                          default_domain="shop.example.com")
+    assert not c2.host_only
+    assert cookie_header([c2], "http://deep.shop.example.com/") == "t=1"
+    # public-suffix supercookie ignored (RFC 6265 section 5.3 step 5)
+    assert parse_set_cookie("e=1; Domain=com",
+                            default_domain="evil.example.com") is None
+    assert parse_set_cookie("e=1; Domain=github.io",
+                            default_domain="a.github.io") is None
+    # cross-site Domain the origin doesn't match: ignored (step 6)
+    assert parse_set_cookie("e=1; Domain=other.net",
+                            default_domain="evil.example.com") is None
+    # a no-origin jar (default_domain omitted) keeps the cookie but it can
+    # never match a host
+    c3 = parse_set_cookie("a=b")
+    assert c3.host_only and c3.domain == ""
+    assert cookie_header([c3], "http://example.com/") == ""
