@@ -252,8 +252,12 @@ CORPUS_SCHEMA = PAGES_SCHEMA + ", html string, redirect_to string"
 
 
 def gen_seed_rows(n_pages: int, n_hosts: int, seed: int = 42, n_seeds: int = 10):
-    """Seed list with canonicalization stress-cases; all resolve into the
-    corpus URL space so the crawl closes over real pages."""
+    """Seed list with canonicalization stress-cases. Variants 0-2 resolve
+    into the corpus URL space (case/slash/fragment noise collapses to a
+    real page); variants 3-4 carry query params that SURVIVE
+    canonicalization (sorted non-utm params are part of the unique key),
+    so they deliberately miss the corpus and exercise the 404 -> retry ->
+    dead-letter path alongside the happy path."""
     hosts = make_hosts(n_hosts)
     assign = zipf_host_assignment(n_pages, n_hosts, seed)
     rng = np.random.default_rng(seed + 5)

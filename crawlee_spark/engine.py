@@ -136,8 +136,12 @@ class CrawlConfig:
     use_extended_unique_key: bool = False
     # label -> handler dispatch applied to each superstep's successful
     # fetches; handler outputs append to the router_results table
-    # (operators/router.py; reference packages/core/src/router.ts:32-55)
+    # (operators/router.py; reference packages/core/src/router.ts:32-55).
+    # router_strict mirrors the reference's 'Route not found' throw: a
+    # fetched label with no handler and no default raises instead of
+    # silently dropping the rows (router.ts:52-55); set False to tolerate
     router: Any = None
+    router_strict: bool = True
     # pre/post-navigation hooks (http-crawler.ts:96-120, 299-300). Pre hooks
     # are DF->DF over the selected fetch set BEFORE the corpus join — they
     # may annotate request columns, e.g. set `skip_navigation` true
@@ -440,6 +444,26 @@ class CrawlEngine:
             F.max("next_allowed_step").alias("m")).first()
         return int(row["m"]) if row["m"] is not None else 0
 
+    def _check_corpus_unique(self, corpus: DataFrame) -> None:
+        """Raise when two corpus rows canonicalize to one key: the fetch
+        join is a left join on the canonical hash, so a duplicate key
+        would fan requests out (double-counted handled, duplicate frontier
+        rows — a PK violation) while the simulator's dict silently keeps
+        one. One count-vs-distinct agg, memoized per corpus frame."""
+        memo = getattr(self, "_corpus_check_memo", None)
+        if memo is not None and memo is corpus:
+            return
+        dup = (
+            corpus.select(urls.url_hash(urls.unique_key(F.col("url"))).alias("_k"))
+            .groupBy("_k").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "corpus has URLs that canonicalize to the same key; "
+                "dedup the corpus on unique_key(url) before crawling"
+            )
+        self._corpus_check_memo = corpus
+
     def _robots_delays_dim(self, robots: DataFrame | None) -> DataFrame | None:
         """(host, crawl_delay) dim for this robots frame, or None when no
         host has a Crawl-delay line. Fully distributed (no per-host rows on
@@ -468,6 +492,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         step = self.step + 1
+        self._check_corpus_unique(corpus)
         stats = {"step": step, "fetched": 0, "handled": 0, "failed": 0,
                  "retried": 0, "robots_dead": 0, "enqueued": 0}
 
@@ -687,7 +712,10 @@ class CrawlEngine:
                     "user_data",
                 )
                 handled_dead = cfg.failed_request_handler(dead_in)
-                if handled_dead is not None and not handled_dead.isEmpty():
+                if handled_dead is not None:
+                    # append unconditionally: an isEmpty() probe would run
+                    # the user handler's whole plan once for the probe and
+                    # again for the write
                     self.failed_requests.append(
                         handled_dead, {"step": step}, coalesce=2)
 
@@ -833,6 +861,21 @@ class CrawlEngine:
                 "handled", "failed", "retried",
                 F.lit(0).cast("long").alias("robots_dead"),
             )
+            if disallowed is not None and stats["robots_dead"]:
+                # per-host robots kills belong in the metrics table too —
+                # the scalar stats alone would leave every row's
+                # robots_dead at 0
+                m = m.unionByName(
+                    disallowed.groupBy("bucket", "host")
+                    .agg(F.count(F.lit(1)).alias("robots_dead"))
+                    .select(
+                        F.lit(step).alias("step"), "bucket", "host",
+                        F.lit(0).cast("long").alias("handled"),
+                        F.lit(0).cast("long").alias("failed"),
+                        F.lit(0).cast("long").alias("retried"),
+                        F.col("robots_dead").cast("long"),
+                    )
+                )
             self.metrics.append(m, {"step": step}, coalesce=4)
 
             # 8. image validation results (input_hint invariant) per fetch
@@ -843,7 +886,13 @@ class CrawlEngine:
                     urls.url_hash(F.col("_ck")).alias("url_hash"),
                     "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                 )
-                fetched_payload = successes.select("url_hash").join(payload, "url_hash")
+                # join on the CANONICAL-URL hash (_fetch_hash), never the
+                # frontier url_hash: under use_extended_unique_key the
+                # frontier hash covers method+payload and would match
+                # nothing on the payload side
+                fetched_payload = successes.select(
+                    F.col("_fetch_hash").alias("url_hash")
+                ).join(payload, "url_hash")
                 v = validate_pages(fetched_payload, seed=cfg.seed).withColumn(
                     "step", F.lit(step)
                 )
@@ -857,8 +906,10 @@ class CrawlEngine:
                     "url", F.col("_loaded").alias("loaded_url"),
                     F.col("_html").alias("html"), "depth", "label", "user_data",
                 )
-                routed = cfg.router(routed_src, strict=False)
-                if routed is not None and not routed.isEmpty():
+                routed = cfg.router(routed_src, strict=cfg.router_strict)
+                if routed is not None:
+                    # unconditional append: isEmpty() would evaluate every
+                    # handler transform twice per superstep
                     self.router_results.append(
                         routed.withColumn("step", F.lit(step)),
                         {"step": step, "router": True}, coalesce=4,
@@ -915,10 +966,15 @@ class CrawlEngine:
         charged = fetched
         if "skip_navigation" in fetched.columns:
             charged = fetched.filter(~F.coalesce(F.col("skip_navigation"), F.lit(False)))
-        results = charged.select(
-            "bucket",
-            F.pmod(F.col("url_hash"), F.lit(per_bucket)).cast("int").alias("session_id"),
-            status.alias("status_code"),
+        # pick over USABLE sessions only (assign_sessions: the reference
+        # never hands a retired/exhausted session to a request) — a bare
+        # pmod over all slots would keep charging unusable sessions
+        assigned = sess.assign_sessions(
+            charged.select("bucket", "url_hash", status.alias("status_code")),
+            pool,
+        )
+        results = assigned.filter(F.col("session_id").isNotNull()).select(
+            "bucket", "session_id", "status_code"
         )
         new_pool = sess.update_pool(pool, results, step, per_bucket)
         self.session_rows = sorted(

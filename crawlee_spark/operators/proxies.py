@@ -39,6 +39,11 @@ class ProxyConfiguration:
     def __post_init__(self):
         if not self.proxy_urls and not self.tiered_proxy_urls:
             raise ValueError("need proxy_urls or tiered_proxy_urls")
+        # fail fast: an empty tier would ZeroDivisionError in new_url_py
+        # and silently emit a NULL proxy column on the Spark side
+        for i, tier in enumerate(self.tiered_proxy_urls or []):
+            if not tier:
+                raise ValueError(f"tiered_proxy_urls[{i}] is empty")
 
     # -- python mirror (newUrl analog) --------------------------------------
 
