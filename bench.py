@@ -74,6 +74,9 @@ HEADLINE = [
     "crawl_capacity",
     "trap_detection",
     "adaptive_backoff",
+    "caption_filter",
+    "anchor_topk",
+    "shard_manifest",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",

@@ -47,6 +47,56 @@ def shard_of(key, num_shards: int):
     return (md5_hash64(key.cast("string")) % num_shards).cast("long")
 
 
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: str,
+    num_buckets: int = 16,
+    samples_per_shard: int = 8,
+) -> DataFrame:
+    """WebDataset-style shard assignment for an image+caption export.
+
+    Multimodal training readers consume fixed-size shards (tar files of
+    ~N samples) streamed sequentially; the export step must decide, for
+    every sample, which shard it lands in and at which byte offset —
+    WITHOUT a global sort. Same sharding shape as ``sequence_pack``:
+
+      bucket      = md5_hash64(key) % num_buckets   (uniform, reproducible)
+      rank        = dense 0-based position within the bucket by key order
+      shard_id    = bucket * 2^20 + rank div samples_per_shard
+      sample_idx  = rank % samples_per_shard
+      byte_offset = running sum of ``bytes_col`` of EARLIER samples in the
+                    same shard (the tar offset where this sample starts)
+
+    Scale: two windows, each partitioned — by bucket, then by
+    (bucket, shard-seq) — never global. At 1000 executors pick
+    num_buckets ≈ a few × total cores; each bucket's local sort handles
+    corpus/num_buckets rows, and shard boundaries are a pure function of
+    (bucket, key order), so re-runs and resumes land samples identically.
+    Integer arithmetic only — the DuckDB oracle agrees bit-for-bit.
+    """
+    out = df.withColumn("bucket", shard_of(key_col, num_buckets))
+    w_bucket = Window.partitionBy("bucket").orderBy(F.col(key_col).asc())
+    out = out.withColumn(
+        "_rank", (F.row_number().over(w_bucket) - 1).cast("long"))
+    out = out.withColumn(
+        "shard_id",
+        (F.col("bucket") * (1 << 20)
+         + F.expr(f"_rank div {samples_per_shard}")).cast("long"),
+    ).withColumn(
+        "sample_idx", (F.col("_rank") % samples_per_shard).cast("long"))
+    w_shard = (
+        Window.partitionBy("bucket", "shard_id")
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "byte_offset",
+        F.coalesce(F.sum(bytes_col).over(w_shard), F.lit(0)).cast("long"),
+    )
+    return out.drop("_rank")
+
+
 def sequence_pack(
     df: DataFrame,
     tokens_col: str,

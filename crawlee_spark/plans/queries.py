@@ -2253,6 +2253,191 @@ SELECT host, CAST(mult AS DOUBLE) AS crawl_delay FROM m WHERE mult > 1
 """
 
 
+def _pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint-shaped pair metadata synthesized from ``documents``:
+    (image_id, w, h, fmt, caption) via modular arithmetic + substr, so the
+    DuckDB oracle reproduces it verbatim. Dims span 32..2079 (some below
+    the 64-px gate), formats cycle jpeg/png/gif/bmp, captions span
+    8..632 chars (some below 2 tokens, some above the 77-token window)."""
+    d = _t(spark, sf_dir, "documents")
+    cap_len = (8 + (F.col("doc_id") % 40) * 16).cast("int")
+    return d.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
+        (32 + (F.col("doc_id") * 37) % 2048).cast("int").alias("w"),
+        (32 + (F.col("doc_id") * 53) % 2048).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 4 == 0, "jpeg")
+        .when(F.col("doc_id") % 4 == 1, "png")
+        .when(F.col("doc_id") % 4 == 2, "gif")
+        .otherwise("bmp").alias("fmt"),
+        F.col("text").substr(F.lit(1), cap_len).alias("caption"),
+    )
+
+
+_PAIR_SYNTH_SQL = """
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+    CAST(32 + (doc_id * 37) % 2048 AS INT) AS w,
+    CAST(32 + (doc_id * 53) % 2048 AS INT) AS h,
+    CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                    WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
+    substr(text, 1, CAST(8 + (doc_id % 40) * 16 AS INT)) AS caption
+  FROM documents
+"""
+
+
+def q_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image+caption pair gating
+    (``operators/pairs.py::filter_pairs``): min side 64 px, aspect ≤ 3
+    (integer cross-multiplied), container format in {jpeg, png}, caption
+    token count in [2, 77]. Emits EVERY pair with its first-failing-gate
+    reject reason (NULL = kept) — the reject histogram every dataset
+    paper publishes is one groupBy downstream. One scan, zero shuffles;
+    on the input_hint table the ``bytes`` column is pruned, so 100 TB
+    costs a metadata-column scan."""
+    from crawlee_spark.operators.pairs import filter_pairs
+
+    return filter_pairs(_pair_synth(spark, sf_dir)).select(
+        "image_id", "w", "h", "fmt", "n_tokens", "reject_reason", "kept")
+
+
+ORACLE_CAPTION_FILTER = rf"""
+WITH pairs AS ({_PAIR_SYNTH_SQL}
+), tok AS (
+  SELECT *, CAST(CASE WHEN length(trim(caption)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(caption), '\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM pairs
+), gated AS (
+  SELECT image_id, w, h, fmt, n_tokens,
+    CASE WHEN w < 64 OR h < 64 THEN 'too-small'
+         WHEN w > 3*h OR h > 3*w THEN 'bad-aspect'
+         WHEN fmt NOT IN ('jpeg', 'png') THEN 'bad-format'
+         WHEN n_tokens < 2 THEN 'caption-short'
+         WHEN n_tokens > 77 THEN 'caption-long'
+    END AS reject_reason
+  FROM tok
+)
+SELECT image_id, w, h, fmt, n_tokens, reject_reason,
+       reject_reason IS NULL AS kept
+FROM gated
+"""
+
+
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target URL
+    (``operators/pairs.py::anchor_stats``): the web's free labeling
+    signal — in-link count, distinct anchor texts, and the most frequent
+    anchor (ties to the lexicographically greatest) per target. Link rows
+    come from the same SQL-derivable graph as crawl_reachability/pagerank
+    (doc i → {(3i+1)%N, (7i+2)%N, (i+N/2)%N}) with three deterministic
+    anchor-variant classes so hot targets see competing anchors. Two hash
+    aggregations, map-side combined; shuffle is O(distinct (url, anchor)),
+    never O(links)."""
+    from crawlee_spark.operators.pairs import anchor_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc"))
+    n = d.count()  # one scalar job; N also appears in the oracle SQL
+    t = F.col("t")
+    links = d.select(
+        "doc",
+        F.explode(F.array(
+            (3 * F.col("doc") + 1) % n,
+            (7 * F.col("doc") + 2) % n,
+            (F.col("doc") + n // 2) % n,
+        )).alias("t"),
+    ).select(
+        F.concat(F.lit("http://h"), (t % 7).cast("string"),
+                 F.lit(".test/doc/"), t.cast("string")).alias("url"),
+        F.when(F.col("doc") % 3 == 0,
+               F.concat(F.lit("doc "), t.cast("string")))
+        .when(F.col("doc") % 3 == 1,
+              F.concat(F.lit("see also "), (t % 10).cast("string")))
+        .otherwise(F.concat(F.lit("ref-"), t.cast("string")))
+        .alias("anchor"),
+    )
+    return anchor_stats(links)
+
+
+ORACLE_ANCHOR_TOPK = """
+WITH n AS (SELECT count(*) AS c FROM documents
+), links AS (
+  SELECT doc_id AS doc,
+    unnest([(3*doc_id+1) % c, (7*doc_id+2) % c, (doc_id + c//2) % c]) AS t
+  FROM documents, n
+), rows_ AS (
+  SELECT 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/doc/'
+           || CAST(t AS VARCHAR) AS url,
+    CASE WHEN doc % 3 = 0 THEN 'doc ' || CAST(t AS VARCHAR)
+         WHEN doc % 3 = 1 THEN 'see also ' || CAST(t % 10 AS VARCHAR)
+         ELSE 'ref-' || CAST(t AS VARCHAR) END AS anchor
+  FROM links
+), per_anchor AS (
+  SELECT url, anchor, count(*) AS c FROM rows_ GROUP BY url, anchor
+)
+SELECT url, CAST(sum(c) AS BIGINT) AS n_links,
+  CAST(count(*) AS BIGINT) AS n_anchors,
+  arg_max(anchor, lpad(CAST(c AS VARCHAR), 10, '0') || anchor) AS top_anchor
+FROM per_anchor GROUP BY url
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment for the gated pair export
+    (``operators/packing.py::shard_manifest``): kept pairs land in
+    md5-hash buckets, rank within the bucket by key, shard every 8
+    samples, and carry the tar byte offset (running sum of earlier
+    samples' sizes in the shard). Two PARTITIONED windows (bucket, then
+    bucket+shard) — never a global sort; shard membership is a pure
+    function of (bucket, key order) so re-runs and resumes land samples
+    identically. Integer arithmetic only, bit-exact vs the oracle."""
+    from crawlee_spark.operators.packing import shard_manifest
+    from crawlee_spark.operators.pairs import filter_pairs
+
+    kept = filter_pairs(_pair_synth(spark, sf_dir)).filter("kept")
+    sized = kept.withColumn(
+        "est_bytes",
+        (F.expr("(cast(w as bigint) * h) div 8")
+         + F.length("caption")).cast("long"),
+    )
+    return shard_manifest(
+        sized, key_col="image_id", bytes_col="est_bytes",
+        num_buckets=16, samples_per_shard=8,
+    ).select("image_id", "bucket", "shard_id", "sample_idx",
+             "est_bytes", "byte_offset")
+
+
+ORACLE_SHARD_MANIFEST = rf"""
+WITH pairs AS ({_PAIR_SYNTH_SQL}
+), tok AS (
+  SELECT *, CAST(CASE WHEN length(trim(caption)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(caption), '\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM pairs
+), kept AS (
+  SELECT image_id,
+    CAST(((CAST(w AS BIGINT) * h) // 8) + length(caption) AS BIGINT)
+      AS est_bytes,
+    CAST({_H14.format(x="image_id")} % 16 AS BIGINT) AS bucket
+  FROM tok
+  WHERE NOT (w < 64 OR h < 64) AND NOT (w > 3*h OR h > 3*w)
+    AND fmt IN ('jpeg', 'png') AND n_tokens BETWEEN 2 AND 77
+), ranked AS (
+  SELECT image_id, bucket, est_bytes,
+    CAST(row_number() OVER (PARTITION BY bucket ORDER BY image_id) - 1
+         AS BIGINT) AS rnk
+  FROM kept
+)
+SELECT image_id, bucket,
+  CAST(bucket * 1048576 + rnk // 8 AS BIGINT) AS shard_id,
+  CAST(rnk % 8 AS BIGINT) AS sample_idx, est_bytes,
+  CAST(COALESCE(SUM(est_bytes) OVER (
+      PARTITION BY bucket, rnk // 8 ORDER BY image_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS byte_offset
+FROM ranked
+"""
+
+
 def q_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email extraction (``social.ts:30-43`` emailsFromText analog) over
     synthesized contact strings."""
@@ -3477,6 +3662,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_capacity": q_crawl_capacity,
     "trap_detection": q_trap_detection,
     "adaptive_backoff": q_adaptive_backoff,
+    "caption_filter": q_caption_filter,
+    "anchor_topk": q_anchor_topk,
+    "shard_manifest": q_shard_manifest,
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
@@ -3576,5 +3764,8 @@ ORACLES: dict[str, str] = {
     "crawl_capacity": ORACLE_CRAWL_CAPACITY,
     "trap_detection": ORACLE_TRAP_DETECTION,
     "adaptive_backoff": ORACLE_ADAPTIVE_BACKOFF,
+    "caption_filter": ORACLE_CAPTION_FILTER,
+    "anchor_topk": ORACLE_ANCHOR_TOPK,
+    "shard_manifest": ORACLE_SHARD_MANIFEST,
     # image_validate / image_features / crawl_end_to_end: rows-only
 }

@@ -1,0 +1,103 @@
+"""Pair curation + shard manifest invariants (operators/pairs.py,
+operators/packing.py::shard_manifest). Oracle parity for the registered
+queries is covered by scripts/check_oracles.py / the driver gate; these
+pin the operator-level contracts the SQL compare can't express."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlee_spark.operators.packing import shard_manifest
+from crawlee_spark.operators.pairs import anchor_stats, filter_pairs
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        # image_id, w, h, fmt, caption
+        ("a", 512, 512, "jpeg", "a clean caption here"),       # kept
+        ("b", 32, 512, "jpeg", "tiny width"),                  # too-small
+        ("c", 2000, 100, "png", "panorama strip here"),        # bad-aspect
+        ("d", 512, 512, "gif", "animated thing"),              # bad-format
+        ("e", 512, 512, "png", "one"),                         # caption-short
+        ("f", 512, 512, "png", " ".join(["w"] * 100)),         # caption-long
+        ("g", 63, 63, "gif", "x"),                             # too-small wins
+        ("h", 512, 512, "png", "   "),                         # blank -> short
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string")
+
+
+def test_filter_pairs_reasons_and_priority(pairs):
+    got = {
+        r["image_id"]: (r["reject_reason"], r["kept"], r["n_tokens"])
+        for r in filter_pairs(pairs).collect()
+    }
+    assert got["a"] == (None, True, 4)
+    assert got["b"][0] == "too-small"
+    assert got["c"][0] == "bad-aspect"
+    assert got["d"][0] == "bad-format"
+    assert got["e"][0] == "caption-short"
+    assert got["f"][0] == "caption-long"
+    # priority: the size gate fires before format/caption gates
+    assert got["g"][0] == "too-small"
+    # blank caption counts 0 tokens (not 1 from splitting "")
+    assert got["h"] == ("caption-short", False, 0)
+    assert not any(v[1] for k, v in got.items() if k != "a")
+
+
+def test_anchor_stats_counts_and_tiebreak(spark):
+    links = spark.createDataFrame(
+        [("u1", "buy now"), ("u1", "buy now"), ("u1", "cheap"),
+         ("u1", "zzz"),  # count 1, lexicographically greatest
+         ("u2", "b"), ("u2", "a")],  # tie on count -> greater anchor wins
+        "url string, anchor string",
+    )
+    got = {r["url"]: r for r in anchor_stats(links).collect()}
+    assert got["u1"]["n_links"] == 4
+    assert got["u1"]["n_anchors"] == 3
+    assert got["u1"]["top_anchor"] == "buy now"  # count 2 beats count-1 'zzz'
+    assert got["u2"]["n_links"] == 2
+    assert got["u2"]["top_anchor"] == "b"
+
+
+def test_shard_manifest_invariants(spark):
+    n = 200
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", 100 + i) for i in range(n)],
+        "image_id string, est_bytes long",
+    )
+    out = shard_manifest(
+        df, key_col="image_id", bytes_col="est_bytes",
+        num_buckets=4, samples_per_shard=8,
+    ).collect()
+    assert len(out) == n
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+        assert r["shard_id"] == r["bucket"] * (1 << 20) + (
+            r["shard_id"] % (1 << 20))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["image_id"])
+        # capacity bound + dense in-shard indexes + exact tar offsets
+        assert len(rows) <= 8
+        assert [r["sample_idx"] for r in rows] == list(range(len(rows)))
+        off = 0
+        for r in rows:
+            assert r["byte_offset"] == off
+            off += r["est_bytes"]
+    # only the LAST shard of a bucket may be underfull
+    for b in {r["bucket"] for r in out}:
+        shards = sorted(s for s in by_shard if s >> 20 == b)
+        for s in shards[:-1]:
+            assert len(by_shard[s]) == 8
+
+
+def test_shard_manifest_stable_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(f"k{i}", 10 * i + 1) for i in range(60)],
+        "image_id string, est_bytes long",
+    )
+    a = shard_manifest(df, "image_id", "est_bytes", 4, 8)
+    b = shard_manifest(df.repartition(7), "image_id", "est_bytes", 4, 8)
+    key = lambda r: r["image_id"]  # noqa: E731
+    assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
