@@ -269,6 +269,31 @@ CHECKS = {
         ("partial agg before exchange", r"HashAggregate"),
         ("codegen", "codegen"),
     ],
+    "caption_filter": [
+        # LAION pair gating is a pure scan-project: every gate a column
+        # expression, no shuffle; only (doc_id, text) are read from the
+        # synth source — on the input_hint table bytes would be pruned
+        ("no shuffle (scan-project)", r"Exchange", "absent"),
+        ("pruned ReadSchema", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("codegen", "codegen"),
+    ],
+    "anchor_topk": [
+        # anchor aggregation = two grouped aggregates, both map-side
+        # combining (the argmax is a packed max_by, not a window); no
+        # join, no window, no global funnel
+        ("no window", r"Window", "absent"),
+        ("no join", r"Join", "absent"),
+        ("partial agg before exchange", r"SortAggregate|HashAggregate"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+        ("codegen", "codegen"),
+    ],
+    "shard_manifest": [
+        # shard assignment windows per bucket then per (bucket, shard) —
+        # both partitioned exchanges, never a global manifest sort
+        ("bucket-partitioned exchange", r"hashpartitioning\(bucket"),
+        ("per-bucket window", r"Window"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
     # dedup_minhash_lsh returns an eagerly-localCheckpointed result (the
     # band rows are pinned then released) — its visible plan is a scan of
     # the checkpoint, so it has no inspectable join plan here.
