@@ -51,6 +51,8 @@ HEADLINE = [
     "dup_ngram_coverage",
     "dup_span_removal",
     "unigram_logprob",
+    "quality_classifier",
+    "gopher_quality",
     "corpus_summary",
     "dedup_incremental",
     "contamination",

@@ -3583,6 +3583,158 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier, trained AND scored
+    in-corpus (``operators/classifier.py``): the CCNet/fastText/FineWeb-Edu
+    architecture — tokens hashed into 4096 buckets, per-bucket Naive-Bayes
+    log-odds weights in 1/16-bit FIXED POINT (pure-integer sums,
+    order-independent, bit-exact vs the oracle; within 3 accuracy points
+    of float NB), document score = sum of its buckets' weights. The label
+    is DISTILLED from the Gopher heuristic gate (``gopher_gate().kept``) —
+    exactly FineWeb-Edu's pattern of training a cheap classifier to
+    reproduce an expensive labeling pass, then running the cheap one over
+    the whole corpus. Output carries the label so accuracy is one
+    aggregation downstream (0.72 at sf0.01). Plan at 100 TB: train = one
+    D-cardinality hash agg (map-side combined, shuffle independent of
+    corpus size); score = broadcast weight dim + one per-doc agg — the
+    corpus never shuffles for the join."""
+    from crawlee_spark.operators.classifier import score_hashed, train_hashed_nb
+    from crawlee_spark.operators.gates import gopher_gate
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = gopher_gate(d)
+    weights = train_hashed_nb(labeled, F.col("kept"))
+    return score_hashed(d, weights).join(
+        labeled.select("doc_id", F.col("kept").alias("label")), "doc_id")
+
+
+_BUCKET_SQL = f"{_H14.format(x='tok')} % 4096"
+
+# floor(16*log2(x)) in pure integer SQL: exact table below 16, linear
+# mantissa interpolation on the top 5 bits above (operators/classifier.py
+# ::qlog2_16 — table shared verbatim)
+_QLOG_SMALL_SQL = ("CASE {x} WHEN 1 THEN 0 WHEN 2 THEN 16 WHEN 3 THEN 25 "
+                   "WHEN 4 THEN 32 WHEN 5 THEN 37 WHEN 6 THEN 41 "
+                   "WHEN 7 THEN 44 WHEN 8 THEN 48 WHEN 9 THEN 50 "
+                   "WHEN 10 THEN 53 WHEN 11 THEN 55 WHEN 12 THEN 57 "
+                   "WHEN 13 THEN 59 WHEN 14 THEN 60 ELSE 62 END")
+
+
+def _qlog_sql(x: str) -> str:
+    return (f"(CASE WHEN ({x}) < 16 THEN {_QLOG_SMALL_SQL.format(x=f'({x})')} "
+            f"ELSE 16*(length(bin({x}))-1) "
+            f"+ ((({x}) >> (length(bin({x}))-5)) - 16) END)")
+
+
+_NB_WEIGHT_SQL = (f"({_qlog_sql('c_pos + 1')} - {_qlog_sql('tp + 1')})"
+                  f" - ({_qlog_sql('c_neg + 1')} - {_qlog_sql('tn + 1')})")
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH lab AS (
+  SELECT doc_id, text, ({{gopher_reason}}) IS NULL AS pos
+  FROM ({{gopher_m}}) m
+), ex AS (
+  SELECT doc_id, pos, unnest({_TOKENS_SQL}) AS tok
+  FROM lab
+), counts AS (
+  SELECT {_BUCKET_SQL} AS bucket,
+    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS tp, CAST(sum(c_neg) AS BIGINT) AS tn
+  FROM counts
+), weights AS (
+  SELECT bucket, {_NB_WEIGHT_SQL} AS weight
+  FROM counts, tot
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(coalesce(w.weight, 0)) AS BIGINT) AS score
+  FROM (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM ex) e
+  LEFT JOIN weights w USING (bucket)
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+  coalesce(per.n_tokens, 0) AS n_tokens,
+  coalesce(per.score, 0) AS score,
+  coalesce(per.score, 0) > 0 AS predicted,
+  l.pos AS label
+FROM lab l LEFT JOIN per ON l.doc_id = per.doc_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021 A1.1;
+    reused by MassiveText/RefinedWeb/Dolma/FineWeb) as a single-scan,
+    ZERO-shuffle gate (``operators/gates.py::gopher_gate``): word count,
+    mean word length, symbol ratio, bullet/ellipsis line ratios,
+    alphabetic-word fraction, stop-word floor — every ratio integer
+    cross-multiplied so there is no float boundary to disagree across
+    engines. Rows are annotated with the first-failing rule, not dropped
+    (the reject histogram is one groupBy downstream)."""
+    from crawlee_spark.operators.gates import gopher_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_gate(d).select("doc_id", "n_words", "reject_reason", "kept")
+
+
+_GOPHER_TOKS = ("list_filter(string_split_regex(lower(coalesce(text, '')), "
+                "'[^a-z0-9]+'), t -> t <> '')")
+
+# Per-doc Gopher features as a standalone subquery (shared by the gate
+# oracle and the classifier oracle's distillation label)
+_GOPHER_M_SQL = f"""
+  SELECT doc_id, text, n_symbols,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         AS BIGINT) AS sum_len,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(toks, t -> list_contains(
+      ['the','be','to','of','and','that','have','with'], t)))
+         AS BIGINT) AS n_stop,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+                                  OR starts_with(l, '* '))) AS BIGINT)
+         AS n_bullet,
+    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
+         AS n_ellipsis
+  FROM (
+    SELECT doc_id, text,
+      {_GOPHER_TOKS} AS toks,
+      string_split(coalesce(text, ''), chr(10)) AS lines,
+      length(coalesce(text, ''))
+        - length(replace(coalesce(text, ''), '#', ''))
+        + (length(coalesce(text, ''))
+           - length(replace(coalesce(text, ''), '...', ''))) // 3 AS n_symbols
+    FROM documents
+  ) feat
+"""
+
+_GOPHER_REASON_SQL = """
+  CASE WHEN n_words < 50 THEN 'too-few-words'
+       WHEN n_words > 100000 THEN 'too-many-words'
+       WHEN sum_len < 3 * n_words OR sum_len > 10 * n_words
+         THEN 'bad-mean-word-length'
+       WHEN 10 * n_symbols > n_words THEN 'symbol-heavy'
+       WHEN 10 * n_bullet > 9 * n_lines THEN 'bullet-heavy'
+       WHEN 10 * n_ellipsis > 3 * n_lines THEN 'ellipsis-heavy'
+       WHEN 5 * n_alpha < 4 * n_words THEN 'non-alphabetic'
+       WHEN n_stop < 2 THEN 'too-few-stopwords'
+  END
+"""
+
+ORACLE_GOPHER_QUALITY = f"""
+SELECT doc_id, n_words,
+  ({_GOPHER_REASON_SQL}) AS reject_reason,
+  ({_GOPHER_REASON_SQL}) IS NULL AS kept
+FROM ({_GOPHER_M_SQL}) m
+"""
+
+ORACLE_QUALITY_CLASSIFIER = ORACLE_QUALITY_CLASSIFIER.format(
+    gopher_reason=_GOPHER_REASON_SQL, gopher_m=_GOPHER_M_SQL)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3645,6 +3797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dup_span_removal": q_dup_span_removal,
     "unigram_logprob": q_unigram_logprob,
+    "quality_classifier": q_quality_classifier,
+    "gopher_quality": q_gopher_quality,
     "lsh_recall": q_lsh_recall,
     "corpus_summary": q_corpus_summary,
     # generic
@@ -3748,6 +3902,8 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "gopher_quality": ORACLE_GOPHER_QUALITY,
     "lsh_recall": ORACLE_LSH_RECALL,
     "corpus_summary": ORACLE_CORPUS_SUMMARY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

@@ -287,6 +287,22 @@ CHECKS = {
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
         ("codegen", "codegen"),
     ],
+    "gopher_quality": [
+        # all seven Gopher rules are column expressions over one scan:
+        # no shuffle, no Python, whole plan codegen'd
+        ("no shuffle (scan-project)", r"Exchange", "absent"),
+        ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
+        ("codegen", "codegen"),
+    ],
+    "quality_classifier": [
+        # train = D-cardinality hash agg (partial before exchange);
+        # score = the weight dim broadcast against the exploded corpus
+        # (the corpus side must NEVER shuffle for the weight join)
+        ("weight dim broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("partial agg before exchange", r"HashAggregate"),
+        ("no window", r"Window", "absent"),
+        ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
+    ],
     "shard_manifest": [
         # shard assignment windows per bucket then per (bucket, shard) —
         # both partitioned exchanges, never a global manifest sort
