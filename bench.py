@@ -51,6 +51,7 @@ HEADLINE = [
     "dup_ngram_coverage",
     "dup_span_removal",
     "unigram_logprob",
+    "bigram_logprob",
     "quality_classifier",
     "gopher_quality",
     "corpus_summary",

@@ -3735,6 +3735,85 @@ ORACLE_QUALITY_CLASSIFIER = ORACLE_QUALITY_CLASSIFIER.format(
     gopher_reason=_GOPHER_REASON_SQL, gopher_m=_GOPHER_M_SQL)
 
 
+# floor(16 * log2(0.4)) — Stupid Backoff's fixed alpha=0.4 penalty in the
+# same 1/16-bit fixed point as qlog2_16 (Brants et al. 2007 §4)
+from crawlee_spark.operators.lm import BACKOFF_Q16 as _BACKOFF_Q16  # noqa: E402
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM score (Brants et al. 2007 — THE web-scale
+    LM scoring recipe: no discounting, score(w_i|w_{i-1}) =
+    count(w_{i-1} w_i)/count(w_{i-1}) if seen, else 0.4 · count(w_i)/T),
+    in the same 1/16-bit fixed point as the classifier (qlog2_16) so the
+    per-document sum is an order-independent INTEGER. First token scores
+    against the unigram model. Reported ``bits_per_token`` =
+    −score/(16·n): LOW = the corpus's own phrasing (fluent), HIGH =
+    unseen-bigram-heavy gibberish — the CCNet-style band filter key at
+    bigram order.
+
+    Plan at 100 TB: unigram + bigram count dims (two token-keyed
+    map-side-combining aggs; Heaps-law sized), the bigram dim pre-joined
+    with its prefix's unigram count (dim⋈dim, never the corpus), then the
+    token stream joins ONCE on the bigram key and ONCE on the current
+    token — both equi-joins Catalyst/AQE can broadcast when the dims
+    allow; the per-doc sum is map-side combined."""
+    from crawlee_spark.operators.lm import bigram_dims, score_bigram
+
+    d = _t(spark, sf_dir, "documents")
+    return score_bigram(d, bigram_dims(d))
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH tokt AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, (pc).prev AS prev, (pc).cur AS cur FROM (
+    SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks)-1, 0)),
+      i -> struct_pack(prev := toks[i+1], cur := toks[i+2]))) AS pc
+    FROM tokt)
+),
+uni AS (
+  SELECT tok, count(*) AS cnt_u
+  FROM (SELECT unnest(toks) AS tok FROM tokt) GROUP BY tok
+),
+total AS (SELECT CAST(sum(cnt_u) AS BIGINT) AS t_all FROM uni),
+bi_dim AS (
+  SELECT b.prev, b.cur, b.cnt_b, u.cnt_u AS cnt_prev
+  FROM (SELECT prev, cur, count(*) AS cnt_b FROM pairs GROUP BY 1, 2) b
+  JOIN uni u ON u.tok = b.prev
+),
+scored_pairs AS (
+  SELECT p.doc_id,
+    CASE WHEN bd.cnt_b IS NOT NULL
+         THEN {_qlog_sql('bd.cnt_b')} - {_qlog_sql('bd.cnt_prev')}
+         ELSE {_BACKOFF_Q16} + {_qlog_sql('u.cnt_u')} - {_qlog_sql('t.t_all')}
+    END AS s
+  FROM pairs p
+  LEFT JOIN bi_dim bd ON bd.prev = p.prev AND bd.cur = p.cur
+  JOIN uni u ON u.tok = p.cur
+  CROSS JOIN total t
+),
+first_tok AS (
+  SELECT doc_id, {_qlog_sql('u.cnt_u')} - {_qlog_sql('t.t_all')} AS s
+  FROM (SELECT doc_id, toks[1] AS cur FROM tokt WHERE len(toks) >= 1) f
+  JOIN uni u ON u.tok = f.cur
+  CROSS JOIN total t
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(s) AS BIGINT) AS sum_q16
+  FROM (SELECT * FROM scored_pairs UNION ALL SELECT * FROM first_tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(per.n_tokens, 0) AS n_tokens,
+  coalesce(per.sum_q16, 0) AS sum_q16,
+  round(-coalesce(per.sum_q16, 0)
+        / (16.0 * greatest(coalesce(per.n_tokens, 0), 1)), 6)
+    AS bits_per_token
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3797,6 +3876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dup_span_removal": q_dup_span_removal,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "quality_classifier": q_quality_classifier,
     "gopher_quality": q_gopher_quality,
     "lsh_recall": q_lsh_recall,
@@ -3902,6 +3982,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
     "lsh_recall": ORACLE_LSH_RECALL,

@@ -287,6 +287,15 @@ CHECKS = {
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
         ("codegen", "codegen"),
     ],
+    "bigram_logprob": [
+        # count dims are map-side-combining aggs; the bigram dim joins its
+        # prefix unigram count dim-side; the per-doc sum is partial-agg'd;
+        # no window, no Python, no single-partition funnel
+        ("partial agg before exchange", r"HashAggregate"),
+        ("no window", r"Window", "absent"),
+        ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
     "gopher_quality": [
         # all seven Gopher rules are column expressions over one scan:
         # no shuffle, no Python, whole plan codegen'd

@@ -155,3 +155,54 @@ def test_span_removal_spark_equals_py(spark, texts):
     want = _span_removal_py(texts, 3)
     for d in range(len(texts)):
         assert got[d] == want[d], (d, texts)
+
+
+def test_bigram_logprob_hand_computed(spark, tmp_path):
+    """Stupid-Backoff bigram LM (operators/lm.py), in-corpus scoring.
+
+    Corpus: a:3 b:2 c:1, T=6; bigrams (a,b):2 (b,a):1 (a,c):1.
+    qlog2_16: q(1)=0 q(2)=16 q(3)=25 q(6)=41.
+    """
+    docs = _docs(spark, [
+        (0, "a b a b"),
+        (1, "a c"),
+        (2, ""),
+    ])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from crawlee_spark.plans.queries import q_bigram_logprob
+    out = {r["doc_id"]: r for r in q_bigram_logprob(spark, str(tmp_path)).collect()}
+    # doc0: first a = q(3)-q(6) = -16; (a,b) = q(2)-q(3) = -9;
+    #       (b,a) = q(1)-q(2) = -16; (a,b) = -9  -> sum -50 over 4 tokens
+    assert (out[0]["n_tokens"], out[0]["sum_q16"]) == (4, -50)
+    assert out[0]["bits_per_token"] == round(50 / 64, 6)
+    # doc1: first a = -16; (a,c) = q(1)-q(3) = -25 -> sum -41 over 2
+    assert (out[1]["n_tokens"], out[1]["sum_q16"]) == (2, -41)
+    # doc2 empty
+    assert (out[2]["n_tokens"], out[2]["sum_q16"], out[2]["bits_per_token"]) \
+        == (0, 0, 0.0)
+
+
+def test_bigram_backoff_cross_corpus(spark):
+    """Backoff fires only for bigrams UNSEEN in training; unseen tokens get
+    the count-1 smoothing."""
+    from crawlee_spark.operators.lm import BACKOFF_Q16, bigram_dims, score_bigram
+    from crawlee_spark.operators.classifier import qlog2_16_py as q
+
+    train = _docs(spark, [(0, "a b a b"), (1, "a c")])  # a:3 b:2 c:1 T=6
+    dims = bigram_dims(train)
+
+    test = _docs(spark, [
+        (10, "b c"),     # bigram (b,c) unseen -> backoff with cnt_u(c)=1
+        (11, "a b"),     # fully in-model
+        (12, "a zz"),    # zz unseen anywhere -> smoothed cnt_u=1
+    ])
+    out = {r["doc_id"]: r for r in score_bigram(test, dims).collect()}
+    # doc10: first b = q(2)-q(6) = 16-41 = -25;
+    #        (b,c) backoff = -22 + q(1)-q(6) = -22-41 = -63 -> -88
+    assert (out[10]["n_tokens"], out[10]["sum_q16"]) == (2, -88)
+    # doc11: first a = q(3)-q(6) = -16; (a,b) = q(2)-q(3) = -9 -> -25
+    assert (out[11]["n_tokens"], out[11]["sum_q16"]) == (2, -25)
+    # doc12: first a = -16; (a,zz) unseen bigram AND unseen token:
+    #        backoff = -22 + q(1)-q(6) = -63 -> -79
+    assert (out[12]["n_tokens"], out[12]["sum_q16"]) == (2, -79)
+    assert BACKOFF_Q16 == -22 and q(6) == 41
