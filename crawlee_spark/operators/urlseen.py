@@ -262,16 +262,26 @@ class UrlSeenShards:
         self.frontier_snapshot: int | None = None
 
     def load(self) -> bool:
+        """False (-> caller rebuilds) on missing OR unreadable state: a
+        crash mid-save may leave a truncated npz or a json referencing
+        shards the npz doesn't carry — both must route to the rebuild
+        path, never crash the resume."""
         path = os.path.join(self.root, "shards.npz")
         meta_path = os.path.join(self.root, "shards.json")
         if not (os.path.exists(path) and os.path.exists(meta_path)):
             return False
-        with open(meta_path) as f:
-            meta = json.load(f)
-        data = np.load(path)
-        self.shards = {
-            int(b): BloomShard(data[f"b{b}"], meta["k"][str(b)]) for b in meta["buckets"]
-        }
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            data = np.load(path)
+            self.shards = {
+                int(b): BloomShard(data[f"b{b}"], meta["k"][str(b)])
+                for b in meta["buckets"]
+            }
+        except Exception:
+            self.shards = {}
+            self.frontier_snapshot = None
+            return False
         self.frontier_snapshot = meta.get("frontier_snapshot")
         return True
 
@@ -279,10 +289,16 @@ class UrlSeenShards:
         if frontier_snapshot is not None:
             self.frontier_snapshot = frontier_snapshot
         os.makedirs(self.root, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(self.root, "shards.npz"),
-            **{f"b{b}": s.bits for b, s in self.shards.items()},
-        )
+        # npz via tmp + rename BEFORE the json: the json is the commit
+        # point (load() reads it first), so a crash between the two leaves
+        # an old-json/new-npz pair, which load() resolves (extra npz keys
+        # are ignored; missing ones fail -> rebuild)
+        npz_path = os.path.join(self.root, "shards.npz")
+        tmp = npz_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f, **{f"b{b}": s.bits for b, s in self.shards.items()})
+        os.replace(tmp, npz_path)
         _atomic_write(
             os.path.join(self.root, "shards.json"),
             json.dumps({

@@ -101,3 +101,63 @@ def test_shard_manifest_stable_under_repartition(spark):
     b = shard_manifest(df.repartition(7), "image_id", "est_bytes", 4, 8)
     key = lambda r: r["image_id"]  # noqa: E731
     assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+def test_write_webdataset_roundtrip_and_exact_offsets(spark, tmp_path):
+    """The written tar is byte-deterministic, reads back with stdlib
+    tarfile, and the manifest's byte_offset equals each sample's first
+    header offset inside the shard (tar_sample_bytes fed as bytes_col)."""
+    import tarfile
+
+    from crawlee_spark.operators.packing import (
+        shard_manifest,
+        tar_sample_bytes,
+        write_webdataset,
+    )
+
+    rows = [
+        (f"img{i:03d}", bytes([i % 251]) * (i * 37 % 1500), f"caption {i} é")
+        for i in range(40)
+    ] + [("imgnull", b"", None)]  # empty image + NULL caption
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    sized = df.withColumn("est_bytes", tar_sample_bytes("bytes", "caption"))
+    man = shard_manifest(sized, key_col="image_id", bytes_col="est_bytes",
+                         num_buckets=2, samples_per_shard=8)
+
+    out_dir = str(tmp_path / "wds")
+    receipts = {r["shard_id"]: r for r in write_webdataset(
+        man, out_dir, key_col="image_id",
+        entries={"jpg": "bytes", "txt": "caption"}).collect()}
+
+    by_key = {r[0]: r for r in rows}
+    man_rows = man.collect()
+    assert {r["shard_id"] for r in man_rows} == set(receipts)
+    n_checked = 0
+    for shard_id, rec in receipts.items():
+        members = {}
+        with tarfile.open(rec["path"]) as tf:
+            for ti in tf.getmembers():
+                members[ti.name] = (ti.offset, tf.extractfile(ti).read())
+        shard_rows = [r for r in man_rows if r["shard_id"] == shard_id]
+        assert rec["n_samples"] == len(shard_rows)
+        for r in shard_rows:
+            k = r["image_id"]
+            img, cap = by_key[k][1], by_key[k][2]
+            # content round-trips (NULL caption -> empty entry)
+            assert members[f"{k}.jpg"][1] == img
+            assert members[f"{k}.txt"][1] == (cap or "").encode("utf-8")
+            # manifest offset == the sample's FIRST entry header offset
+            first = min(members[f"{k}.jpg"][0], members[f"{k}.txt"][0])
+            assert r["byte_offset"] == first, (k, r["byte_offset"], first)
+            n_checked += 1
+    assert n_checked == len(rows)
+
+    # re-running the export writes byte-identical shards
+    import hashlib, os
+    before = {p: hashlib.md5(open(os.path.join(out_dir, p), "rb").read()).hexdigest()
+              for p in os.listdir(out_dir)}
+    write_webdataset(man, out_dir, key_col="image_id",
+                     entries={"jpg": "bytes", "txt": "caption"}).collect()
+    after = {p: hashlib.md5(open(os.path.join(out_dir, p), "rb").read()).hexdigest()
+             for p in os.listdir(out_dir)}
+    assert before == after

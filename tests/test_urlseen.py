@@ -146,6 +146,30 @@ def test_engine_rebuilds_stale_shards_on_resume(spark, tmp_path):
     assert unseen.count() == 0
 
 
+
+def test_load_survives_truncated_npz(spark, tmp_path):
+    """A crash mid-save (truncated npz, or json/npz mismatch) must route
+    resume to the rebuild path — load() returns False, never raises."""
+    import os
+
+    df = _keys_df(spark, 100)
+    root = str(tmp_path / "seen")
+    store = UrlSeenShards(root, expected_per_bucket=50)
+    store.rebuild(df, frontier_snapshot=3)
+    # truncate the npz mid-file
+    npz = os.path.join(root, "shards.npz")
+    blob = open(npz, "rb").read()
+    with open(npz, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    fresh = UrlSeenShards(root)
+    assert fresh.load() is False
+    assert fresh.frontier_snapshot is None and fresh.shards == {}
+    # rebuild recovers a loadable state
+    fresh.rebuild(df, frontier_snapshot=4)
+    again = UrlSeenShards(root)
+    assert again.load() and again.frontier_snapshot == 4
+
+
 def test_optimal_bits_monotone():
     assert optimal_bits(1000, 0.03) < optimal_bits(10000, 0.03)
     assert optimal_bits(1000, 0.001) > optimal_bits(1000, 0.03)
