@@ -1282,6 +1282,32 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_pages(df, seed=42).select("image_id", "ok", "phash_match", "caption_match")
 
 
+def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation/camera/pixel-dims extraction over binary JPEG
+    blobs (``functions/exif.py``, mapInPandas — IFD walking is not
+    SQL-expressible, hence rows-only like image_validate). The corpus is
+    the deterministic pages table with an APP1 injected into every third
+    JPEG (alternating II/MM byte order), so the output exercises
+    present/absent/byte-order paths on every run."""
+    from crawlee_spark import datagen
+    from crawlee_spark.functions.exif import build_exif_app1, extract_exif, inject_app1
+
+    rows = []
+    for i, r in enumerate(datagen.gen_pages_rows(64, 4, seed=42)):
+        blob = r["bytes"]
+        if r["fmt"] == "jpeg" and i % 3 == 0:
+            blob = inject_app1(blob, build_exif_app1(
+                orientation=1 + i % 8,
+                make=f"cam{i % 5}",
+                pixel_w=r["w"], pixel_h=r["h"],
+                byte_order="II" if i % 2 == 0 else "MM",
+            ))
+        rows.append({"image_id": r["image_id"], "bytes": blob})
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return extract_exif(df).select(
+        "image_id", "has_exif", "orientation", "make", "exif_w", "exif_h")
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized image feature extraction (decode → stats + phash)."""
     from crawlee_spark import datagen
@@ -3902,6 +3928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # non-SQL
     "image_validate": q_image_validate,
     "image_features": q_image_features,
+    "image_exif": q_image_exif,
     "crawl_end_to_end": q_crawl_end_to_end,
 }
 

@@ -127,3 +127,27 @@ def test_gopher_gate_rules(spark):
 def test_gopher_gate_first_fail_priority(spark):
     # fails BOTH word-count and stopwords -> word-count (earlier rule) wins
     assert _gate(spark, "zzz qqq")["reject_reason"] == "too-few-words"
+
+
+def test_qlog2_16_duckdb_mirror_property():
+    """The oracle's SQL qlog (plans/queries._qlog_sql) agrees with the
+    Python twin on adversarial inputs — powers of two +/-1, mantissa
+    boundaries, and a PRNG sweep (no Spark needed: this pins the
+    DuckDB side of the three-way mirror)."""
+    import random
+
+    import duckdb
+
+    from crawlee_spark.operators.classifier import qlog2_16_py
+    from crawlee_spark.plans.queries import _qlog_sql
+
+    rng = random.Random(42)
+    xs = sorted({1, 2, 3, 15, 16, 17, 31, 32, 33}
+                | {2**k + d for k in range(4, 62) for d in (-1, 0, 1)}
+                | {rng.randrange(1, 2**61) for _ in range(500)})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    rows = con.sql(f"SELECT x, {_qlog_sql('x')} AS q FROM t ORDER BY x").fetchall()
+    for x, q in rows:
+        assert q == qlog2_16_py(x), (x, q, qlog2_16_py(x))
