@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "ann_ivf",
     "image_phash_neardup",
+    "image_keep_best",
     "multimodal_dedup",
     "text_langid",
     "text_quality",
@@ -72,6 +73,7 @@ HEADLINE = [
     "image_caption_pairs",
     "cdx_select",
     "recrawl_priority",
+    "conditional_fetch",
     "warc_read_plan",
     "image_header_sniff",
     "crawl_capacity",

@@ -81,3 +81,60 @@ def recrawl_priority(history: DataFrame, now: str) -> DataFrame:
         age.alias("age_days"),
         (F.col("n_changes") * age).alias("priority"),
     )
+
+
+def conditional_fetch_plan(due: DataFrame, prior: DataFrame) -> DataFrame:
+    """HTTP revalidation planning: split the due fetch set into full
+    downloads vs conditional requests and budget the expected bytes.
+
+    A recrawl that re-downloads every body wastes bandwidth on unchanged
+    pages; HTTP conditional requests (If-None-Match / If-Modified-Since,
+    RFC 9110 §13) cost ~a header exchange when the origin answers 304.
+    Given the capture history's per-URL change statistics, the expected
+    body bytes of a conditional fetch are
+    ``est_bytes * n_changes / (n_obs - 1)`` — the observed change
+    ratio as the 304 probability model (Cho & Garcia-Molina's estimator
+    family; integer division keeps it engine-exact).
+
+    Inputs: ``due(url, host, est_bytes)`` — this superstep's fetch set
+    with a size estimate (prior content length or a default);
+    ``prior(url, n_obs, n_changes)`` — `change_history` output for
+    URLs captured before. URLs without history (or with a single capture,
+    where no change ratio exists) are FULL fetches.
+
+    Output, one row per host (the politeness/budget unit):
+
+      n_full, n_cond       — fetch-mode counts
+      bytes_naive          — everything fetched full
+      bytes_expected       — full + conditional·change-ratio (integer div)
+      saved_pct            — round(100·(naive−expected)/naive, 2)
+
+    Plan: one url-keyed equi-join (the history dim is Heaps-bounded and
+    usually broadcastable) + one host-keyed map-side-combining aggregate.
+    """
+    j = due.join(
+        prior.select("url", "n_obs", "n_changes"), "url", "left")
+    cond = F.col("n_obs").isNotNull() & (F.col("n_obs") >= 2)
+    # SQL `div` is exact int64 division (Column has no floordiv operator)
+    exp_bytes = F.when(
+        cond,
+        F.expr("(cast(est_bytes as bigint) * n_changes) "
+               "div greatest(n_obs - 1, 1)"),
+    ).otherwise(F.col("est_bytes")).cast("long")
+    per = j.select(
+        "host",
+        cond.cast("int").alias("is_cond"),
+        F.col("est_bytes").cast("long").alias("b_naive"),
+        exp_bytes.alias("b_exp"),
+    )
+    agg = per.groupBy("host").agg(
+        F.sum(1 - F.col("is_cond")).cast("long").alias("n_full"),
+        F.sum("is_cond").cast("long").alias("n_cond"),
+        F.sum("b_naive").cast("long").alias("bytes_naive"),
+        F.sum("b_exp").cast("long").alias("bytes_expected"),
+    )
+    return agg.withColumn(
+        "saved_pct",
+        F.round(100.0 * (F.col("bytes_naive") - F.col("bytes_expected"))
+                / F.greatest(F.col("bytes_naive"), F.lit(1)), 2),
+    )

@@ -1381,6 +1381,36 @@ def q_image_phash_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
 
 
+def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style near-dup resolution: of every pHash pair at Hamming <= 6
+    keep the HIGHER-RESOLUTION image (w*h from the input_hint dims; tie ->
+    keep the lower id) — the semantics LAION-5B documents for its pHash
+    dedup, vs the keep-FIRST sweep of q_image_phash_remove. Plan: the
+    pigeonhole-blocked pair join + one broadcastable (id, pixels) dim
+    joined to both pair sides + distinct-losers anti-join; pair volume ∝
+    dup clusters, never n²."""
+    pairs = D.hamming_pairs(_phash_sigs(spark, sf_dir), max_hamming=6,
+                            bits=48, id_col="id", sig_col="phash")
+    d = _t(spark, sf_dir, "documents")
+    res = d.select(
+        F.col("doc_id").alias("id"),
+        ((32 + (F.col("doc_id") * 37) % 2048)
+         * (32 + (F.col("doc_id") * 53) % 2048)).cast("long").alias("pixels"),
+    )
+    pa = res.select(F.col("id").alias("id_a"), F.col("pixels").alias("px_a"))
+    pb = res.select(F.col("id").alias("id_b"), F.col("pixels").alias("px_b"))
+    loser = (
+        pairs.join(pa, "id_a").join(pb, "id_b")
+        .select(
+            F.when(F.col("px_a") < F.col("px_b"), F.col("id_a"))
+            .when(F.col("px_b") < F.col("px_a"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("doc_id"))
+        .distinct()
+    )
+    return d.select("doc_id").join(loser, "doc_id", "left_anti")
+
+
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOINT image+caption near-dup — the axes-A+B op of this graft cell: a
     pair is a duplicate only when the image pHash is within Hamming 6 AND
@@ -1441,6 +1471,26 @@ ORACLE_IMAGE_PHASH_REMOVE = f"""
 WITH pairs AS ({ORACLE_IMAGE_PHASH_NEARDUP})
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+ORACLE_IMAGE_KEEP_BEST = f"""
+WITH pairs AS ({ORACLE_IMAGE_PHASH_NEARDUP}),
+res AS (
+  SELECT doc_id AS id,
+    CAST((32 + (doc_id * 37) % 2048) * (32 + (doc_id * 53) % 2048)
+         AS BIGINT) AS pixels
+  FROM documents
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN ra.pixels < rb.pixels THEN p.id_a
+                       WHEN rb.pixels < ra.pixels THEN p.id_b
+                       ELSE greatest(p.id_a, p.id_b) END AS doc_id
+  FROM pairs p
+  JOIN res ra ON ra.id = p.id_a
+  JOIN res rb ON rb.id = p.id_b
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 ORACLE_MULTIMODAL_DEDUP = f"""
@@ -1997,6 +2047,84 @@ SELECT url, n_obs, n_changes, first_ts, last_ts,
     CAST(strptime(substr(last_ts, 1, 8), '%Y%m%d') AS DATE),
     DATE '2027-01-01') AS priority
 FROM hist
+"""
+
+
+def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP revalidation budgeting for the recrawl fetch set
+    (``operators/recrawl.py::conditional_fetch_plan``): URLs with capture
+    history become conditional requests whose expected body bytes are
+    ``est_bytes · n_changes / (n_obs − 1)`` (the observed change ratio as
+    the 304 model, exact integer division); URLs never captured (every
+    5th doc here) fetch full. Per-host byte budgets out — the number the
+    politeness planner trades against crawl-delay. One url-keyed join
+    (history dim Heaps-bounded) + one host-keyed map-side-combining agg."""
+    from crawlee_spark.operators.recrawl import change_history, conditional_fetch_plan
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    url = F.concat(F.lit("https://www.pix."), F.col("source"),
+                   F.lit(".net/i/"), doc.cast("string"), F.lit(".jpg"))
+    host = F.concat(F.lit("www.pix."), F.col("source"), F.lit(".net"))
+    due = d.select(
+        url.alias("url"), host.alias("host"),
+        (1000 + (doc * 13) % 50000).cast("long").alias("est_bytes"))
+
+    mm = F.lpad((doc * 7 % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((doc % 28 + 1).cast("string"), 2, "0")
+    c12 = F.when((doc + 1) % 3 == 0, 1).otherwise(0)
+    c23 = F.when((doc + 2) % 4 == 0, 1).otherwise(0)
+    c34 = F.when((doc + 3) % 5 == 0, 1).otherwise(0)
+    epochs = [F.lit(0), c12, c12 + c23, c12 + c23 + c34]
+
+    def cap(k: int) -> F.Column:
+        ts = F.concat(F.lit(str(2020 + k)), mm, dd, F.lit("000000"))
+        dig = F.md5(F.concat(doc.cast("string"), F.lit(":"),
+                             epochs[k - 1].cast("string")))
+        return F.struct(ts.alias("t"), dig.alias("d"))
+
+    caps = (
+        d.filter(doc % 5 != 0)  # every 5th URL has never been captured
+        .select(url.alias("url"),
+                F.explode(F.array(cap(3), cap(1), cap(4), cap(2))).alias("c"))
+        .select("url", F.col("c.t").alias("ts"), F.col("c.d").alias("digest"))
+    )
+    return conditional_fetch_plan(due, change_history(caps))
+
+
+ORACLE_CONDITIONAL_FETCH = r"""
+WITH pages AS (
+  SELECT doc_id,
+    'https://www.pix.' || source || '.net/i/' || CAST(doc_id AS VARCHAR)
+      || '.jpg' AS url,
+    'www.pix.' || source || '.net' AS host,
+    CAST(1000 + (doc_id * 13) % 50000 AS BIGINT) AS est_bytes,
+    CASE WHEN (doc_id + 1) % 3 = 0 THEN 1 ELSE 0 END AS c12,
+    CASE WHEN (doc_id + 2) % 4 = 0 THEN 1 ELSE 0 END AS c23,
+    CASE WHEN (doc_id + 3) % 5 = 0 THEN 1 ELSE 0 END AS c34
+  FROM documents
+), hist AS (
+  SELECT url, 4 AS n_obs,
+    (CASE WHEN c12 = 1 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 1 THEN 1 ELSE 0 END
+     + CASE WHEN c34 = 1 THEN 1 ELSE 0 END) AS n_changes
+  FROM pages WHERE doc_id % 5 <> 0
+), j AS (
+  SELECT p.host, p.est_bytes,
+    CASE WHEN h.url IS NOT NULL THEN 1 ELSE 0 END AS is_cond,
+    CASE WHEN h.url IS NOT NULL
+         THEN (p.est_bytes * h.n_changes) // greatest(h.n_obs - 1, 1)
+         ELSE p.est_bytes END AS b_exp
+  FROM pages p LEFT JOIN hist h ON h.url = p.url
+)
+SELECT host,
+  CAST(sum(1 - is_cond) AS BIGINT) AS n_full,
+  CAST(sum(is_cond) AS BIGINT) AS n_cond,
+  CAST(sum(est_bytes) AS BIGINT) AS bytes_naive,
+  CAST(sum(b_exp) AS BIGINT) AS bytes_expected,
+  round(100.0 * (sum(est_bytes) - sum(b_exp))
+        / greatest(sum(est_bytes), 1), 2) AS saved_pct
+FROM j GROUP BY host
 """
 
 
@@ -3882,6 +4010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extended_unique_key": q_extended_unique_key,
     "image_phash_neardup": q_image_phash_neardup,
     "image_phash_remove": q_image_phash_remove,
+    "image_keep_best": q_image_keep_best,
     "multimodal_dedup": q_multimodal_dedup,
     "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
@@ -3917,6 +4046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_caption_pairs": q_image_caption_pairs,
     "cdx_select": q_cdx_select,
     "recrawl_priority": q_recrawl_priority,
+    "conditional_fetch": q_conditional_fetch,
     "warc_read_plan": q_warc_read_plan,
     "image_header_sniff": q_image_header_sniff,
     "crawl_capacity": q_crawl_capacity,
@@ -3989,6 +4119,7 @@ ORACLES: dict[str, str] = {
     "extended_unique_key": ORACLE_EXTENDED_UNIQUE_KEY,
     "image_phash_neardup": ORACLE_IMAGE_PHASH_NEARDUP,
     "image_phash_remove": ORACLE_IMAGE_PHASH_REMOVE,
+    "image_keep_best": ORACLE_IMAGE_KEEP_BEST,
     "multimodal_dedup": ORACLE_MULTIMODAL_DEDUP,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "hash_split": ORACLE_HASH_SPLIT,
@@ -4023,6 +4154,7 @@ ORACLES: dict[str, str] = {
     "image_caption_pairs": ORACLE_IMAGE_CAPTION_PAIRS,
     "cdx_select": ORACLE_CDX_SELECT,
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
+    "conditional_fetch": ORACLE_CONDITIONAL_FETCH,
     "warc_read_plan": ORACLE_WARC_READ_PLAN,
     "image_header_sniff": ORACLE_IMAGE_HEADER_SNIFF,
     "crawl_capacity": ORACLE_CRAWL_CAPACITY,

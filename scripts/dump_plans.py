@@ -296,6 +296,20 @@ CHECKS = {
         ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
     ],
+    "image_keep_best": [
+        # pigeonhole pair join + two broadcastable res-dim joins +
+        # distinct-losers anti-join; no nested-loop, no window
+        ("no nested-loop join", r"BroadcastNestedLoopJoin|CartesianProduct", "absent"),
+        ("anti-join sweep", r"LeftAnti"),
+        ("no Python boundary", r"ArrowEvalPython|BatchEvalPython|MapInPandas", "absent"),
+    ],
+    "conditional_fetch": [
+        # url-keyed join + host-keyed agg; partial agg before exchange,
+        # no window, no single-partition funnel
+        ("partial agg before exchange", r"HashAggregate"),
+        ("no window", r"Window", "absent"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
     "gopher_quality": [
         # all seven Gopher rules are column expressions over one scan:
         # no shuffle, no Python, whole plan codegen'd
