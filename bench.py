@@ -25,6 +25,7 @@ HEADLINE = [
     "url_canonicalize",
     "url_dedup",
     "frontier_head_select",
+    "frontier_health",
     "politeness_budget",
     "rate_window",
     "stats_histogram",

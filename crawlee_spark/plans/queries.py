@@ -265,6 +265,58 @@ SELECT host, o_orderkey, order_no, CAST(rn AS BIGINT) AS rn FROM (
 """
 
 
+def q_frontier_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier observability: per-host queue-health summary — the
+    dashboard row an operator of a 10^10-URL frontier watches. Per host:
+    pending/forefront counts, the age (in supersteps) of the OLDEST
+    pending request, steps-to-drain at the politeness budget
+    (ceil(pending / budget), exact integer), and a starvation flag
+    (oldest age > 25 steps — a host the budget never reaches). One
+    map-side-combining aggregate over the frontier, O(hosts) output;
+    enqueue steps are synthesized as o_orderkey % 50 with 'now' = step
+    50, mirrored in the oracle."""
+    budget = 3
+    now_step = 50
+    f = _synthetic_frontier(spark, sf_dir).withColumn(
+        "enqueue_step", (F.col("o_orderkey") % 50).cast("long"))
+    agg = f.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pending"),
+        F.sum((F.col("order_no") < 0).cast("int")).cast("long")
+        .alias("n_forefront"),
+        F.min("enqueue_step").alias("oldest_step"),
+        F.max("depth").cast("long").alias("max_depth"),
+    )
+    age = F.lit(now_step) - F.col("oldest_step")
+    return agg.select(
+        "host", "n_pending", "n_forefront", "max_depth",
+        age.cast("long").alias("oldest_age"),
+        # ceil(pending / budget) via integer arithmetic
+        F.expr(f"(n_pending + {budget - 1}) div {budget}").alias("drain_steps"),
+        (age > 25).alias("starved"),
+    )
+
+
+ORACLE_FRONTIER_HEALTH = f"""
+WITH frontier AS ({_FRONTIER_SQL}
+), f AS (
+  SELECT *, CAST(o_orderkey % 50 AS BIGINT) AS enqueue_step FROM frontier
+), agg AS (
+  SELECT host,
+    CAST(count(*) AS BIGINT) AS n_pending,
+    CAST(sum(CASE WHEN order_no < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_forefront,
+    min(enqueue_step) AS oldest_step,
+    CAST(max(depth) AS BIGINT) AS max_depth
+  FROM f GROUP BY host
+)
+SELECT host, n_pending, n_forefront, max_depth,
+  CAST(50 - oldest_step AS BIGINT) AS oldest_age,
+  (n_pending + 2) // 3 AS drain_steps,
+  (50 - oldest_step) > 25 AS starved
+FROM agg
+"""
+
+
 def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted fetch set: 1 per host (domain-delay serialization), then a
     global cap of 20 by the same total order (maxRequestsPerMinute budget,
@@ -3977,6 +4029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "url_dedup": q_url_dedup,
     "frontier_head_select": q_frontier_head_select,
+    "frontier_health": q_frontier_health,
     "politeness_budget": q_politeness_budget,
     "rate_window": q_rate_window,
     "stats_histogram": q_stats_histogram,
@@ -4087,6 +4140,7 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "url_dedup": ORACLE_URL_DEDUP,
     "frontier_head_select": ORACLE_FRONTIER_HEAD_SELECT,
+    "frontier_health": ORACLE_FRONTIER_HEALTH,
     "politeness_budget": ORACLE_POLITENESS_BUDGET,
     "rate_window": ORACLE_RATE_WINDOW,
     "stats_histogram": ORACLE_STATS_HISTOGRAM,
