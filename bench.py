@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "ann_topk",
+    "ann_topk_int8",
     "ann_lsh",
     "ann_lsh_multiprobe",
     "ann_ivf",

@@ -842,6 +842,58 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine over INT8-quantized vectors
+    (``operators/similarity.py::quantize_int8`` + ``ann_topk_int8``): the
+    memory lever at corpus scale — 4× smaller vectors, integer dot
+    products (exactly associative, no float-order dependence), float only
+    in the final normalize. Quantization is explicit half-up rounding in
+    DOUBLE so the oracle reproduces every q value bit-for-bit."""
+    return S.ann_topk_int8(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+_Q8_SQL = """
+  SELECT vec_id AS id,
+    CASE WHEN mx > 0
+         THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+                                          AS BIGINT))
+         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM (
+    SELECT vec_id,
+      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        (a, b) -> greatest(a, b)) AS mx
+    FROM embeddings
+  )
+"""
+
+ORACLE_ANN_TOPK_INT8 = f"""
+WITH q8 AS (
+  SELECT id, qv,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(qv, x -> x * x)), (a, b) -> a + b) AS qnorm
+  FROM ({_Q8_SQL})
+),
+scored AS (
+  SELECT q.id AS query_id, a.id AS neighbor_id,
+    CASE WHEN q.qnorm > 0 AND a.qnorm > 0
+         THEN round(
+           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * a.qv[i])),
+              (x, y) -> x + y))
+           / (sqrt(q.qnorm) * sqrt(a.qnorm)), 6)
+         ELSE 0.0 END AS cosine_q8
+  FROM q8 a JOIN (SELECT * FROM q8 WHERE id % 50 = 0) q ON a.id <> q.id
+)
+SELECT query_id, neighbor_id, cosine_q8, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_q8 DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed approximate top-10 (the scale path)."""
     return S.ann_lsh(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50,
@@ -4049,6 +4101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
+    "ann_topk_int8": q_ann_topk_int8,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
@@ -4159,6 +4212,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
     "ann_topk": ORACLE_ANN_TOPK,
+    "ann_topk_int8": ORACLE_ANN_TOPK_INT8,
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "ann_ivf": ORACLE_ANN_IVF,

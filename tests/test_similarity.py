@@ -124,3 +124,41 @@ def test_quantized_embedding_lsh_finds_true_dups(spark):
     dot = sum(x * y for x, y in zip(a, b))
     ref = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
     assert abs(got[(1, 101)] - ref) < 1e-4
+
+
+def test_int8_quantization_and_rank1_recall(spark):
+    """int8 path: quantized values bounded, zero-vector safe, and rank-1
+    neighbors match the float brute-force path (1/127 resolution is far
+    finer than the synthetic corpus's cosine gaps)."""
+    import numpy as np
+
+    from crawlee_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_int8,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(120)]
+    rows.append((120, [0.0] * 16))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q8 = {r["id"]: r for r in quantize_int8(df).collect()}
+    for r in q8.values():
+        assert all(-127 <= x <= 127 for x in r["qv"])
+    assert q8[120]["qnorm"] == 0 and set(q8[120]["qv"]) == {0}
+    # max-abs element quantizes to exactly ±127
+    assert any(abs(x) == 127 for x in q8[0]["qv"])
+
+    # float path has no zero-vector guard (ANSI divide-by-zero; none occur
+    # in real embeddings) — compare on the nonzero subset, while the int8
+    # path handles the zero row explicitly (cosine 0)
+    nz = df.filter("vec_id < 120")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ann_topk_bruteforce(nz, k=3, query_mod=40).collect()}
+    quant = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ann_topk_int8(df, k=3, query_mod=40).collect()}
+    r1_exact = {q: n for (q, rk), n in exact.items() if rk == 1}
+    r1_quant = {q: n for (q, rk), n in quant.items() if rk == 1}
+    agree = sum(r1_exact[q] == r1_quant.get(q) for q in r1_exact)
+    assert agree >= len(r1_exact) - 1, (r1_exact, r1_quant)
