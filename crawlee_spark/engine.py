@@ -221,6 +221,15 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.frontier = FrontierTable(spark, os.path.join(workdir, "frontier"),
                                       self.cfg.num_buckets)
+        if self.frontier.exists() and \
+                self.frontier.num_buckets != self.cfg.num_buckets:
+            # the table was rebucketed since this config was written; the
+            # engine derives politeness/session buckets from cfg, so a
+            # silent mismatch would split state across two bucket spaces
+            raise ValueError(
+                f"frontier at {workdir} uses num_buckets="
+                f"{self.frontier.num_buckets} (rebucketed) but CrawlConfig"
+                f".num_buckets={self.cfg.num_buckets}; update the config")
         self.fetch_log = AppendTable(spark, os.path.join(workdir, "fetch_log"))
         self.metrics = AppendTable(spark, os.path.join(workdir, "metrics"))
         self.results = AppendTable(spark, os.path.join(workdir, "results"))

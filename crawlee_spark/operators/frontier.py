@@ -359,16 +359,65 @@ class FrontierTable:
     def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
         self.spark = spark
         self.table = SnapshotTable(spark, root)
-        self.num_buckets = num_buckets
+        # the TABLE is the authority on its bucket count: `create` and
+        # `rebucket` record it in the commit summary, and a fresh handle
+        # adopts the stored value — a caller-supplied N that disagrees
+        # with the data's actual bucket derivation would route MERGEs to
+        # the wrong buckets (silent duplicate URLs)
+        stored = self.stored_num_buckets() if self.table.exists() else None
+        self.num_buckets = stored if stored is not None else num_buckets
+
+    def stored_num_buckets(self) -> int | None:
+        """Latest ``num_buckets`` recorded in lineage (newest wins —
+        create and every rebucket stamp it)."""
+        for m in reversed(self.table.history()):
+            n = m.get("summary", {}).get("num_buckets")
+            if n is not None:
+                return int(n)
+        return None
 
     @classmethod
     def create(
         cls, spark: SparkSession, root: str, num_buckets: int = 32
     ) -> "FrontierTable":
-        t = cls(spark, root, num_buckets)
         empty = spark.createDataFrame([], FRONTIER_SCHEMA)
-        SnapshotTable.create(spark, root, empty, num_buckets=num_buckets)
-        return t
+        SnapshotTable.create(spark, root, empty, num_buckets=num_buckets,
+                             summary={"num_buckets": num_buckets})
+        return cls(spark, root, num_buckets)
+
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Online bucket-count change (maintenance between crawls).
+
+        At 10^10 URLs a bucket count chosen for the seed crawl becomes the
+        parallelism ceiling — politeness and commit granularity are
+        per-bucket. Rebucketing recomputes ``bucket = host_hash(host, N')``
+        over the FULL table and commits it as one ``rebucket`` snapshot
+        (copy-on-write: the old layout stays readable via time travel, and
+        a crash mid-rewrite leaves ``_CURRENT`` on the old snapshot). The
+        new count is stamped into lineage, so every fresh handle — and the
+        engine's resume guard — adopts it. Cost: one full-table rewrite,
+        the same O(table) as Iceberg's rewrite_data_files; run it between
+        supersteps, never concurrently with a commit.
+
+        Returns the new snapshot id. Bloom/cuckoo URL-seen shards are
+        keyed per bucket — rebuild them after a rebucket
+        (``UrlSeenShards.rebuild``); the engine's snapshot-stamp check
+        forces that automatically on next run.
+        """
+        from crawlee_spark.functions import urls as _urls
+
+        if new_num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no frontier table at {self.table.root} to rebucket")
+        df = self.read().withColumn(
+            "bucket", _urls.host_hash(F.col("host"), new_num_buckets))
+        sid = self.table._commit_full(
+            df, new_num_buckets, "rebucket",
+            {"num_buckets": new_num_buckets})
+        self.num_buckets = new_num_buckets
+        return sid
 
     def exists(self) -> bool:
         return self.table.exists()

@@ -227,3 +227,45 @@ def test_mutator_dims_with_duplicate_keys_keep_pk_invariant(spark, ft):
 
     got = ft.pending().filter(F.col("url_hash") == h).collect()[0]
     assert got["order_no"] == -(((1 + 1) << STEP_SHIFT) + 9)
+
+
+def test_rebucket_preserves_rows_and_updates_authority(spark, tmp_path):
+    """rebucket recomputes every row's bucket for the new count, stamps the
+    count into lineage (fresh handles adopt it), keeps all rows, and the
+    engine refuses a config that disagrees."""
+    import pytest
+
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+    from crawlee_spark.functions.hashing import host_bucket_py
+
+    root = str(tmp_path / "fr")
+    ft = fr.FrontierTable.create(spark, root, num_buckets=4)
+    urls = [(f"https://h{i}.example.com/p/{i}",) for i in range(40)]
+    ft.add_requests(spark.createDataFrame(urls, "url string"), step=0)
+    before = {(r["url_hash"], r["order_no"]) for r in ft.pending().collect()}
+
+    sid = ft.rebucket(16)
+    assert ft.num_buckets == 16
+    rows = ft.pending().collect()
+    assert {(r["url_hash"], r["order_no"]) for r in rows} == before
+    for r in rows:  # buckets really derive from the NEW count
+        assert r["bucket"] == host_bucket_py(r["host"], 16)
+    assert ft.table.manifest(sid)["operation"] == "rebucket"
+
+    # a fresh handle adopts the stored count even with a stale ctor arg
+    fresh = fr.FrontierTable(spark, root, num_buckets=4)
+    assert fresh.num_buckets == 16
+    # MERGE after rebucket dedups against existing rows (same canonical key)
+    res = fresh.add_requests(
+        spark.createDataFrame(urls[:5] + [("https://h99.example.com/x",)],
+                              "url string"), step=1)
+    assert res == {"added": 1, "already_present": 5}
+
+    # engine guard: stale cfg raises, updated cfg works
+    import os
+    wdir = str(tmp_path / "crawl")
+    fr.FrontierTable.create(spark, os.path.join(wdir, "frontier"),
+                            num_buckets=4).rebucket(8)
+    with pytest.raises(ValueError, match="rebucketed"):
+        CrawlEngine(spark, wdir, CrawlConfig(num_buckets=4))
+    CrawlEngine(spark, wdir, CrawlConfig(num_buckets=8))  # adopts fine
