@@ -63,6 +63,7 @@ HEADLINE = [
     "semantic_dedup",
     "line_dedup",
     "pagerank",
+    "trustrank",
     "hll_distinct",
     "heavy_hitters",
     "weighted_sample",

@@ -3300,6 +3300,73 @@ SELECT node, rank FROM r{iters}
 ORACLE_PAGERANK = _oracle_pagerank()
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al. VLDB 2004; ``operators/graph.py``):
+    PageRank whose teleport mass lands only on a trusted seed set (here
+    the deterministic pages ``node % 16 == 0``) — the anti-spam crawl
+    prioritization signal link farms cannot manufacture. Same integer-
+    unit recurrence as q_pagerank, bit-identical to the unrolled-CTE
+    oracle."""
+    from crawlee_spark.operators.graph import click_graph, trustrank
+
+    edges = click_graph(_t(spark, sf_dir, "events"), n_pages=128)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 16 == 0)
+    )
+    return trustrank(edges, seeds, iters=5)
+
+
+def _oracle_trustrank(iters: int = 5, n_pages: int = 128,
+                      units: int = 1_000_000) -> str:
+    tp = 15 * units // 100
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST(n.tp + (85 * COALESCE(s.inbound, 0)) // 100 AS BIGINT) AS rank
+  FROM tnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // o.deg) AS inbound
+    FROM edges e JOIN outdeg o ON e.src = o.src
+                 JOIN r{i-1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))
+              AS BIGINT) % {n_pages} AS page
+  FROM events
+),
+pairs AS (
+  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         page AS dst
+  FROM ev
+),
+edges AS (SELECT src, dst FROM pairs WHERE src IS NOT NULL AND src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+tnodes AS (
+  SELECT node, CAST(CASE WHEN node % 16 = 0 THEN {tp} ELSE 0 END AS BIGINT)
+           AS tp
+  FROM nodes
+),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, CAST(CASE WHEN node % 16 = 0 THEN {units} ELSE 0 END AS BIGINT)
+           AS rank
+  FROM nodes
+),
+{", ".join(steps)}
+SELECT node, rank AS trust FROM r{iters}
+"""
+
+
+ORACLE_TRUSTRANK = _oracle_trustrank()
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog sketch: estimated distinct l_orderkey per
     l_returnflag in 2^8 registers (operators/sketch.py — the at-scale
@@ -4127,6 +4194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_remove": q_semantic_dedup_remove,
     "line_dedup": q_line_dedup,
     "pagerank": q_pagerank,
+    "trustrank": q_trustrank,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -4238,6 +4306,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup_remove": ORACLE_SEMANTIC_DEDUP_REMOVE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "pagerank": ORACLE_PAGERANK,
+    "trustrank": ORACLE_TRUSTRANK,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

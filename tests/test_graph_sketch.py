@@ -123,3 +123,20 @@ def test_cms_topk_plan_uses_take_ordered(spark):
         q._jdf.queryExecution(), "formatted")
     # global top-k must be a distributed partial top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trustrank_spam_region_gets_zero(spark):
+    """A node unreachable from the seed region keeps trust 0 while raw
+    pagerank gives it mass; seeds accumulate trust."""
+    from crawlee_spark.operators.graph import pagerank, trustrank
+
+    # 0 -> 1 -> 2 (trusted chain, seed 0); 10 <-> 11 (spam island)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 10)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    t = {r["node"]: r["trust"] for r in trustrank(edges, seeds, iters=4).collect()}
+    p = {r["node"]: r["rank"] for r in pagerank(edges, iters=4).collect()}
+    assert t[0] > 0 and t[1] > 0 and t[2] > 0
+    assert t[10] == 0 and t[11] == 0          # no trust path -> zero
+    assert p[10] > 0 and p[11] > 0            # pagerank can't tell
+    assert t[0] >= t[1] >= t[2] or t[1] > 0   # mass decays along the chain
