@@ -355,6 +355,18 @@ class CrawlEngine:
         if sid is None:
             raise FileNotFoundError(f"no frontier snapshot at step <= {step}")
         self.frontier.table.rollback(sid)
+        # a rollback can cross a rebucket boundary: refresh the bucket
+        # count from the (now-current) lineage and re-run the same guard
+        # as __init__ — otherwise MERGEs would key new rows with the
+        # post-rebucket N over pre-rebucket data (silent duplicates)
+        stored = self.frontier.stored_num_buckets()
+        if stored is not None:
+            self.frontier.num_buckets = stored
+        if self.frontier.num_buckets != self.cfg.num_buckets:
+            raise ValueError(
+                f"rollback_to({step}) crossed a rebucket: frontier uses "
+                f"num_buckets={self.frontier.num_buckets} but CrawlConfig"
+                f".num_buckets={self.cfg.num_buckets}; update the config")
         if self.politeness.exists():
             psid = self._chain_snapshot_at(self.politeness.history(), step)
             if psid is None:

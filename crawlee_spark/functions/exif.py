@@ -228,6 +228,12 @@ def exif_from_jpeg(blob: bytes) -> dict | None:
     while i + 4 <= len(blob):
         if blob[i] != 0xFF:
             raise ExifFormatError(f"bad marker byte at {i}")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (real-world encoders pad)
+        while i + 4 <= len(blob) and blob[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(blob):
+            break
         marker = blob[i + 1]
         if marker == 0xD9 or marker == 0xDA:  # EOI / start of scan: no APP1
             return None

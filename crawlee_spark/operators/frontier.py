@@ -369,11 +369,17 @@ class FrontierTable:
 
     def stored_num_buckets(self) -> int | None:
         """Latest ``num_buckets`` recorded in lineage (newest wins —
-        create and every rebucket stamp it)."""
-        for m in reversed(self.table.history()):
+        create and every rebucket stamp it). Walks parents lazily from
+        the CURRENT manifest and stops at the first stamp, so a 10^4-
+        superstep crawl reads a handful of manifests (down to the create
+        commit at worst), not the whole chain."""
+        sid: int | None = self.table.current_snapshot_id()
+        while sid is not None and sid >= 0:
+            m = self.table.manifest(sid)
             n = m.get("summary", {}).get("num_buckets")
             if n is not None:
                 return int(n)
+            sid = m.get("parent")
         return None
 
     @classmethod

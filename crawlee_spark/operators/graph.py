@@ -54,6 +54,50 @@ def click_graph(events: DataFrame, n_pages: int = 128) -> DataFrame:
     return pairs.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
 
 
+def _damped_rank_loop(
+    edges: DataFrame,
+    node_dim: DataFrame,
+    iters: int,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Shared integer-unit damped iteration: ``node_dim`` carries, per
+    node, its teleport term ``tp`` (added every round) and initial
+    ``rank``. PageRank = uniform tp/init; TrustRank = seed-gated. One
+    place owns the recurrence so fixes (e.g. dangling-mass re-injection)
+    cannot diverge between the two."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # join outdeg once; every iteration reuses this edge set
+    ed = e.join(outdeg, on="src").localCheckpoint(eager=True)
+    ranks = node_dim.select("node", "rank")
+    for _ in range(iters):
+        inbound = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            node_dim.join(inbound, node_dim["node"] == inbound["dst"], "left")
+            .select(
+                "node",
+                (F.col("tp")
+                 + F.expr("85 * coalesce(inbound, 0L) div 100")).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _node_set(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -65,37 +109,15 @@ def pagerank(
     (see module docstring for the exact recurrence and why it is integer).
 
     Nodes = every id appearing as src or dst. Output rank is int64 units
-    (1e6 ≈ the undamped per-node mass).
+    (1e6 = the undamped per-node mass).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    node_dim = _node_set(e).select(
+        "node",
+        F.lit(15 * units // 100).cast("long").alias("tp"),
+        F.lit(units).cast("long").alias("rank"),
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # join outdeg once; every iteration reuses this edge set
-    ed = e.join(outdeg, on="src").localCheckpoint(eager=True)
-    ranks = nodes.withColumn("rank", F.lit(units).cast("long"))
-    for _ in range(iters):
-        inbound = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inbound"))
-        )
-        ranks = (
-            nodes.join(inbound, nodes["node"] == inbound["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(15 * units // 100).cast("long")
-                    + F.expr("85 * coalesce(inbound, 0L) div 100")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return ranks
+    return _damped_rank_loop(e, node_dim, iters, "src", "dst")
 
 
 def trustrank(
@@ -107,7 +129,7 @@ def trustrank(
     dst_col: str = "dst",
 ) -> DataFrame:
     """(node, trust): TrustRank — PageRank whose teleport mass lands ONLY
-    on a trusted seed set (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004).
+    on a trusted seed set (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004).
 
     The crawl-quality application: seed with known-good hosts and spam
     farms reachable only from spam keep ~0 trust, giving the frontier a
@@ -115,47 +137,25 @@ def trustrank(
     farms self-inflate PageRank but can't manufacture trust without an
     in-link from the trusted region).
 
-    Same integer-unit recurrence as ``pagerank`` — identical damped
-    update, except the ``15%·units`` teleport term is gated on seed
-    membership (seeds get it, everyone else 0); seeds start at ``units``,
-    non-seeds at 0. int64-exact, so summation order cannot matter and the
-    unrolled-CTE oracle is bit-identical. ``seeds``: one ``node`` column.
-
-    Scale shape: identical to pagerank (edge set checkpointed once; per
-    iteration one equi-join + one map-side-combining sum) plus one
-    broadcastable seed-membership join folded into the node dim up front.
+    Same recurrence as ``pagerank`` via ``_damped_rank_loop`` — only the
+    node dim differs: seeds get the 15% teleport term and start at
+    ``units``; everyone else 0/0. int64-exact, so the unrolled-CTE oracle
+    is bit-identical. ``seeds``: one ``node`` column (membership join is
+    broadcast — the seed list is curation-sized).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     seed_dim = seeds.select(F.col("node")).distinct().withColumn(
         "_teleport", F.lit(15 * units // 100).cast("long"))
-    nodes = nodes.join(F.broadcast(seed_dim), "node", "left").select(
-        "node", F.coalesce("_teleport", F.lit(0).cast("long")).alias("tp"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(outdeg, on="src").localCheckpoint(eager=True)
-    ranks = nodes.select(
-        "node",
-        F.when(F.col("tp") > 0, F.lit(units).cast("long"))
-        .otherwise(F.lit(0).cast("long")).alias("rank"),
+    node_dim = (
+        _node_set(e)
+        .join(F.broadcast(seed_dim), "node", "left")
+        .select(
+            "node",
+            F.coalesce("_teleport", F.lit(0).cast("long")).alias("tp"),
+            F.when(F.col("_teleport").isNotNull(),
+                   F.lit(units).cast("long"))
+            .otherwise(F.lit(0).cast("long")).alias("rank"),
+        )
     )
-    for _ in range(iters):
-        inbound = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inbound"))
-        )
-        ranks = (
-            nodes.join(inbound, nodes["node"] == inbound["dst"], "left")
-            .select(
-                "node",
-                (F.col("tp")
-                 + F.expr("85 * coalesce(inbound, 0L) div 100")).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return ranks.select("node", F.col("rank").alias("trust"))
+    out = _damped_rank_loop(e, node_dim, iters, "src", "dst")
+    return out.select("node", F.col("rank").alias("trust"))

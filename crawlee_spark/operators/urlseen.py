@@ -279,6 +279,14 @@ class UrlSeenShards:
                 for b in meta["buckets"]
             }
         except Exception:
+            # visible signal: a PERSISTENT load failure (numpy format
+            # drift, permissions, …) silently costs a full-frontier shard
+            # rebuild on EVERY resume if nobody notices
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "url-seen shard state at %s is unreadable; resume will "
+                "rebuild shards from the frontier", self.root, exc_info=True)
             self.shards = {}
             self.frontier_snapshot = None
             return False

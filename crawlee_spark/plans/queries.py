@@ -1485,6 +1485,17 @@ def q_image_phash_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
 
 
+# input_hint pair dims, synthesized from doc_id — ONE definition shared by
+# the pair-curation synth (_pair_synth) and the keep-best resolution rule
+def _pair_dims(doc: Column) -> tuple[Column, Column]:
+    return ((32 + (doc * 37) % 2048).cast("int"),
+            (32 + (doc * 53) % 2048).cast("int"))
+
+
+_PAIR_W_SQL = "CAST(32 + (doc_id * 37) % 2048 AS INT)"
+_PAIR_H_SQL = "CAST(32 + (doc_id * 53) % 2048 AS INT)"
+
+
 def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION-style near-dup resolution: of every pHash pair at Hamming <= 6
     keep the HIGHER-RESOLUTION image (w*h from the input_hint dims; tie ->
@@ -1496,10 +1507,10 @@ def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.hamming_pairs(_phash_sigs(spark, sf_dir), max_hamming=6,
                             bits=48, id_col="id", sig_col="phash")
     d = _t(spark, sf_dir, "documents")
+    w_e, h_e = _pair_dims(F.col("doc_id"))
     res = d.select(
         F.col("doc_id").alias("id"),
-        ((32 + (F.col("doc_id") * 37) % 2048)
-         * (32 + (F.col("doc_id") * 53) % 2048)).cast("long").alias("pixels"),
+        (w_e.cast("long") * h_e).alias("pixels"),
     )
     pa = res.select(F.col("id").alias("id_a"), F.col("pixels").alias("px_a"))
     pb = res.select(F.col("id").alias("id_b"), F.col("pixels").alias("px_b"))
@@ -1581,8 +1592,7 @@ ORACLE_IMAGE_KEEP_BEST = f"""
 WITH pairs AS ({ORACLE_IMAGE_PHASH_NEARDUP}),
 res AS (
   SELECT doc_id AS id,
-    CAST((32 + (doc_id * 37) % 2048) * (32 + (doc_id * 53) % 2048)
-         AS BIGINT) AS pixels
+    CAST({_PAIR_W_SQL} AS BIGINT) * {_PAIR_H_SQL} AS pixels
   FROM documents
 ),
 losers AS (
@@ -2519,10 +2529,11 @@ def _pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     8..632 chars (some below 2 tokens, some above the 77-token window)."""
     d = _t(spark, sf_dir, "documents")
     cap_len = (8 + (F.col("doc_id") % 40) * 16).cast("int")
+    w_e, h_e = _pair_dims(F.col("doc_id"))
     return d.select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
-        (32 + (F.col("doc_id") * 37) % 2048).cast("int").alias("w"),
-        (32 + (F.col("doc_id") * 53) % 2048).cast("int").alias("h"),
+        w_e.alias("w"),
+        h_e.alias("h"),
         F.when(F.col("doc_id") % 4 == 0, "jpeg")
         .when(F.col("doc_id") % 4 == 1, "png")
         .when(F.col("doc_id") % 4 == 2, "gif")
@@ -2531,10 +2542,10 @@ def _pair_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIR_SYNTH_SQL = """
+_PAIR_SYNTH_SQL = f"""
   SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
-    CAST(32 + (doc_id * 37) % 2048 AS INT) AS w,
-    CAST(32 + (doc_id * 53) % 2048 AS INT) AS h,
+    {_PAIR_W_SQL} AS w,
+    {_PAIR_H_SQL} AS h,
     CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                     WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
     substr(text, 1, CAST(8 + (doc_id % 40) * 16 AS INT)) AS caption

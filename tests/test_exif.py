@@ -98,3 +98,15 @@ def test_extract_exif_spark_rows(spark):
     assert "ExifFormatError" in out["trunc"]["error"]
     assert out["empty"]["has_exif"] is False
     assert len(out) == len(rows)
+
+
+def test_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2: 0xFF fill bytes may pad before any marker — the
+    segment walk must skip them, not misread the length."""
+    base = _jpeg()
+    payload = build_exif_app1(orientation=7)
+    import struct
+
+    seg = b"\xff" * 3 + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    padded = base[:2] + seg + base[2:]
+    assert exif_from_jpeg(padded)["orientation"] == 7
