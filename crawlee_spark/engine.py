@@ -354,19 +354,20 @@ class CrawlEngine:
         sid = self._chain_snapshot_at(self.frontier.table.history(), step)
         if sid is None:
             raise FileNotFoundError(f"no frontier snapshot at step <= {step}")
-        self.frontier.table.rollback(sid)
-        # a rollback can cross a rebucket boundary: refresh the bucket
-        # count from the (now-current) lineage and re-run the same guard
-        # as __init__ — otherwise MERGEs would key new rows with the
-        # post-rebucket N over pre-rebucket data (silent duplicates)
-        stored = self.frontier.stored_num_buckets()
-        if stored is not None:
-            self.frontier.num_buckets = stored
-        if self.frontier.num_buckets != self.cfg.num_buckets:
+        # a rollback can cross a rebucket boundary: check the TARGET
+        # snapshot's bucket count BEFORE flipping anything — otherwise
+        # MERGEs after the flip would key new rows with the post-rebucket
+        # N over pre-rebucket data (silent duplicates), and raising after
+        # a partial flip would leave mixed state
+        stored = self.frontier.stored_num_buckets(from_snapshot=sid)
+        target_n = stored if stored is not None else self.frontier.num_buckets
+        if target_n != self.cfg.num_buckets:
             raise ValueError(
-                f"rollback_to({step}) crossed a rebucket: frontier uses "
-                f"num_buckets={self.frontier.num_buckets} but CrawlConfig"
-                f".num_buckets={self.cfg.num_buckets}; update the config")
+                f"rollback_to({step}) crosses a rebucket: that snapshot "
+                f"uses num_buckets={target_n} but CrawlConfig.num_buckets="
+                f"{self.cfg.num_buckets}; update the config first")
+        self.frontier.table.rollback(sid)
+        self.frontier.num_buckets = target_n
         if self.politeness.exists():
             psid = self._chain_snapshot_at(self.politeness.history(), step)
             if psid is None:

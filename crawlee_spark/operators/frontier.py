@@ -367,13 +367,15 @@ class FrontierTable:
         stored = self.stored_num_buckets() if self.table.exists() else None
         self.num_buckets = stored if stored is not None else num_buckets
 
-    def stored_num_buckets(self) -> int | None:
+    def stored_num_buckets(self, from_snapshot: int | None = None) -> int | None:
         """Latest ``num_buckets`` recorded in lineage (newest wins —
         create and every rebucket stamp it). Walks parents lazily from
-        the CURRENT manifest and stops at the first stamp, so a 10^4-
-        superstep crawl reads a handful of manifests (down to the create
-        commit at worst), not the whole chain."""
-        sid: int | None = self.table.current_snapshot_id()
+        the CURRENT manifest (or ``from_snapshot`` — e.g. a rollback
+        target, checked BEFORE flipping) and stops at the first stamp, so
+        a 10^4-superstep crawl reads a handful of manifests (down to the
+        create commit at worst), not the whole chain."""
+        sid: int | None = (self.table.current_snapshot_id()
+                           if from_snapshot is None else from_snapshot)
         while sid is not None and sid >= 0:
             m = self.table.manifest(sid)
             n = m.get("summary", {}).get("num_buckets")

@@ -98,3 +98,36 @@ def test_engine_resume_from_any_checkpoint(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         CrawlEngine.resume(spark, wdir, cfg, at_step=999)
+
+
+def test_rollback_across_rebucket_guards_bucket_space(spark, tmp_path):
+    """rollback_to that crosses a rebucket boundary must refresh the bucket
+    count from the rolled-back lineage and refuse a now-stale config —
+    otherwise new MERGEs would key rows with the post-rebucket N over
+    pre-rebucket data (silent duplicates)."""
+    rows = list(datagen.gen_corpus_rows(20, 2, seed=3, with_bytes=False))
+    seeds_py = datagen.gen_seed_rows(20, 2, seed=3, n_seeds=2)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string")
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string")
+
+    wdir = str(tmp_path / "crawl")
+    eng = CrawlEngine(spark, wdir, CrawlConfig(num_buckets=4))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    mid = eng.checkpoints()[1]
+
+    eng.frontier.rebucket(8)
+    eng2 = CrawlEngine(spark, wdir, CrawlConfig(num_buckets=8))  # guard ok
+    with pytest.raises(ValueError, match="rebucket"):
+        eng2.rollback_to(mid)  # pre-rebucket snapshot: stored N=4 != cfg 8
+    # the refused rollback must not have flipped anything (checked BEFORE)
+    assert eng2.frontier.stored_num_buckets() == 8
+
+    # with the target-matching config the rollback lands + refreshes
+    eng2.cfg.num_buckets = 4   # simulate the operator updating the config
+    eng2.rollback_to(mid)
+    assert eng2.frontier.num_buckets == 4
+    assert eng2.frontier.stored_num_buckets() == 4
