@@ -57,6 +57,7 @@ HEADLINE = [
     "bigram_logprob",
     "quality_classifier",
     "gopher_quality",
+    "curation_pipeline",
     "corpus_summary",
     "dedup_incremental",
     "contamination",

@@ -4150,6 +4150,99 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation decision — the four quality stages of this
+    engine composed into one per-document verdict, the way a production
+    training-data pipeline actually runs them:
+
+      1. Gopher heuristic rules      (operators/gates.py, zero-shuffle)
+      2. distilled hashed classifier (operators/classifier.py, broadcast)
+      3. bigram-LM fluency band      (operators/lm.py; bits/token in
+                                      [4.75, 4.9375] — exact sixteenths,
+                                      so the check is pure integers:
+                                      76·n ≤ −sum_q16 ≤ 79·n)
+      4. exact dedup among survivors (md5 keep-first — gates run FIRST so
+                                      junk-duplicate clusters never cost
+                                      dedup work)
+
+    Output: (doc_id, reject_stage ∈ {gopher, classifier, lm-band,
+    duplicate, NULL}, kept). Every stage reuses the already-oracle-checked
+    operator; the oracle composes the same stage SQLs as CTEs — the green
+    check pins the COMPOSITION, not just the parts. Plan: stages 1-3 are
+    one scan each over doc-keyed joins; stage 4 is one md5-keyed
+    map-side-combining min-agg over survivors."""
+    from crawlee_spark.operators.classifier import score_hashed, train_hashed_nb
+    from crawlee_spark.operators.gates import gopher_gate
+    from crawlee_spark.operators.lm import bigram_dims, score_bigram
+
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_gate(d).select("doc_id", F.col("kept").alias("g_ok"))
+    weights = train_hashed_nb(gopher_gate(d), F.col("kept"))
+    cls = score_hashed(d, weights).select("doc_id", "predicted")
+    lm = score_bigram(d, bigram_dims(d)).select(
+        "doc_id", "n_tokens", "sum_q16")
+    base = (
+        d.select("doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("tkey"))
+        .join(g, "doc_id").join(cls, "doc_id").join(lm, "doc_id")
+    )
+    band_ok = ((-F.col("sum_q16") >= 76 * F.col("n_tokens"))
+               & (-F.col("sum_q16") <= 79 * F.col("n_tokens")))
+    staged = base.withColumn(
+        "stage1",
+        F.when(~F.col("g_ok"), F.lit("gopher"))
+        .when(~F.col("predicted"), F.lit("classifier"))
+        .when(~band_ok, F.lit("lm-band")),
+    )
+    keepers = (
+        staged.filter(F.col("stage1").isNull())
+        .groupBy("tkey").agg(F.min("doc_id").alias("keeper"))
+    )
+    out = staged.join(keepers, "tkey", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("stage1"),
+            F.when(F.col("doc_id") != F.col("keeper"), F.lit("duplicate")),
+        ).alias("reject_stage"),
+    )
+    return out.withColumn("kept", F.col("reject_stage").isNull())
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH g AS (
+  SELECT doc_id, ({_GOPHER_REASON_SQL}) IS NULL AS g_ok
+  FROM ({_GOPHER_M_SQL}) m
+),
+cls AS (SELECT doc_id, predicted FROM ({ORACLE_QUALITY_CLASSIFIER})),
+lm AS (SELECT doc_id, n_tokens, sum_q16 FROM ({ORACLE_BIGRAM_LOGPROB})),
+base AS (
+  SELECT d.doc_id, md5(coalesce(d.text, '')) AS tkey,
+         g.g_ok, c.predicted, l.n_tokens, l.sum_q16
+  FROM documents d
+  JOIN g USING (doc_id) JOIN cls c USING (doc_id) JOIN lm l USING (doc_id)
+),
+staged AS (
+  SELECT *, CASE WHEN NOT g_ok THEN 'gopher'
+                 WHEN NOT predicted THEN 'classifier'
+                 WHEN NOT (-sum_q16 >= 76 * n_tokens
+                           AND -sum_q16 <= 79 * n_tokens) THEN 'lm-band'
+            END AS stage1
+  FROM base
+),
+keepers AS (
+  SELECT tkey, min(doc_id) AS keeper FROM staged
+  WHERE stage1 IS NULL GROUP BY tkey
+)
+SELECT s.doc_id,
+  coalesce(s.stage1,
+           CASE WHEN s.doc_id <> k.keeper THEN 'duplicate' END)
+    AS reject_stage,
+  coalesce(s.stage1,
+           CASE WHEN s.doc_id <> k.keeper THEN 'duplicate' END) IS NULL
+    AS kept
+FROM staged s LEFT JOIN keepers k USING (tkey)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4219,6 +4312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "quality_classifier": q_quality_classifier,
     "gopher_quality": q_gopher_quality,
+    "curation_pipeline": q_curation_pipeline,
     "lsh_recall": q_lsh_recall,
     "corpus_summary": q_corpus_summary,
     # generic
@@ -4331,6 +4425,7 @@ ORACLES: dict[str, str] = {
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "lsh_recall": ORACLE_LSH_RECALL,
     "corpus_summary": ORACLE_CORPUS_SUMMARY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
