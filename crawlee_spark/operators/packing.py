@@ -31,6 +31,8 @@ training-pipeline extension like dedup/ANN (SURVEY.md §2 addendum).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -240,3 +242,54 @@ def write_webdataset(
             dump,
             "shard_id long, path string, n_samples long, tar_bytes long")
     )
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    *,
+    exts: Sequence[str] = ("jpg", "txt"),
+) -> DataFrame:
+    """Source dual of ``write_webdataset``: shard tars back into sample rows.
+
+    One row per sample key: (shard_path, key, one binary column per
+    extension). The unit of parallelism is the FILE — exactly how
+    training readers consume WebDataset (shards are sequential tars;
+    entries of one sample are adjacent) — so a directory of shards
+    parallelizes across executors with zero shuffle: binaryFile scan →
+    per-file tarfile walk in mapInPandas. Unknown extensions are ignored;
+    a sample missing one of ``exts`` carries NULL for it.
+    """
+    import pandas as pd
+
+    ext_list = list(exts)
+    schema = ("shard_path string, key string, "
+              + ", ".join(f"`{e}` binary" for e in ext_list))
+
+    def walk(batches):
+        import io
+        import tarfile
+
+        for b in batches:
+            out = {k: [] for k in ["shard_path", "key", *ext_list]}
+            for p, blob in zip(b["path"], b["content"]):
+                samples: dict[str, dict[str, bytes]] = {}
+                order: list[str] = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for ti in tf.getmembers():
+                        stem, _, ext = ti.name.rpartition(".")
+                        if not stem or ext not in ext_list:
+                            continue
+                        if stem not in samples:
+                            samples[stem] = {}
+                            order.append(stem)
+                        samples[stem][ext] = tf.extractfile(ti).read()
+                for stem in order:
+                    out["shard_path"].append(p)
+                    out["key"].append(stem)
+                    for e in ext_list:
+                        out[e].append(samples[stem].get(e))
+            yield pd.DataFrame(out)
+
+    src = spark.read.format("binaryFile").load(f"{path}/*.tar")
+    return src.select("path", "content").mapInPandas(walk, schema)

@@ -161,3 +161,35 @@ def test_write_webdataset_roundtrip_and_exact_offsets(spark, tmp_path):
     after = {p: hashlib.md5(open(os.path.join(out_dir, p), "rb").read()).hexdigest()
              for p in os.listdir(out_dir)}
     assert before == after
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    """Writer -> reader round-trip: every sample comes back with its
+    payloads; NULL caption round-trips as empty entry -> b''."""
+    from crawlee_spark.operators.packing import (
+        read_webdataset,
+        shard_manifest,
+        tar_sample_bytes,
+        write_webdataset,
+    )
+
+    rows = [(f"k{i:02d}", bytes([65 + i % 26]) * (i * 11 % 700),
+             f"cap {i}" if i % 7 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    man = shard_manifest(
+        df.withColumn("est_bytes", tar_sample_bytes("bytes", "caption")),
+        key_col="image_id", bytes_col="est_bytes",
+        num_buckets=2, samples_per_shard=8)
+    out_dir = str(tmp_path / "wds")
+    write_webdataset(man, out_dir, key_col="image_id",
+                     entries={"jpg": "bytes", "txt": "caption"}).collect()
+
+    back = {r["key"]: r for r in read_webdataset(spark, out_dir).collect()}
+    assert set(back) == {k for k, _, _ in rows}
+    for k, img, cap in rows:
+        assert bytes(back[k]["jpg"]) == img
+        assert bytes(back[k]["txt"]) == (cap or "").encode()
+    # file = unit of parallelism: shard_path column matches written files
+    import os
+    assert {os.path.basename(r["shard_path"]) for r in back.values()} == \
+        set(os.listdir(out_dir))
