@@ -151,3 +151,41 @@ def test_qlog2_16_duckdb_mirror_property():
     rows = con.sql(f"SELECT x, {_qlog_sql('x')} AS q FROM t ORDER BY x").fetchall()
     for x, q in rows:
         assert q == qlog2_16_py(x), (x, q, qlog2_16_py(x))
+
+
+def test_gopher_gate_duckdb_parity_adversarial(spark):
+    """Spark gate == oracle SQL on an adversarial corpus (unicode, digits,
+    bullets, ellipses, hash floods, whitespace shapes, NULL) — one Spark
+    job, not per-row."""
+    import random
+
+    import duckdb
+
+    from crawlee_spark.plans.queries import (
+        _GOPHER_M_SQL,
+        _GOPHER_REASON_SQL,
+    )
+
+    rng = random.Random(7)
+    words = ["the", "of", "and", "data", "crawler", "123", "x", "éclair",
+             "naïve", "#", "...", "- item", "word" * 5]
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 120)
+        parts = [rng.choice(words) for _ in range(n)]
+        sep = rng.choice([" ", "\n", "  ", " \n"])
+        rows.append((i, sep.join(parts)))
+    rows += [(200, None), (201, ""), (202, "\n\n\n"), (203, "# " * 80),
+             (204, ("- the of and item line " + "data " * 46 + "\n") * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: (r["reject_reason"], r["kept"])
+           for r in gopher_gate(df).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = (f"SELECT doc_id, ({_GOPHER_REASON_SQL}) AS rr, "
+           f"({_GOPHER_REASON_SQL}) IS NULL AS kept "
+           f"FROM ({_GOPHER_M_SQL}) m")
+    for doc_id, rr, kept in con.sql(sql).fetchall():
+        assert got[doc_id] == (rr, kept), (doc_id, got[doc_id], (rr, kept))
