@@ -259,3 +259,49 @@ def test_streaming_cdx_fresh_checkpoint_does_not_skip_new_shards(spark, tmp_path
     assert len(batches) == 2  # nothing skipped under the fresh checkpoint
     urls = {r["url"] for r in ing2.frontier.pending().collect()}
     assert urls == {"https://a.com/1.jpg", "https://b.com/2.jpg"}
+
+
+def test_streaming_curate_verdicts_and_replay(spark, tmp_path):
+    """Gate-stack micro-batches over frozen dims: parity with the batch
+    curation stages on identical docs; batch-id replay is a no-op."""
+    import json
+
+    from crawlee_spark.streaming import StreamingCurate
+
+    good = ("the data of a crawl must be that clean and it should have "
+            "tokens with plain words " * 3)
+    ref_rows = [(i, (good + f" extra{i}") if i % 3 else "short junk")
+                for i in range(30)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+
+    doc_dir = tmp_path / "docs"
+    doc_dir.mkdir()
+    (doc_dir / "a.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 100, "text": good + " streamed one"},
+        {"doc_id": 101, "text": "tiny"},                      # gopher reject
+    ]))
+    (doc_dir / "b.json").write_text("\n".join(json.dumps(d) for d in [
+        {"doc_id": 102, "text": good + " streamed two"},
+    ]))
+
+    sc_ = StreamingCurate(spark, str(tmp_path / "cur"), ref)
+    batches = sc_.drain(str(doc_dir), str(tmp_path / "ckpt"), timeout_secs=240)
+    assert [b["batch_id"] for b in batches] == [0, 1]
+
+    dec = {r["doc_id"]: (r["reject_stage"], r["kept"], r["batch_id"])
+           for r in sc_.decisions.read().collect()}
+    assert set(dec) == {100, 101, 102}
+    assert dec[101][0] == "gopher" and dec[101][1] is False
+    # batch-shape verdicts agree with the streamed decisions row-for-row
+    all_docs = spark.createDataFrame(
+        [(100, good + " streamed one"), (101, "tiny"),
+         (102, good + " streamed two")], "doc_id long, text string")
+    batch_v = {r["doc_id"]: (r["reject_stage"], r["kept"])
+               for r in sc_.verdicts(all_docs).collect()}
+    for d, (stage, kept, _b) in dec.items():
+        assert batch_v[d] == (stage, kept)
+
+    # replaying a stamped batch id appends nothing
+    before = sc_.decisions.read().count()
+    sc_._process_batch(all_docs.limit(1), 0)
+    assert sc_.decisions.read().count() == before
