@@ -310,6 +310,20 @@ CHECKS = {
         ("no window", r"Window", "absent"),
         ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
     ],
+    "curation_pipeline": [
+        # four composed stages: classifier weights broadcast; the ONLY
+        # nested loops are the deliberate 1-row broadcast totals dims
+        # (Cross BuildRight — train_hashed_nb / score_bigram grand
+        # totals); keeper selection a hash agg (no window), no
+        # single-partition funnel
+        ("weights broadcast", r"BroadcastHashJoin"),
+        # pattern ends with \w (not ')') because the absent-handler
+        # rstrips trailing parens from legacy patterns
+        ("nested loops only 1-row Cross totals",
+         r"BroadcastNestedLoopJoin (?!Cross|\[)\w", "absent"),
+        ("no window", r"Window", "absent"),
+        ("no single-partition funnel", r"Exchange SinglePartition", "absent"),
+    ],
     "gopher_quality": [
         # all seven Gopher rules are column expressions over one scan:
         # no shuffle, no Python, whole plan codegen'd
