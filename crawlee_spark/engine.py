@@ -48,7 +48,6 @@ from crawlee_spark.operators import politeness as pol
 from crawlee_spark.operators import robots as robots_op
 from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions, enqueue_links
 from crawlee_spark.operators.frontier import (
-    FRONTIER_SCHEMA,
     FrontierTable,
     make_requests,
     merge_new_requests,
@@ -309,9 +308,33 @@ class CrawlEngine:
         if not eng.frontier.exists():
             raise FileNotFoundError(f"no frontier at {workdir}")
         eng._load_state()
+        # torn-superstep detection: a superstep spans several commits
+        # (frontier, logs, politeness) with crawl_state.json saved LAST.
+        # A crash in between leaves the frontier AHEAD of the saved step;
+        # re-running against that mixed state would log a different fetch
+        # set under the same step and skip the politeness advance. The
+        # frontier is committed FIRST in the superstep, so "frontier
+        # ahead" detects every torn window — heal by rolling all tables
+        # back to the saved checkpoint before continuing.
+        ahead = eng._frontier_max_step()
+        if at_step is None and ahead > eng.step:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "torn superstep detected at %s (frontier at step %d, "
+                "saved state at %d); rolling back to the checkpoint",
+                workdir, ahead, eng.step)
+            eng.rollback_to(eng.step)
         if at_step is not None:
             eng.rollback_to(at_step)
         return eng
+
+    def _frontier_max_step(self) -> int:
+        """Highest superstep stamped in the frontier's commit chain."""
+        mx = -1
+        for m in self.frontier.table.history():
+            mx = max(mx, int(m.get("summary", {}).get("step", -1)))
+        return mx
 
     def checkpoints(self) -> list[int]:
         """Steps with a saved checkpoint (sorted). Step 0 = seeds-only."""
@@ -394,8 +417,13 @@ class CrawlEngine:
     def add_seeds(self, seeds: DataFrame) -> dict[str, Any]:
         if not self.frontier.exists():
             FrontierTable.create(self.spark, self.frontier.table.root, self.cfg.num_buckets)
+        # enqueue in the CURRENT step band: mid-crawl seed additions must
+        # append behind existing pending work (the reference's addRequests
+        # orders by Date.now), not jump ahead in the step-0 band — the
+        # streaming ingest already passes step=engine.step for the same
+        # reason (stream_crawl.py)
         res = self.frontier.add_requests(
-            seeds, step=0, keep_fragment=self.cfg.keep_fragment,
+            seeds, step=self.step, keep_fragment=self.cfg.keep_fragment,
             use_extended_unique_key=self.cfg.use_extended_unique_key,
         )
         if self.urlseen is not None:
@@ -588,17 +616,17 @@ class CrawlEngine:
             if "redirect_to" not in corpus.columns:
                 corpus_keyed = corpus_keyed.withColumn(
                     "_redirect", F.lit(None).cast("string"))
-            # the corpus join key is the CANONICAL-URL hash; with extended
-            # unique keys the frontier url_hash covers method+payload, so
-            # the fetch key is recomputed from the url
-            if cfg.use_extended_unique_key:
-                fetch_keyed = fetch_set.withColumn(
-                    "_fetch_hash",
-                    urls.url_hash(urls.unique_key(F.col("url"),
-                                                  keep_fragment=cfg.keep_fragment)),
-                )
-            else:
-                fetch_keyed = fetch_set.withColumn("_fetch_hash", F.col("url_hash"))
+            # the corpus join key is the FRAGMENT-STRIPPED canonical-URL
+            # hash recomputed from the url, ALWAYS — uniqueKey is the
+            # DEDUP identity, the fetch goes to request.url (the reference
+            # fetches url no matter what uniqueKey says), and fragments
+            # are never sent to the server (RFC 3986 §3.5). Relying on
+            # url_hash would break three configurations: keep_fragment
+            # (fragment-bearing hash ≠ corpus key), extended unique keys
+            # (hash covers method+payload), and custom per-request
+            # unique_key overrides (hash of the custom string).
+            fetch_keyed = fetch_set.withColumn(
+                "_fetch_hash", urls.url_hash(urls.unique_key(F.col("url"))))
             fetched = fetch_keyed.join(corpus_keyed, on="_fetch_hash", how="left")
             fetched = fetched.withColumn(
                 "_loaded", F.coalesce(F.col("_redirect"), F.col("url"))
@@ -742,7 +770,7 @@ class CrawlEngine:
                         handled_dead, {"step": step}, coalesce=2)
 
             # 6. ONE combined frontier commit for all touched buckets
-            handled_keys = successes.select("url_hash", "bucket")
+            handled_keys = successes.select("url_hash")
             touched = sorted(
                 set(fetched_buckets)
                 | {int(r["bucket"]) for r in nb_rows}
@@ -750,7 +778,7 @@ class CrawlEngine:
             )
             existing = self.frontier.read(buckets=touched)
 
-            marks = handled_keys.select("url_hash").withColumn("_mark", F.lit("handled"))
+            marks = handled_keys.withColumn("_mark", F.lit("handled"))
             marks = marks.unionByName(
                 retries.select(
                     "url_hash",
@@ -912,7 +940,12 @@ class CrawlEngine:
                 # frontier url_hash: under use_extended_unique_key the
                 # frontier hash covers method+payload and would match
                 # nothing on the payload side
-                fetched_payload = successes.select(
+                # skip_navigation rows never issued an HTTP request: no
+                # bytes arrived, so nothing to validate (matches the
+                # no-extraction / no-session-charge treatment above)
+                fetched_payload = successes.filter(
+                    ~F.col("skip_navigation")
+                ).select(
                     F.col("_fetch_hash").alias("url_hash")
                 ).join(payload, "url_hash")
                 v = validate_pages(fetched_payload, seed=cfg.seed).withColumn(

@@ -176,11 +176,23 @@ def dedup_batch(batch: DataFrame) -> DataFrame:
     shuffling ~unique keys.
     """
     cols = batch.columns
-    order = F.struct(
+    # the order struct must be a TOTAL order over everything that can
+    # differ between same-key rows, or min_by resolves residual ties by
+    # aggregation encounter order — partition-dependent, so two runs
+    # could keep rows with different method/label/payload (an enqueue
+    # transform that tags rows per source page creates exactly this).
+    # user_data (map) is not orderable; rows identical in every ordered
+    # field but user_data are indistinguishable to the queue and either
+    # pick is stable under AQE only because the ordered fields tie last.
+    order_fields = [
         F.col("depth"),
         F.when(F.col("forefront"), 0).otherwise(1).alias("_ff"),
         F.col("url"),
-    )
+    ]
+    for extra in ("method", "label", "payload"):
+        if extra in cols:
+            order_fields.append(F.col(extra))
+    order = F.struct(*order_fields)
     return (
         batch.groupBy("url_hash")
         .agg(F.min_by(F.struct(*[c for c in cols if c != "url_hash"]), order).alias("_r"))
@@ -489,15 +501,15 @@ class FrontierTable:
             return 0
         existing = self.read(buckets=touched)
         updated = apply_priority(existing, prio, step)
+        # count the promoted set BEFORE the commit from the frame already
+        # in hand — the promoted rows are exactly pending ∩ prio keys, so
+        # a post-commit re-read + re-join would scan every touched bucket
+        # again for the same number
+        promoted = hit.count()
         self.table.commit_buckets(
             updated, "reprioritize", {"step": step}, touched=touched
         )
-        return (
-            self.read(buckets=touched)
-            .join(prio.select("url_hash").distinct(), on="url_hash", how="inner")
-            .filter(F.col("handled_step").isNull() & (F.col("order_no") < 0))
-            .count()
-        )
+        return promoted
 
     def delete_requests(self, keys: DataFrame) -> int:
         """``deleteRequest(id)`` (``packages/types/src/storages.ts:297``):
@@ -516,11 +528,13 @@ class FrontierTable:
             return 0
         existing = self.read(buckets=touched)
         kept = existing.join(k, on="url_hash", how="left_anti")
-        before = existing.count()
+        # url_hash is the table PK, so the matched-row count IS the
+        # removed count — no before/after full-bucket rescans needed
+        removed = hit.count()
         self.table.commit_buckets(
             kept, "delete_requests", {"op": "deleteRequest"}, touched=touched
         )
-        return before - self.read(buckets=touched).count()
+        return removed
 
     def counters(self) -> dict[str, int]:
         """getInfo analog (``request_provider.ts:87-89, 529-561``)."""

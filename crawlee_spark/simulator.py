@@ -193,12 +193,13 @@ def simulate(
                     cfg.keep_fragment,
                 )
                 uk = r.get("unique_key") or computed
-                # corpus join key stays the canonical URL (engine: separate
-                # _fetch_hash column recomputed from url)
-                fetch_key = unique_key_py(url, None, cfg.keep_fragment)
             else:
                 uk = unique_key_py(url, r.get("unique_key"), cfg.keep_fragment)
-                fetch_key = uk  # engine joins the corpus on url_hash itself
+            # corpus join key = FRAGMENT-STRIPPED canonical URL, always
+            # (fragments never reach the server, RFC 3986 §3.5); mirrors
+            # the engine's _fetch_hash, which equals url_hash only in the
+            # plain keep_fragment=False configuration
+            fetch_key = unique_key_py(url, None, False)
             host = host_of_py(url)
             if host is None:
                 continue

@@ -206,6 +206,17 @@ class SnapshotTable:
         abandoned data dir is ever overwritten."""
         if not os.path.exists(os.path.join(self.manifest_dir, f"snap-{snapshot_id}.json")):
             raise FileNotFoundError(f"no snapshot {snapshot_id} at {self.root}")
+        # the manifest may outlive its data (expire_snapshots removes data
+        # dirs, manifests stay for audit): verify every referenced owner
+        # dir still exists BEFORE flipping, or the flip would land on an
+        # unreadable snapshot mid-multi-table rollback
+        m = self.manifest(snapshot_id)
+        for owner in set(m["buckets"].values()):
+            if not os.path.isdir(os.path.join(self.data_dir, owner)):
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} at {self.root} references "
+                    f"expired data dir {owner}; it was removed by "
+                    f"expire_snapshots and cannot be rolled back to")
         _atomic_write(self.current_path, str(snapshot_id))
 
     def compact(self) -> int:

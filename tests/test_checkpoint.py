@@ -131,3 +131,43 @@ def test_rollback_across_rebucket_guards_bucket_space(spark, tmp_path):
     eng2.rollback_to(mid)
     assert eng2.frontier.num_buckets == 4
     assert eng2.frontier.stored_num_buckets() == 4
+
+
+def test_resume_heals_torn_superstep(spark, tmp_path):
+    """Crash between the frontier commit and the crawl_state save leaves
+    the frontier AHEAD of the saved step; resume must detect it, roll
+    back to the checkpoint, and re-run to the exact simulator outcome."""
+    import json
+    import os
+    import shutil
+
+    rows = list(datagen.gen_corpus_rows(40, 3, seed=9, with_bytes=False))
+    corpus_py = {r["url"]: {"html": r["html"]} for r in rows}
+    seeds_py = datagen.gen_seed_rows(40, 3, seed=9, n_seeds=4)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string")
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string")
+    sim = simulate(corpus_py, seeds_py, SimConfig())
+
+    wdir = str(tmp_path / "crawl")
+    cfg = CrawlConfig(num_buckets=4)
+    eng = CrawlEngine(spark, wdir, cfg)
+    eng.add_seeds(seeds_df)
+    for _ in range(3):
+        eng.run_superstep(corpus_df)
+    assert eng.step == 3
+
+    # simulate the torn window: frontier (and logs) are at step 3, but the
+    # scalar state reverts to the step-2 checkpoint as if _save_state
+    # never ran
+    shutil.copyfile(os.path.join(wdir, "state_history", "step-2.json"),
+                    os.path.join(wdir, "crawl_state.json"))
+
+    eng2 = CrawlEngine.resume(spark, wdir, cfg)
+    assert eng2.step == 2                       # healed to the checkpoint
+    assert eng2._frontier_max_step() <= 2       # frontier rolled back too
+    eng2.run(corpus_df)
+    assert eng2.crawl_order() == sim.crawl_order
+    assert eng2.url_seen() == sim.url_seen

@@ -317,3 +317,41 @@ def test_parity_navigation_hooks(spark, tmp_path, corpus_fixture):
                if (__import__("crawlee_spark.functions.hashing",
                               fromlist=["xxhash64_str"]).xxhash64_str(k)) % 5 == 0]
     assert skipped
+
+
+def test_parity_keep_fragment_fetches_fragmentless_resource(spark, tmp_path):
+    """Fragments are dedup identity under keep_fragment=True but are NEVER
+    sent to the server: a fragment-bearing request must fetch the
+    fragment-less corpus page (RFC 3986 §3.5), in engine AND simulator."""
+    corpus_py = {
+        "https://a.test/page": {"html": "<html><body>plain page</body></html>"},
+        "https://a.test/other": {"html": "<html><body>other</body></html>"},
+    }
+    seeds_py = [
+        {"url": "https://a.test/page", "forefront": False, "depth": 0,
+         "label": None},
+        {"url": "https://a.test/page#section", "forefront": False, "depth": 0,
+         "label": None},
+        {"url": "https://a.test/other#x", "forefront": False, "depth": 0,
+         "label": None},
+    ]
+    corpus_df = spark.createDataFrame(
+        [{"url": u, "html": v["html"]} for u, v in corpus_py.items()],
+        "url string, html string")
+    seeds_df = spark.createDataFrame(
+        seeds_py, "url string, forefront boolean, depth int, label string")
+
+    sim = simulate(corpus_py, seeds_py, SimConfig(keep_fragment=True))
+    eng = CrawlEngine(spark, str(tmp_path / "crawl"),
+                      CrawlConfig(num_buckets=4, keep_fragment=True))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+
+    assert eng.crawl_order() == sim.crawl_order
+    assert eng.url_seen() == sim.url_seen
+    # all three dedup identities are distinct AND all three fetches hit
+    assert len(sim.url_seen) == 3
+    assert len([s for s in sim.crawl_order]) == 3
+    statuses = {r["unique_key"]: r["status"]
+                for r in eng.fetch_log.read().collect()}
+    assert all(v == "ok" for v in statuses.values()), statuses
