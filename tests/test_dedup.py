@@ -182,3 +182,23 @@ def test_keep_best_dominates_cluster(spark):
         assert keep[c]["keep_id"] == expect
         assert keep[c]["keep_quality"] == best_q
         assert keep[c]["n_members"] == len(ids)
+
+
+def test_brute_force_twins_size_guarded(spark, docs):
+    """The quadratic ground-truth twins must refuse inputs beyond their
+    audit-scale cap (VERDICT r2 item #2) — raising, not silently sampling —
+    and still run under the cap / with an explicit opt-out."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    with pytest.raises(D.BruteForceSizeError, match="minhash_lsh_pairs"):
+        D.ngram_jaccard_pairs(docs, max_rows=10).count()
+    with pytest.raises(D.BruteForceSizeError, match="embedding_near_dup_lsh"):
+        D.embedding_near_dup_pairs(emb, max_rows=10).count()
+
+    # under the cap: runs; explicit opt-out: identical result
+    guarded = _pairs_set(
+        D.embedding_near_dup_pairs(emb.limit(30), threshold=0.4))
+    unguarded = _pairs_set(
+        D.embedding_near_dup_pairs(emb.limit(30), threshold=0.4,
+                                   max_rows=None))
+    assert guarded == unguarded
