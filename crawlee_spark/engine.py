@@ -264,10 +264,13 @@ class CrawlEngine:
                 fpp=self.cfg.bloom_fpp,
             )
             self.urlseen.load()  # resume path: reload persisted shards
-        # session pool rows: [(bucket, session_id, error_score, usage_count,
-        # created_step, retired)] — driver-small (buckets x per_bucket),
-        # persisted in crawl_state.json
-        self.session_rows: list[list] = []
+        # session pool state: one row per (bucket, session_id) in a bucketed
+        # snapshot table — like politeness, the pool never sits in driver
+        # memory (round-2 kept buckets x per_bucket rows in crawl_state.json
+        # and collect()ed the updated pool every superstep; at the SCALE.md
+        # target of 4-16k buckets that is 10^4-10^5 rows through the driver
+        # per superstep). The driver holds only the table handle.
+        self.sessions = SnapshotTable(spark, os.path.join(workdir, "sessions"))
 
     # -- state / resume -----------------------------------------------------
 
@@ -275,7 +278,6 @@ class CrawlEngine:
         payload = json.dumps({
             "step": self.step,
             "handled_count": self.handled_count,
-            "sessions": self.session_rows,
         })
         _atomic_write(self.state_path, payload)
         # per-step checkpoint of the (driver-small) scalar state — together
@@ -292,7 +294,8 @@ class CrawlEngine:
             s = json.load(f)
         self.step = s["step"]
         self.handled_count = s["handled_count"]
-        self.session_rows = [list(x) for x in s.get("sessions", [])]
+        # (legacy state files carried a "sessions" rows list; the pool now
+        # lives in the sessions SnapshotTable and needs no JSON restore)
         return True
 
     @classmethod
@@ -364,11 +367,11 @@ class CrawlEngine:
     def rollback_to(self, step: int) -> None:
         """Roll every piece of crawl state back to the end of superstep
         ``step`` (an earlier checkpoint), after which the crawl can re-run
-        deterministically. Frontier + politeness flip ``_CURRENT`` to the
-        snapshot committed at-or-before that step; the append logs truncate
-        their segment lists; Bloom shards rebuild from the rolled-back
-        frontier (their snapshot stamp no longer matches); the scalar state
-        (step / handled_count / session pool) reloads from the per-step
+        deterministically. Frontier + politeness + session pool flip
+        ``_CURRENT`` to the snapshot committed at-or-before that step; the
+        append logs truncate their segment lists; Bloom shards rebuild from
+        the rolled-back frontier (their snapshot stamp no longer matches);
+        the scalar state (step / handled_count) reloads from the per-step
         checkpoint file."""
         hist_path = os.path.join(self.workdir, "state_history", f"step-{step}.json")
         if not os.path.exists(hist_path):
@@ -391,15 +394,17 @@ class CrawlEngine:
                 f"{self.cfg.num_buckets}; update the config first")
         self.frontier.table.rollback(sid)
         self.frontier.num_buckets = target_n
-        if self.politeness.exists():
-            psid = self._chain_snapshot_at(self.politeness.history(), step)
-            if psid is None:
-                # politeness state didn't exist yet at that step: it is
-                # derived state, so drop the table (rebuilt as the crawl
-                # re-runs) rather than keeping future hosts' delays
-                shutil.rmtree(self.politeness.root, ignore_errors=True)
-            else:
-                self.politeness.rollback(psid)
+        for dim in (self.politeness, self.sessions):
+            if dim.exists():
+                dsid = self._chain_snapshot_at(dim.history(), step)
+                if dsid is None:
+                    # the dim didn't exist yet at that step: both politeness
+                    # and the session pool are derived state, so drop the
+                    # table (rebuilt as the crawl re-runs) rather than
+                    # keeping future supersteps' rows
+                    shutil.rmtree(dim.root, ignore_errors=True)
+                else:
+                    dim.rollback(dsid)
         for log in (self.fetch_log, self.metrics, self.results,
                     self.router_results, self.failed_requests):
             if log.exists():
@@ -408,7 +413,6 @@ class CrawlEngine:
             s = json.load(f)
         self.step = s["step"]
         self.handled_count = s["handled_count"]
-        self.session_rows = [list(x) for x in s.get("sessions", [])]
         self._save_state()
         self._ensure_urlseen_fresh()
 
@@ -999,10 +1003,8 @@ class CrawlEngine:
         from crawlee_spark.operators import sessions as sess
 
         per_bucket = self.cfg.sessions_per_bucket
-        if self.session_rows:
-            pool = self.spark.createDataFrame(
-                [tuple(r) for r in self.session_rows], sess.SESSION_SCHEMA
-            )
+        if self.sessions.exists():
+            pool = self.sessions.read()
         else:
             pool = sess.create_pool(self.spark, self.cfg.num_buckets, per_bucket)
             if self.cfg.create_session_function is not None:
@@ -1032,15 +1034,30 @@ class CrawlEngine:
             "bucket", "session_id", "status_code"
         )
         new_pool = sess.update_pool(pool, results, step, per_bucket)
-        self.session_rows = sorted(
-            [list(r) for r in new_pool.collect()], key=lambda r: (r[0], r[1])
-        )
+        # set-based commit: the pool is a full-rewrite dim like politeness
+        # (state rows mutate in place each superstep, so buckets must not
+        # inherit); nothing is collected to the driver
+        if not self.sessions.exists():
+            SnapshotTable.create(self.spark, self.sessions.root, new_pool,
+                                 num_buckets=self.cfg.num_buckets,
+                                 summary={"step": step})
+        else:
+            self.sessions._commit_full(new_pool, self.cfg.num_buckets,
+                                       "sessions", {"step": step})
 
     def session_state(self) -> list[dict]:
-        from crawlee_spark.operators.sessions import SESSION_SCHEMA
-
-        cols = [f.split(" ")[0] for f in SESSION_SCHEMA.split(", ")]
-        return [dict(zip(cols, r)) for r in self.session_rows]
+        """Inspection/test helper: the pool as sorted dicts. Collects the
+        (buckets x per_bucket)-row dim — fine for observability, never part
+        of the superstep."""
+        if not self.sessions.exists():
+            return []
+        cols = ["bucket", "session_id", "error_score", "usage_count",
+                "created_step", "retired"]
+        rows = self.sessions.read().select(*cols).collect()
+        return sorted(
+            (dict(zip(cols, r)) for r in rows),
+            key=lambda d: (d["bucket"], d["session_id"]),
+        )
 
     # -- the crawl loop -----------------------------------------------------
 

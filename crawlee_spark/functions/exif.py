@@ -129,6 +129,13 @@ def inject_app1(jpeg: bytes, app1_payload: bytes) -> bytes:
     """Insert an APP1 segment right after SOI of an existing JPEG."""
     if len(jpeg) < 2 or jpeg[:2] != b"\xff\xd8":
         raise ExifFormatError("not a JPEG (no SOI)")
+    if len(app1_payload) + 2 > 0xFFFF:
+        # the JPEG segment length field is 16-bit (includes its own 2
+        # bytes); oversize payloads must fail inside the module's declared
+        # error contract, not as struct.error from the pack below
+        raise ExifFormatError(
+            f"APP1 payload {len(app1_payload)} bytes exceeds the 65533-byte "
+            f"segment limit")
     seg = b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2) + app1_payload
     return jpeg[:2] + seg + jpeg[2:]
 

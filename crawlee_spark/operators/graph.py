@@ -138,23 +138,33 @@ def trustrank(
     in-link from the trusted region).
 
     Same recurrence as ``pagerank`` via ``_damped_rank_loop`` — only the
-    node dim differs: seeds get the 15% teleport term and start at
-    ``units``; everyone else 0/0. int64-exact, so the unrolled-CTE oracle
-    is bit-identical. ``seeds``: one ``node`` column (membership join is
-    broadcast — the seed list is curation-sized).
+    node dim differs: the teleport mass and the initial mass are SPLIT
+    across the seed set as in Gyöngyi et al. §4.3 (d/|S| per seed — here
+    ``(15% · units) div |S|`` teleport and ``units div |S|`` initial, both
+    exact integer division), so total trust mass is ~``units`` regardless
+    of |S| and scores are comparable across seed sets of different sizes.
+    Non-seeds get 0/0. int64-exact, so the unrolled-CTE oracle is
+    bit-identical. ``seeds``: one ``node`` column (membership join is
+    broadcast — the seed list is curation-sized; its count is a 1-row dim
+    cross-joined in, never a driver-side collect).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    seed_dim = seeds.select(F.col("node")).distinct().withColumn(
-        "_teleport", F.lit(15 * units // 100).cast("long"))
+    seed_nodes = seeds.select(F.col("node")).distinct()
+    n_seeds = seed_nodes.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("_ns"))
+    seed_dim = seed_nodes.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.expr(f"CAST({15 * units // 100} AS BIGINT) div _ns")
+        .alias("_teleport"),
+        F.expr(f"CAST({units} AS BIGINT) div _ns").alias("_init"),
+    )
     node_dim = (
         _node_set(e)
         .join(F.broadcast(seed_dim), "node", "left")
         .select(
             "node",
             F.coalesce("_teleport", F.lit(0).cast("long")).alias("tp"),
-            F.when(F.col("_teleport").isNotNull(),
-                   F.lit(units).cast("long"))
-            .otherwise(F.lit(0).cast("long")).alias("rank"),
+            F.coalesce("_init", F.lit(0).cast("long")).alias("rank"),
         )
     )
     out = _damped_rank_loop(e, node_dim, iters, "src", "dst")

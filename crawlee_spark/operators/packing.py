@@ -169,7 +169,9 @@ def write_webdataset(
     Each shard group writes ``shard-{shard_id:010d}.tar`` via tmp +
     atomic rename (re-executed tasks replace, never corrupt — the same
     contract as ``write_warc``). Tar bytes are DETERMINISTIC: ustar
-    format, mtime 0, uid/gid 0, mode 0644, entries in (sample_idx,
+    format (pax when a shard has any entry name over ustar's 100-byte
+    cap — decided per shard before writing, still a pure function of the
+    names), mtime 0, uid/gid 0, mode 0644, entries in (sample_idx,
     extension) order — a re-run or resumed export writes byte-identical
     shards (the manifest made shard membership a pure function of key
     order; this makes the FILE a pure function of the manifest).
@@ -200,9 +202,22 @@ def write_webdataset(
 
         pdf = pdf.sort_values("sample_idx")
         shard_id = int(pdf["shard_id"].iloc[0])
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w",
-                          format=tarfile.USTAR_FORMAT) as tf:
+        # USTAR caps entry names at 100 bytes; longer keys fall back to PAX
+        # (still deterministic: the pax 'path' record is a pure function of
+        # the name) instead of crashing mid-export with ValueError from
+        # tarfile. Decided per shard BEFORE writing so the format is stable.
+        max_name = max(
+            (len(f"{stem}.{ext}".encode()) for stem in
+             pdf[key_col].astype(str) for ext in exts), default=0)
+        fmt = tarfile.USTAR_FORMAT if max_name <= 100 else tarfile.PAX_FORMAT
+        final = os.path.join(out_dir, f"shard-{shard_id:010d}.tar")
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = f"{final}.tmp-{attempt}"
+        # stream entries straight to the tmp file: peak memory is ONE
+        # entry's payload, not the whole shard (a standard ~1 GB shard
+        # previously cost ~1 GB heap per concurrent task via BytesIO)
+        with tarfile.open(tmp, mode="w", format=fmt) as tf:
             for _, row in pdf.iterrows():
                 stem = str(row[key_col])
                 for ext in exts:
@@ -220,19 +235,13 @@ def write_webdataset(
                     ti.uname = ti.gname = ""
                     ti.mode = 0o644
                     tf.addfile(ti, io.BytesIO(bytes(data)))
-        blob = buf.getvalue()
-        final = os.path.join(out_dir, f"shard-{shard_id:010d}.tar")
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        tmp = f"{final}.tmp-{attempt}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
+        tar_bytes = os.path.getsize(tmp)
         os.replace(tmp, final)
         return pd.DataFrame({
             "shard_id": [shard_id],
             "path": [final],
             "n_samples": [len(pdf)],
-            "tar_bytes": [len(blob)],
+            "tar_bytes": [tar_bytes],
         })
 
     return (
@@ -277,6 +286,10 @@ def read_webdataset(
                 order: list[str] = []
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
                     for ti in tf.getmembers():
+                        if not ti.isreg():
+                            # externally produced shards may carry dirs or
+                            # symlinks; extractfile() returns None for those
+                            continue
                         stem, _, ext = ti.name.rpartition(".")
                         if not stem or ext not in ext_list:
                             continue

@@ -3359,15 +3359,21 @@ pairs AS (
 ),
 edges AS (SELECT src, dst FROM pairs WHERE src IS NOT NULL AND src <> dst),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ns AS (
+  SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n
+  FROM nodes WHERE node % 16 = 0
+),
 tnodes AS (
-  SELECT node, CAST(CASE WHEN node % 16 = 0 THEN {tp} ELSE 0 END AS BIGINT)
-           AS tp
+  SELECT node,
+         CAST(CASE WHEN node % 16 = 0 THEN {tp} // (SELECT n FROM ns)
+              ELSE 0 END AS BIGINT) AS tp
   FROM nodes
 ),
 outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
 r0 AS (
-  SELECT node, CAST(CASE WHEN node % 16 = 0 THEN {units} ELSE 0 END AS BIGINT)
-           AS rank
+  SELECT node,
+         CAST(CASE WHEN node % 16 = 0 THEN {units} // (SELECT n FROM ns)
+              ELSE 0 END AS BIGINT) AS rank
   FROM nodes
 ),
 {", ".join(steps)}
@@ -4150,7 +4156,12 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: DataFrame | None = None,
+    lm_dims: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """The END-TO-END curation decision — the four quality stages of this
     engine composed into one per-document verdict, the way a production
     training-data pipeline actually runs them:
@@ -4170,16 +4181,32 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; the oracle composes the same stage SQLs as CTEs — the green
     check pins the COMPOSITION, not just the parts. Plan: stages 1-3 are
     one scan each over doc-keyed joins; stage 4 is one md5-keyed
-    map-side-combining min-agg over survivors."""
+    map-side-combining min-agg over survivors.
+
+    Model dims follow ``streaming/stream_curate.py``'s frozen-dims design:
+    pass pre-trained ``weights`` (classifier dim) / ``lm_dims`` (bigram
+    count dims) to score with frozen models — the production shape, where
+    retraining is a deployment, not a query side effect. When absent (the
+    self-contained oracle/benchmark path) they are trained inline from ONE
+    shared gopher-gate pass: the gate projection is pinned executor-local
+    and reused for both the gate column and the training labels, so the
+    corpus is never gated twice (round-2 review item)."""
     from crawlee_spark.operators.classifier import score_hashed, train_hashed_nb
     from crawlee_spark.operators.gates import gopher_gate
     from crawlee_spark.operators.lm import bigram_dims, score_bigram
 
     d = _t(spark, sf_dir, "documents")
-    g = gopher_gate(d).select("doc_id", F.col("kept").alias("g_ok"))
-    weights = train_hashed_nb(gopher_gate(d), F.col("kept"))
+    gated = gopher_gate(d).select("doc_id", "text", "kept")
+    if weights is None:
+        # two consumers (gate column + training labels): pin the narrow
+        # projection so the gate expressions evaluate once per row
+        gated = gated.localCheckpoint(eager=True)
+        weights = train_hashed_nb(gated, F.col("kept"))
+    g = gated.select("doc_id", F.col("kept").alias("g_ok"))
     cls = score_hashed(d, weights).select("doc_id", "predicted")
-    lm = score_bigram(d, bigram_dims(d)).select(
+    if lm_dims is None:
+        lm_dims = bigram_dims(d)
+    lm = score_bigram(d, lm_dims).select(
         "doc_id", "n_tokens", "sum_q16")
     base = (
         d.select("doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("tkey"))

@@ -68,15 +68,23 @@ class StreamingCurate:
         )
         self.decisions = AppendTable(spark, os.path.join(workdir, "decisions"))
         self.batches: list[dict[str, Any]] = []
+        # committed-batch replay guard, walked from the manifest chain ONCE
+        # (at first use / restart) and then maintained incrementally — the
+        # chain walk is O(stream lifetime), so re-walking per batch made the
+        # guard quadratic over long-running streams
+        self._committed: set[int] | None = None
 
     def _committed_batches(self) -> set[int]:
-        if not self.decisions.exists():
-            return set()
-        return {
-            int(m["summary"]["batch_id"])
-            for m in self.decisions.history()
-            if "batch_id" in m.get("summary", {})
-        }
+        if self._committed is None:
+            if not self.decisions.exists():
+                self._committed = set()
+            else:
+                self._committed = {
+                    int(m["summary"]["batch_id"])
+                    for m in self.decisions.history()
+                    if "batch_id" in m.get("summary", {})
+                }
+        return self._committed
 
     def verdicts(self, docs: DataFrame) -> DataFrame:
         """Batch-shape gate stack (also usable outside streaming):
@@ -104,13 +112,19 @@ class StreamingCurate:
         if int(batch_id) in self._committed_batches():
             return  # foreachBatch replay after restart
         docs = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        # pin the verdicts: the gate stack runs ONCE per micro-batch; the
+        # append write and the stats aggregation both read the pinned rows
         decided = self.verdicts(docs).withColumn(
-            "batch_id", F.lit(int(batch_id)))
+            "batch_id", F.lit(int(batch_id))).localCheckpoint(eager=True)
         self.decisions.append(decided, {"batch_id": int(batch_id)}, coalesce=2)
-        n = decided.count()
-        kept = decided.filter("kept").count()
+        row = decided.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept"),
+        ).first()
         self.batches.append(
-            {"batch_id": int(batch_id), "seen": n, "kept": kept})
+            {"batch_id": int(batch_id), "seen": int(row["n"]),
+             "kept": int(row["kept"] or 0)})
+        self._committed_batches().add(int(batch_id))
 
     def start(self, doc_dir: str, checkpoint_dir: str,
               available_now: bool = True, max_files_per_trigger: int = 1):

@@ -110,3 +110,18 @@ def test_fill_bytes_before_marker():
     seg = b"\xff" * 3 + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     padded = base[:2] + seg + base[2:]
     assert exif_from_jpeg(padded)["orientation"] == 7
+
+
+def test_inject_app1_oversize_payload_raises_exif_error():
+    """The JPEG APP1 length field is 16-bit: payloads over 65533 bytes must
+    fail inside the module's error contract (ExifFormatError), not escape
+    as struct.error."""
+    import pytest
+
+    from crawlee_spark.functions.exif import ExifFormatError, inject_app1
+
+    soi_jpeg = b"\xff\xd8\xff\xd9"
+    ok = inject_app1(soi_jpeg, b"x" * 65533)   # exactly at the cap: fine
+    assert ok[2:4] == b"\xff\xe1"
+    with pytest.raises(ExifFormatError, match="65533"):
+        inject_app1(soi_jpeg, b"x" * 65534)

@@ -140,3 +140,24 @@ def test_trustrank_spam_region_gets_zero(spark):
     assert t[10] == 0 and t[11] == 0          # no trust path -> zero
     assert p[10] > 0 and p[11] > 0            # pagerank can't tell
     assert t[0] >= t[1] >= t[2] or t[1] > 0   # mass decays along the chain
+
+
+def test_trustrank_teleport_mass_splits_across_seeds(spark):
+    """Gyöngyi et al. normalization (d/|S| per seed): total trust mass must
+    NOT scale with the seed-set size — doubling the seeds roughly halves
+    each seed island's score instead of doubling the injected mass."""
+    from crawlee_spark.operators.graph import trustrank
+
+    # two disconnected identical islands
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src long, dst long")
+    one = spark.createDataFrame([(0,)], "node long")
+    two = spark.createDataFrame([(0,), (10,)], "node long")
+    t1 = {r["node"]: r["trust"] for r in trustrank(edges, one, iters=3).collect()}
+    t2 = {r["node"]: r["trust"] for r in trustrank(edges, two, iters=3).collect()}
+    total1 = sum(t1.values())
+    total2 = sum(t2.values())
+    # same total mass budget regardless of |S| (integer-floor slack only)
+    assert abs(total1 - total2) <= total1 * 0.02
+    # per-seed score halves (island symmetry makes this exact-ish)
+    assert abs(t2[0] - t1[0] // 2) <= max(2, t1[0] // 50)

@@ -142,9 +142,9 @@ def test_create_session_function_shapes_pool(spark, tmp_path, corpus):
     )
     eng.add_seeds(seeds_df)
     eng.run(corpus_df)
-    assert eng.session_rows, "pool should be tracked"
-    # rows are (bucket, session_id, error_score, usage_count, ...): every
-    # UNUSED session must still carry the factory's prior 0.5 (the default
-    # pool starts at 0.0), proving the hook's rows seeded the tracker
-    unused = [r for r in eng.session_rows if r[3] == 0]
-    assert unused and all(r[2] == 0.5 for r in unused)
+    state = eng.session_state()
+    assert state, "pool should be tracked"
+    # every UNUSED session must still carry the factory's prior 0.5 (the
+    # default pool starts at 0.0), proving the hook's rows seeded the tracker
+    unused = [s for s in state if s["usage_count"] == 0]
+    assert unused and all(s["error_score"] == 0.5 for s in unused)

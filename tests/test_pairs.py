@@ -193,3 +193,70 @@ def test_read_webdataset_roundtrip(spark, tmp_path):
     import os
     assert {os.path.basename(r["shard_path"]) for r in back.values()} == \
         set(os.listdir(out_dir))
+
+
+def test_write_webdataset_long_keys_pax_and_streamed(spark, tmp_path):
+    """Keys whose entry names exceed ustar's 100-byte cap must fall back to
+    pax (per shard, decided before writing) instead of crashing mid-export;
+    the long-name tar still round-trips and re-runs byte-identically."""
+    import hashlib
+    import os
+    import tarfile
+
+    from crawlee_spark.operators.packing import (
+        read_webdataset,
+        shard_manifest,
+        tar_sample_bytes,
+        write_webdataset,
+    )
+
+    long_key = "k" + "x" * 120
+    rows = [(long_key, b"LONG", "cap long"), ("short", b"SHORT", "cap s")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    man = shard_manifest(
+        df.withColumn("est_bytes", tar_sample_bytes("bytes", "caption")),
+        key_col="image_id", bytes_col="est_bytes",
+        num_buckets=1, samples_per_shard=8)
+    out_dir = str(tmp_path / "wds_long")
+    rec = write_webdataset(man, out_dir, key_col="image_id",
+                           entries={"jpg": "bytes", "txt": "caption"}).collect()
+    assert rec and all(r["n_samples"] > 0 for r in rec)
+    with tarfile.open(rec[0]["path"]) as tf:
+        names = {ti.name for ti in tf.getmembers() if ti.isreg()}
+    assert f"{long_key}.jpg" in names
+    back = {r["key"]: r for r in read_webdataset(spark, out_dir).collect()}
+    assert bytes(back[long_key]["jpg"]) == b"LONG"
+    # determinism holds through the pax path too
+    h = lambda: {p: hashlib.md5(open(os.path.join(out_dir, p), "rb").read())
+                 .hexdigest() for p in os.listdir(out_dir)}  # noqa: E731
+    before = h()
+    write_webdataset(man, out_dir, key_col="image_id",
+                     entries={"jpg": "bytes", "txt": "caption"}).collect()
+    assert h() == before
+
+
+def test_read_webdataset_skips_non_regular_members(spark, tmp_path):
+    """Externally produced shards may contain directory/symlink members —
+    the reader must skip them (extractfile returns None), not crash."""
+    import io
+    import os
+    import tarfile
+
+    out_dir = str(tmp_path / "wds_ext")
+    os.makedirs(out_dir)
+    with tarfile.open(os.path.join(out_dir, "shard-0000000000.tar"), "w") as tf:
+        d = tarfile.TarInfo("somedir.jpg")  # dir whose NAME matches an ext
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ln = tarfile.TarInfo("alink.txt")
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "elsewhere"
+        tf.addfile(ln)
+        ti = tarfile.TarInfo("real.jpg")
+        ti.size = 4
+        tf.addfile(ti, io.BytesIO(b"DATA"))
+    from crawlee_spark.operators.packing import read_webdataset
+
+    rows = read_webdataset(spark, out_dir).collect()
+    assert {r["key"] for r in rows} == {"real"}
+    assert bytes(rows[0]["jpg"]) == b"DATA"
