@@ -43,7 +43,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawlee_spark.functions import urls
+from crawlee_spark.functions import headers, urls
 from crawlee_spark.operators import politeness as pol
 from crawlee_spark.operators import robots as robots_op
 from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions, enqueue_links
@@ -196,12 +196,22 @@ class CrawlConfig:
     # before each superstep; True ends the crawl even with pending work
     # (the reference's custom-termination override)
     is_finished_function: Any = None
+    # EventManager bus (crawlee_spark/events.py; event_manager.ts:42-46):
+    # persistState after every superstep commit, migrating/aborting when an
+    # interrupt is requested, exit at run end; None = no bus
+    events: Any = None
+    # hadMultipleClients (request-queue.ts:493-507): the engine's lineage
+    # authority assumes it is the queue's only writer; on resume a foreign
+    # commit in the frontier lineage raises unless this is set (the caller
+    # accepting e.g. a raw maintenance commit as their own)
+    allow_foreign_writers: bool = False
 
 
 FETCH_LOG_SCHEMA = (
     "step int, url string, unique_key string, url_hash long, host string, "
     "bucket int, order_no long, depth int, retry_count int, status string, "
-    "status_code int, loaded_url string, proxy_url string"
+    "status_code int, loaded_url string, proxy_url string, "
+    "header_profile_id int, user_agent string"
 )
 
 METRICS_SCHEMA = (
@@ -271,6 +281,9 @@ class CrawlEngine:
         # target of 4-16k buckets that is 10^4-10^5 rows through the driver
         # per superstep). The driver holds only the table handle.
         self.sessions = SnapshotTable(spark, os.path.join(workdir, "sessions"))
+        # pending interrupt kind ("migrating" | "aborting"), set via
+        # request_interrupt — checked by run() after each superstep commit
+        self._interrupt: str | None = None
 
     # -- state / resume -----------------------------------------------------
 
@@ -310,6 +323,18 @@ class CrawlEngine:
         eng = cls(spark, workdir, cfg)
         if not eng.frontier.exists():
             raise FileNotFoundError(f"no frontier at {workdir}")
+        # multi-writer detection BEFORE the torn-superstep heal: a foreign
+        # commit can also leave the frontier "ahead", and healing would
+        # silently roll the foreign rows back — refusing surfaces the
+        # single-writer violation instead (hadMultipleClients analog)
+        if eng.frontier.had_multiple_clients() and \
+                not eng.cfg.allow_foreign_writers:
+            raise ValueError(
+                f"frontier at {workdir} has commits from another writer "
+                f"(had_multiple_clients); this engine is the queue's "
+                f"lineage authority. Roll the foreign commits back, or "
+                f"resume with CrawlConfig(allow_foreign_writers=True) to "
+                f"adopt them.")
         eng._load_state()
         # torn-superstep detection: a superstep spans several commits
         # (frontier, logs, politeness) with crawl_state.json saved LAST.
@@ -871,7 +896,8 @@ class CrawlEngine:
 
             self.frontier.table.commit_buckets(
                 new_content, "superstep",
-                {"step": step, **{k: v for k, v in stats.items() if k != "step"}},
+                {"step": step, "client": self.frontier.client_id,
+                 **{k: v for k, v in stats.items() if k != "step"}},
             )
             if self.urlseen is not None:
                 # refresh shards for the buckets this commit rewrote, stamped
@@ -892,6 +918,12 @@ class CrawlEngine:
                 )
             else:
                 proxy_col = F.lit(None).cast("string")
+            # header identity (got-scraping analog, functions/headers.py):
+            # same session key as the proxy pick — fixed across plain
+            # retries, redrawn on SessionError rotation
+            hdr = headers.header_profile_cols(
+                F.pmod(F.col("url_hash"), F.lit(1 << 31))
+                + F.col("rotation_count"))
             log = fetched.select(
                 F.lit(step).alias("step"), "url", "unique_key", "url_hash", "host",
                 "bucket", "order_no", "depth", "retry_count",
@@ -899,6 +931,8 @@ class CrawlEngine:
                 F.col("_status_code").alias("status_code"),
                 F.col("_loaded").alias("loaded_url"),
                 proxy_col.alias("proxy_url"),
+                hdr["header_profile_id"].alias("header_profile_id"),
+                hdr["user_agent"].alias("user_agent"),
             )
             self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
                                                FETCH_LOG_SCHEMA.split(",")]),
@@ -1061,6 +1095,19 @@ class CrawlEngine:
 
     # -- the crawl loop -----------------------------------------------------
 
+    def request_interrupt(self, kind: str = "migrating") -> None:
+        """Ask the run loop to stop cleanly after the CURRENT superstep's
+        commit — the platform's migrating/aborting signal
+        (event_manager.ts:42-46). The just-committed superstep is a full
+        checkpoint, so ``CrawlEngine.resume`` continues bit-identically."""
+        if kind not in ("migrating", "aborting"):
+            raise ValueError(f"unknown interrupt kind {kind!r}")
+        self._interrupt = kind
+
+    def _emit(self, event: str, payload: dict[str, Any]) -> None:
+        if self.cfg.events is not None:
+            self.cfg.events.emit(event, payload)
+
     def run(self, corpus: DataFrame, robots: DataFrame | None = None,
             seeds: DataFrame | None = None) -> dict[str, Any]:
         cfg = self.cfg
@@ -1076,11 +1123,23 @@ class CrawlEngine:
                     cfg.is_finished_function(self):
                 break
             st = self.run_superstep(corpus, robots)
+            # the superstep's tables + scalar state are committed: this is
+            # the reference's persistState tick (listeners may call
+            # request_interrupt here — e.g. a platform migration signal)
+            self._emit("persistState", {"isMigrating":
+                                        self._interrupt == "migrating",
+                                        "step": self.step})
             if st.get("empty"):
                 break
             totals["supersteps"] += 1
             for k in ("handled", "failed", "retried", "robots_dead", "enqueued"):
                 totals[k] += st[k]
+            if self._interrupt is not None:
+                # stop AFTER the commit: resume picks up from this superstep
+                self._emit(self._interrupt, {"step": self.step})
+                totals["interrupted"] = self._interrupt
+                self._interrupt = None
+                break
             if st["fetched"] == 0 and st["robots_dead"] == 0:
                 # nothing eligible: keep ticking only while a politeness
                 # window is still ahead of us; else no progress is possible
@@ -1088,6 +1147,7 @@ class CrawlEngine:
                     break
         totals["steps"] = self.step
         totals["handled_count"] = self.handled_count
+        self._emit("exit", {"step": self.step})
         return totals
 
     # -- outputs ------------------------------------------------------------

@@ -368,8 +368,15 @@ class FrontierTable:
     file-per-request JSON + PERSIST_STATE events (§2.9).
     """
 
-    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
+    # every commit summary written through FrontierTable methods (or the
+    # engine's superstep commit) carries this stamp; its absence in a
+    # lineage entry marks a foreign writer (had_multiple_clients below)
+    CLIENT_ID = "crawler"
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32,
+                 client_id: str | None = None):
         self.spark = spark
+        self.client_id = client_id or self.CLIENT_ID
         self.table = SnapshotTable(spark, root)
         # the TABLE is the authority on its bucket count: `create` and
         # `rebucket` record it in the commit summary, and a fresh handle
@@ -402,7 +409,8 @@ class FrontierTable:
     ) -> "FrontierTable":
         empty = spark.createDataFrame([], FRONTIER_SCHEMA)
         SnapshotTable.create(spark, root, empty, num_buckets=num_buckets,
-                             summary={"num_buckets": num_buckets})
+                             summary={"num_buckets": num_buckets,
+                                      "client": cls.CLIENT_ID})
         return cls(spark, root, num_buckets)
 
     def rebucket(self, new_num_buckets: int) -> int:
@@ -435,7 +443,7 @@ class FrontierTable:
             "bucket", _urls.host_hash(F.col("host"), new_num_buckets))
         sid = self.table._commit_full(
             df, new_num_buckets, "rebucket",
-            {"num_buckets": new_num_buckets})
+            {"num_buckets": new_num_buckets, "client": self.client_id})
         self.num_buckets = new_num_buckets
         return sid
 
@@ -480,7 +488,8 @@ class FrontierTable:
             new_content = existing.unionByName(fresh)
             self.table.commit_buckets(
                 new_content, "add_requests",
-                {"step": step, "batch": batch_n, **(summary_extra or {})},
+                {"step": step, "batch": batch_n, "client": self.client_id,
+                 **(summary_extra or {})},
             )
             return {"added": added, "already_present": batch_n - added}
         finally:
@@ -507,7 +516,8 @@ class FrontierTable:
         # again for the same number
         promoted = hit.count()
         self.table.commit_buckets(
-            updated, "reprioritize", {"step": step}, touched=touched
+            updated, "reprioritize",
+            {"step": step, "client": self.client_id}, touched=touched
         )
         return promoted
 
@@ -532,9 +542,25 @@ class FrontierTable:
         # removed count — no before/after full-bucket rescans needed
         removed = hit.count()
         self.table.commit_buckets(
-            kept, "delete_requests", {"op": "deleteRequest"}, touched=touched
+            kept, "delete_requests",
+            {"op": "deleteRequest", "client": self.client_id}, touched=touched
         )
         return removed
+
+    def had_multiple_clients(self) -> bool:
+        """``hadMultipleClients`` analog (``packages/memory-storage/src/
+        resource-clients/request-queue.ts:493-507``): True when the commit
+        lineage shows a writer other than this client — a foreign commit is
+        any manifest whose summary lacks this table's client stamp or
+        carries a different one. The engine's single-writer lineage
+        authority assumes exclusivity; this surfaces the violation instead
+        of silently trusting it (``CrawlEngine.resume`` refuses when it
+        trips). Walks the manifest chain (driver-side JSON, O(commits))."""
+        for m in self.table.history():
+            writer = m.get("summary", {}).get("client")
+            if writer != self.client_id:
+                return True
+        return False
 
     def counters(self) -> dict[str, int]:
         """getInfo analog (``request_provider.ts:87-89, 529-561``)."""
@@ -544,6 +570,11 @@ class FrontierTable:
             F.count(F.when(F.col("order_no").isNotNull(), 1)).alias("pending"),
         ).first()
         return {"total": agg["total"], "handled": agg["handled"], "pending": agg["pending"]}
+
+    def get_info(self) -> dict[str, Any]:
+        """Queue metadata (``getInfo``): counters + multi-writer signal."""
+        return {**self.counters(),
+                "had_multiple_clients": self.had_multiple_clients()}
 
     def is_finished(self) -> bool:
         """isFinished under snapshot isolation: exact, no consistency loop

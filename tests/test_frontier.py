@@ -269,3 +269,49 @@ def test_rebucket_preserves_rows_and_updates_authority(spark, tmp_path):
     with pytest.raises(ValueError, match="rebucketed"):
         CrawlEngine(spark, wdir, CrawlConfig(num_buckets=4))
     CrawlEngine(spark, wdir, CrawlConfig(num_buckets=8))  # adopts fine
+
+
+def test_had_multiple_clients_flags_foreign_writer(spark, ft):
+    """hadMultipleClients analog (request-queue.ts:493-507): every
+    engine-path commit is client-stamped; a raw SnapshotTable commit (a
+    second writer) trips the flag."""
+    ft.add_requests(_urls(spark, ["http://a.test/1", "http://b.test/2"]),
+                    step=0)
+    assert ft.had_multiple_clients() is False
+    assert ft.get_info()["had_multiple_clients"] is False
+    # second writer: raw commit bypassing FrontierTable (no client stamp)
+    ft.table.commit_buckets(
+        ft.read().limit(0), "external-touch", {"who": "other-tool"})
+    assert ft.had_multiple_clients() is True
+    assert ft.get_info()["had_multiple_clients"] is True
+
+
+def test_resume_refuses_foreign_writer_unless_allowed(spark, tmp_path):
+    """Engine resume must surface the single-writer violation (refuse),
+    and adopt the queue only with allow_foreign_writers=True."""
+    import os
+
+    from crawlee_spark import datagen
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+
+    rows = list(datagen.gen_corpus_rows(20, 3, seed=9, with_bytes=False))
+    seeds = datagen.gen_seed_rows(20, 3, seed=9, n_seeds=3)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string")
+    seeds_df = spark.createDataFrame(
+        seeds, "url string, forefront boolean, depth int, label string")
+    wd = str(tmp_path / "crawl")
+    eng = CrawlEngine(spark, wd, CrawlConfig(num_buckets=4))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    # clean lineage resumes fine
+    CrawlEngine.resume(spark, wd, CrawlConfig(num_buckets=4))
+    # a second writer touches the frontier directly
+    ft = fr.FrontierTable(spark, os.path.join(wd, "frontier"))
+    ft.table.commit_buckets(ft.read().limit(0), "external", {})
+    with pytest.raises(ValueError, match="another writer"):
+        CrawlEngine.resume(spark, wd, CrawlConfig(num_buckets=4))
+    eng2 = CrawlEngine.resume(
+        spark, wd, CrawlConfig(num_buckets=4, allow_foreign_writers=True))
+    assert eng2.frontier.had_multiple_clients() is True

@@ -158,3 +158,87 @@ def test_cookie_rfc6265_domain_scoping():
     c3 = parse_set_cookie("a=b")
     assert c3.host_only and c3.domain == ""
     assert cookie_header([c3], "http://example.com/") == ""
+
+
+# -- header identity (got-scraping analog, functions/headers.py) ------------
+
+
+def test_header_profile_cols_match_python_twin(spark):
+    from crawlee_spark.functions.headers import (
+        PROFILES,
+        header_profile_cols,
+        header_profile_py,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(25)], "k long")
+    cols = header_profile_cols(F.col("k"))
+    got = {r["k"]: r for r in df.select(
+        "k", *[c.alias(n) for n, c in cols.items()]).collect()}
+    for k in range(25):
+        p = header_profile_py(k)
+        assert got[k]["header_profile_id"] == k % len(PROFILES)
+        assert got[k]["user_agent"] == p.user_agent
+        assert got[k]["accept_language"] == p.accept_language
+        assert got[k]["sec_ch_ua"] == p.sec_ch_ua
+    # deterministic + session-sticky: same key, same fingerprint
+    assert got[3]["user_agent"] == got[3 + len(PROFILES)]["user_agent"]
+    # a rotation (key+1) always redraws the profile
+    assert got[3]["user_agent"] != got[4]["user_agent"]
+
+
+def test_engine_header_identity_sticky_on_retry_rotates_on_block(spark, tmp_path):
+    """The fetch log's header identity must be FIXED across plain retries
+    (same session key) and redrawn on session rotation (429 SessionError),
+    while staying parity-neutral — the got-scraping per-session
+    fingerprint contract (http-crawler.ts:560-600)."""
+    from crawlee_spark import datagen, simulator
+    from crawlee_spark.engine import (
+        CrawlConfig,
+        CrawlEngine,
+        FailureModelConf,
+        StatusModelConf,
+    )
+    from crawlee_spark.simulator import FailureModel, SimConfig, simulate
+
+    rows = list(datagen.gen_corpus_rows(60, 4, seed=11, with_bytes=False))
+    seeds = datagen.gen_seed_rows(60, 4, seed=11, n_seeds=4)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string")
+    seeds_df = spark.createDataFrame(
+        seeds, "url string, forefront boolean, depth int, label string")
+    sm = StatusModelConf(status_mods={429: 5}, max_session_rotations=3)
+    fm = FailureModelConf(fail_mod=7, fail_attempts=2)
+    eng = CrawlEngine(spark, str(tmp_path / "hdr"),
+                      CrawlConfig(num_buckets=4, status=sm, failures=fm))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+    sim = simulate({r["url"]: {"html": r["html"]} for r in rows}, seeds,
+                   SimConfig(status=sm, failures=FailureModel(
+                       fail_mod=7, fail_attempts=2)))
+    assert eng.crawl_order() == sim.crawl_order  # observability-neutral
+
+    log = eng.fetch_log.read()
+    assert log.filter("header_profile_id is null or user_agent is null") \
+        .count() == 0
+    # plain retries (fetch-failed rows): rotation_count stays 0 -> one
+    # profile per url across all its attempts
+    per_url = (
+        log.filter("status = 'fetch-failed'")
+        .groupBy("url_hash")
+        .agg(F.countDistinct("header_profile_id").alias("n_prof"),
+             F.count("*").alias("n_rows"))
+    )
+    multi = per_url.filter("n_rows >= 2")
+    assert multi.count() > 0, "failure model should produce retries"
+    assert multi.filter("n_prof != 1").count() == 0
+    # session-blocked attempts: each rotation draws a NEW profile
+    rot = (
+        log.filter("status = 'session-blocked'")
+        .groupBy("url_hash")
+        .agg(F.countDistinct("header_profile_id").alias("n_prof"),
+             F.count("*").alias("n_rows"))
+        .filter("n_rows >= 2")
+    )
+    assert rot.count() > 0, "status model should produce rotations"
+    assert rot.filter("n_prof != n_rows").count() == 0
