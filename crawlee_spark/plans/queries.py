@@ -1371,19 +1371,43 @@ FROM sess GROUP BY user_id
 def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint invariant over a deterministic image+caption table:
     decode + PSNR>=40dB + caption equality + phash via mapInPandas
-    (vectorized Arrow; see functions/images.py). Not SQL-expressible."""
+    (vectorized Arrow; see functions/images.py).
+
+    Oracled the image_header_sniff way (closed-form expectations from the
+    synthesis parameters, independent of the decode path): the corpus
+    plants failures by INDEX ARITHMETIC — every 13th page's blob is
+    truncated (decode must fail → all flags false) and every remaining
+    11th page's caption is tampered (decode fine, caption_match false) —
+    and the DuckDB oracle derives the expected flags from the same
+    ``i % 13`` / ``i % 11`` rules without touching a byte. Green means the
+    five real codecs decoded every untouched blob to PSNR/equality truth
+    AND the validator caught exactly the planted corruptions."""
     from crawlee_spark import datagen
     from crawlee_spark.functions.images import validate_pages
 
-    rows = [
-        {k: r[k] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-        for r in datagen.gen_pages_rows(64, 4, seed=42)
-    ]
+    rows = []
+    for i, r in enumerate(datagen.gen_pages_rows(64, 4, seed=42)):
+        row = {k: r[k] for k in
+               ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+        if i % 13 == 0:
+            row["bytes"] = row["bytes"][:8]  # truncated blob: decode fails
+        elif i % 11 == 0:
+            row["caption"] = "<tampered>"    # caption mismatch only
+        rows.append(row)
     df = spark.createDataFrame(
         rows,
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
     )
     return validate_pages(df, seed=42).select("image_id", "ok", "phash_match", "caption_match")
+
+
+ORACLE_IMAGE_VALIDATE = """
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       (i % 13 <> 0 AND i % 11 <> 0) AS ok,
+       (i % 13 <> 0) AS phash_match,
+       (i % 13 <> 0 AND i % 11 <> 0) AS caption_match
+FROM range(64) t(i)
+"""
 
 
 def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1413,18 +1437,55 @@ def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized image feature extraction (decode → stats + phash)."""
-    from crawlee_spark import datagen
-    from crawlee_spark.functions.images import extract_features
+    """Vectorized image feature extraction (decode → stats + phash).
 
-    rows = [
-        {k: r[k] for k in ("image_id", "bytes", "w", "h", "fmt")}
-        for r in datagen.gen_pages_rows(64, 4, seed=42)
-    ]
+    Oracled closed-form (VERDICT r2 item #8): the corpus is 64 two-band
+    images — top half rows at gray value ``va = 40 + (i*7) % 160``, bottom
+    half at ``vb = 40 + (i*13) % 160``, all channels equal, dims even and
+    divisible by the 8x8 phash grid, LOSSLESS formats only (png/bmp/ppm
+    cycle) — so every output is analytic and IEEE-exact:
+
+      mean_r/g/b = (va+vb)/2   (exact: ≤1 fractional bit)
+      luma_std   = |va-vb|/2   (two-point half/half distribution)
+      phash      = top-half bits set iff va>vb → -2^32, 2^32-1, or 0
+
+    The DuckDB oracle derives all five from the same index arithmetic
+    without decoding; green proves the encode→decode→stats path exact."""
+    import numpy as np
+
+    from crawlee_spark.functions.images import encode_image, extract_features
+
+    rows = []
+    for i in range(64):
+        w = 32 + (i % 4) * 16
+        h = 32 + ((i * 3) % 4) * 16
+        fmt = ("png", "bmp", "ppm")[i % 3]
+        va = 40 + (i * 7) % 160
+        vb = 40 + (i * 13) % 160
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[: h // 2] = va
+        px[h // 2:] = vb
+        rows.append({"image_id": f"img-{i:012d}",
+                     "bytes": encode_image(px, fmt),
+                     "w": w, "h": h, "fmt": fmt})
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
     return extract_features(df)
+
+
+ORACLE_IMAGE_FEATURES = """
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       (va + vb) / 2.0 AS mean_r,
+       (va + vb) / 2.0 AS mean_g,
+       (va + vb) / 2.0 AS mean_b,
+       abs(va - vb) / 2.0 AS luma_std,
+       CAST(CASE WHEN va > vb THEN -4294967296
+                 WHEN va < vb THEN 4294967295
+                 ELSE 0 END AS BIGINT) AS phash
+FROM (SELECT i, 40 + (i * 7) % 160 AS va, 40 + (i * 13) % 160 AS vb
+      FROM range(64) t(i))
+"""
 
 
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4480,5 +4541,7 @@ ORACLES: dict[str, str] = {
     "caption_filter": ORACLE_CAPTION_FILTER,
     "anchor_topk": ORACLE_ANCHOR_TOPK,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
-    # image_validate / image_features / crawl_end_to_end: rows-only
+    "image_validate": ORACLE_IMAGE_VALIDATE,
+    "image_features": ORACLE_IMAGE_FEATURES,
+    # image_exif / crawl_end_to_end: rows-only (IFD walking / BSP loop)
 }
