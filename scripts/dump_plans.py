@@ -386,6 +386,24 @@ report.append("== token_mix (scan audit) ==")
 report.append(f"  [{'OK' if _tm_scans <= 2 else 'MISS'}] corpus scanned <= 2x "
               f"(scans={_tm_scans})")
 
+# curation_pipeline: the gopher gate must be computed ONCE (round-2 review
+# item: the gate fed both the g_ok column and the classifier's training
+# labels as two separate gate-expression scans; now one pinned projection
+# feeds both). Parquet scans left in the plan: classifier score, the two
+# LM dims + LM score, and the doc-key/md5 base — the gate itself reads the
+# checkpoint. A regression re-inlining the gate adds parquet scans AND
+# re-materializes the (expensive) gate expression tree.
+_cp_simple = plan_of(QUERIES["curation_pipeline"](spark, sf_dir), "simple")
+_cp_scans = _cp_simple.count("Scan parquet")
+_cp_ckpt = ("ExistingRDD" in _cp_simple) or ("Scan rdd" in _cp_simple.lower())
+report.append("== curation_pipeline (scan audit) ==")
+report.append(f"  [{'OK' if _cp_scans <= 7 else 'MISS'}] corpus scanned <= 7x "
+              f"(scans={_cp_scans}; doc-key base + classifier score + 3 "
+              f"inline LM-dim builds + 2-stream LM score — the production "
+              f"path passes frozen weights/lm_dims and drops the dim scans)")
+report.append(f"  [{'OK' if _cp_ckpt else 'MISS'}] gopher gate pinned once "
+              f"(checkpoint scan present; round-2 ran the gate twice)")
+
 # frontier normalize: the URL parse must be evaluated ONCE per row behind
 # the Generate barrier (explode of a single-element struct array) — without
 # it Catalyst inlines the parse tree into every derived column (~4x slower;
