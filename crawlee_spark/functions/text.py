@@ -104,7 +104,12 @@ def langid_scores(text: Column) -> dict[str, Column]:
 
 def langid(text: Column) -> Column:
     """Predicted language: argmax stopword ratio, ties → 'und' unless a
-    single language strictly wins; all-zero → 'und'. Deterministic."""
+    single language strictly wins; all-zero → 'und'. Deterministic.
+
+    Perf note: the when-chain references each score under CASE branches,
+    which codegen CSE won't merge — in a hot path, stage ``langid_scores``
+    behind a Generate barrier first and argmax over the attribute refs
+    (see ``plans/queries.py::q_text_langid``)."""
     scores = langid_scores(text)
     langs = sorted(scores)  # deterministic evaluation order
     best = F.greatest(*[scores[lang] for lang in langs])

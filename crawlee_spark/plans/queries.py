@@ -1005,9 +1005,25 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID per document."""
+    """Stopword-heuristic language ID per document.
+
+    The per-language scores are staged behind a Generate barrier
+    (``_materialize``) before the argmax when-chain: expressions under
+    CASE branches are exempt from codegen CSE, so the inline form
+    (``T.langid``) re-tokenizes the document once per (language × branch
+    reference) — the round-2 bench regression. Values are identical; only
+    the plan shape changes (same fix class as q_text_repetition)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
+    scores = T.langid_scores(F.col("text"))
+    langs = sorted(scores)
+    m = _materialize(d.select("doc_id", "text"),
+                     **{f"s_{l}": scores[l] for l in langs})
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when((F.col(f"s_{lang}") == best) & (best > 0),
+                     F.lit(lang)).otherwise(out)
+    return m.select("doc_id", out.alias("lang_pred"))
 
 
 def _oracle_langid() -> str:

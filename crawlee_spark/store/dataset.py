@@ -221,3 +221,68 @@ class KeyValueStore:
             unquote(f[: -len(".json")])
             for f in os.listdir(self.root) if f.endswith(".json")
         )
+
+
+# ---------------------------------------------------------------------------
+# Configuration-bound open() (dataset.ts:605-616, key_value_store.ts:680-690)
+# ---------------------------------------------------------------------------
+
+# The reference purges the DEFAULT (unnamed) storages once per process when
+# purgeOnStart is set (storages/utils.ts::purgeDefaultStorages); named
+# storages are never purged. Same contract here.
+_PURGED_ROOTS: set[str] = set()
+
+
+def _resolve_root(kind: str, storage_id: str | None, default_key: str,
+                  config) -> str:
+    from crawlee_spark.configuration import Configuration
+
+    cfg = config or Configuration.get_global_configuration()
+    is_default = storage_id is None
+    sid = storage_id if storage_id is not None else cfg.get(default_key)
+    root = cfg.storage_path(kind, sid)
+    if is_default and cfg.get("purge_on_start") and root not in _PURGED_ROOTS:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    _PURGED_ROOTS.add(root)
+    return root
+
+
+def open_dataset(spark: SparkSession, dataset_id: str | None = None,
+                 config=None) -> Dataset:
+    """``Dataset.open`` analog: resolve the root from the Configuration
+    (``CRAWLEE_STORAGE_DIR``/``CRAWLEE_DEFAULT_DATASET_ID``); the unnamed
+    default dataset is purged once per process under ``purge_on_start``."""
+    return Dataset(spark,
+                   _resolve_root("datasets", dataset_id,
+                                 "default_dataset_id", config))
+
+
+def open_key_value_store(store_id: str | None = None,
+                         config=None) -> KeyValueStore:
+    """``KeyValueStore.open`` analog (same resolution/purge contract)."""
+    return KeyValueStore(
+        _resolve_root("key_value_stores", store_id,
+                      "default_key_value_store_id", config))
+
+
+def get_input(config=None) -> Any:
+    """``KeyValueStore.getInput()``: the ``input_key`` record of the default
+    store (``key_value_store.ts:69-82``)."""
+    from crawlee_spark.configuration import Configuration
+
+    cfg = config or Configuration.get_global_configuration()
+    return open_key_value_store(config=cfg).get_value(cfg.get("input_key"))
+
+
+def open_request_queue(spark: SparkSession, queue_id: str | None = None,
+                       config=None):
+    """``RequestQueue.open`` analog: a ``FrontierTable`` handle rooted at
+    ``{storage_dir}/request_queues/{id}`` (``CRAWLEE_DEFAULT_REQUEST_QUEUE_ID``
+    resolves the unnamed default; same purge contract as the other stores)."""
+    from crawlee_spark.operators.frontier import FrontierTable
+
+    return FrontierTable(
+        spark, _resolve_root("request_queues", queue_id,
+                             "default_request_queue_id", config))

@@ -88,3 +88,50 @@ def test_storage_path_and_global_instance():
     bare = Configuration(env={})
     for k in DEFAULTS:
         assert bare.get(k) == DEFAULTS[k]
+
+
+def test_open_storages_resolution_and_purge(spark, tmp_path):
+    """open_dataset/open_key_value_store resolve roots from the config and
+    purge the DEFAULT storage once per process under purge_on_start; named
+    storages are never purged (storages/utils.ts::purgeDefaultStorages)."""
+    from crawlee_spark.store import dataset as ds
+
+    c = Configuration({"storage_dir": str(tmp_path / "storage")}, env={})
+    kv = ds.open_key_value_store(config=c)
+    kv.set_value("probe", {"v": 1})
+    named = ds.open_key_value_store("keep", config=c)
+    named.set_value("probe", {"v": 2})
+    assert kv.root == str(tmp_path / "storage/key_value_stores/default")
+
+    # same process: default store NOT re-purged on re-open
+    assert ds.open_key_value_store(config=c).get_value("probe") == {"v": 1}
+
+    # simulate a fresh process: purge registry cleared -> default purged,
+    # named survives
+    ds._PURGED_ROOTS.clear()
+    assert ds.open_key_value_store(config=c).get_value("probe") is None
+    assert ds.open_key_value_store("keep", config=c).get_value("probe") == \
+        {"v": 2}
+
+    # purge_on_start=False never purges
+    ds._PURGED_ROOTS.clear()
+    c2 = Configuration({"storage_dir": str(tmp_path / "storage"),
+                        "purge_on_start": False}, env={})
+    ds.open_key_value_store(config=c2).set_value("probe", {"v": 3})
+    ds._PURGED_ROOTS.clear()
+    assert ds.open_key_value_store(config=c2).get_value("probe") == {"v": 3}
+
+    # dataset resolution + getInput
+    d = ds.open_dataset(spark, "results", config=c)
+    assert d.table.root == str(tmp_path / "storage/datasets/results")
+    ds.open_key_value_store(config=c).set_value("INPUT", {"seeds": ["a"]})
+    assert ds.get_input(config=c) == {"seeds": ["a"]}
+
+
+def test_open_request_queue_resolution(spark, tmp_path):
+    from crawlee_spark.store import dataset as ds
+
+    c = Configuration({"storage_dir": str(tmp_path / "s")}, env={})
+    q = ds.open_request_queue(spark, "main", config=c)
+    assert q.table.root == str(tmp_path / "s/request_queues/main")
+    assert not q.exists()
