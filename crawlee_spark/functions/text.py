@@ -106,10 +106,10 @@ def langid(text: Column) -> Column:
     """Predicted language: argmax stopword ratio, ties → 'und' unless a
     single language strictly wins; all-zero → 'und'. Deterministic.
 
-    Perf note: the when-chain references each score under CASE branches,
-    which codegen CSE won't merge — in a hot path, stage ``langid_scores``
-    behind a Generate barrier first and argmax over the attribute refs
-    (see ``plans/queries.py::q_text_langid``)."""
+    Perf note: the when-chain references each score under CASE branches
+    (codegen-CSE-exempt), but the score trees are cheap enough that
+    staging them behind a Generate barrier measured SLOWER (0.67 vs
+    0.63 s at sf0.1) — keep inline; see q_text_langid's docstring."""
     scores = langid_scores(text)
     langs = sorted(scores)  # deterministic evaluation order
     best = F.greatest(*[scores[lang] for lang in langs])

@@ -1007,23 +1007,18 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID per document.
 
-    The per-language scores are staged behind a Generate barrier
-    (``_materialize``) before the argmax when-chain: expressions under
-    CASE branches are exempt from codegen CSE, so the inline form
-    (``T.langid``) re-tokenizes the document once per (language × branch
-    reference) — the round-2 bench regression. Values are identical; only
-    the plan shape changes (same fix class as q_text_repetition)."""
+    Kept INLINE deliberately: an A/B at sf0.1 (exclusive, warmed,
+    noop-write, best-of-3) measured the Generate-barrier staged variant
+    at 0.67 s vs 0.63 s inline — the per-language score trees here are
+    cheap enough that the barrier's row materialization loses (the
+    SCALE.md CASE-CSE note's counter-case; contrast q_text_repetition,
+    where the guarded trees are expensive array folds and the barrier
+    wins 13x). The flagged round-1→2 0.48→0.80 s "regression" is the
+    round-2 honest-sink switch, not a plan change: round 1 timed
+    ``count()``, which prunes deterministic projections (BASELINE.md
+    measured this very query at 0.22 s counted vs 0.72 s evaluated)."""
     d = _t(spark, sf_dir, "documents")
-    scores = T.langid_scores(F.col("text"))
-    langs = sorted(scores)
-    m = _materialize(d.select("doc_id", "text"),
-                     **{f"s_{l}": scores[l] for l in langs})
-    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
-    out = F.lit("und")
-    for lang in reversed(langs):
-        out = F.when((F.col(f"s_{lang}") == best) & (best > 0),
-                     F.lit(lang)).otherwise(out)
-    return m.select("doc_id", out.alias("lang_pred"))
+    return d.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
 
 
 def _oracle_langid() -> str:
