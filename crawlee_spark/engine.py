@@ -48,6 +48,7 @@ from crawlee_spark.operators import politeness as pol
 from crawlee_spark.operators import robots as robots_op
 from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions, enqueue_links
 from crawlee_spark.operators.frontier import (
+    STEP_SHIFT,
     FrontierTable,
     make_requests,
     merge_new_requests,
@@ -205,6 +206,14 @@ class CrawlConfig:
     # commit in the frontier lineage raises unless this is set (the caller
     # accepting e.g. a raw maintenance commit as their own)
     allow_foreign_writers: bool = False
+    # anti-starvation (beyond-reference, off by default): a continuous
+    # forefront stream can starve normal-band pending rows forever under a
+    # tight per-host budget (forefront always sorts first). When set,
+    # normal rows pending for more than this many supersteps are lifted
+    # ABOVE the forefront band for selection — oldest first — at
+    # selection time only (no table mutation, no extra commit). Changes
+    # fetch ordering by design, so parity tests leave it None.
+    starvation_boost_steps: int | None = None
 
 
 FETCH_LOG_SCHEMA = (
@@ -603,6 +612,23 @@ class CrawlEngine:
             # basic-crawler.ts:1111-1138)
             domain_col = None
             candidates = allowed
+            if cfg.starvation_boost_steps is not None:
+                # lift starved normal-band rows above EVERY forefront row,
+                # oldest first: order_no - (2*(max_steps+2))<<32 is more
+                # negative than any forefront magnitude ((step+1)<<32), and
+                # ascending order then puts the smallest enqueued step
+                # first. Selection-time rewrite only — the commit path
+                # derives from the table read, never from this frame.
+                lift = (2 * (cfg.max_steps + 2)) << STEP_SHIFT
+                starved = (
+                    (F.col("order_no") > 0)
+                    & (F.lit(step) - F.col("enqueued_step")
+                       > cfg.starvation_boost_steps)
+                )
+                candidates = candidates.withColumn(
+                    "order_no",
+                    F.when(starved, F.col("order_no") - F.lit(lift))
+                    .otherwise(F.col("order_no")))
             if cfg.politeness.key_by_domain:
                 from crawlee_spark.functions import psl
 

@@ -2471,6 +2471,50 @@ FROM per_host
 """
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch-budget apportionment across hosts by importance mass
+    (``operators/budget.py::apportion_budget`` — Hamilton largest-
+    remainder, exact integers, total preserved). Host weights here are a
+    closed-form importance proxy (sum of per-doc ``doc_id % 100 + 1``
+    over the crawl_capacity host derivation); budget = 1000 fetches per
+    superstep. The oracle is the NAIVE single-window form, so green
+    proves the distributed threshold-histogram construction picks
+    exactly the same K largest remainders (ties by host order)."""
+    from crawlee_spark.operators.budget import apportion_budget
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit("."), F.col("source"), F.lit(".com"))
+    w = d.select(host.alias("host"),
+                 (F.col("doc_id") % 100 + 1).alias("pw")) \
+        .groupBy("host").agg(F.sum("pw").cast("long").alias("weight"))
+    return apportion_budget(w, total=1000)
+
+
+ORACLE_CRAWL_BUDGET = """
+WITH w AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.com' AS host,
+         CAST(sum(doc_id % 100 + 1) AS BIGINT) AS weight
+  FROM documents GROUP BY 1
+),
+t AS (SELECT greatest(CAST(sum(weight) AS BIGINT), 1) AS tw FROM w),
+q AS (
+  SELECT host, weight,
+         CAST(1000 * weight // (SELECT tw FROM t) AS BIGINT) AS base,
+         CAST((1000 * weight) % (SELECT tw FROM t) AS BIGINT) AS rem
+  FROM w
+),
+k AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS kk FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM q)
+SELECT host, weight, base,
+       CAST(CASE WHEN rk <= (SELECT kk FROM k) THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       base + CAST(CASE WHEN rk <= (SELECT kk FROM k) THEN 1 ELSE 0 END
+                   AS BIGINT) AS budget
+FROM r
+"""
+
+
 def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection (``operators/traps.py::detect_traps``):
     hosts whose URL space explodes into many URLs over few path templates
@@ -4355,6 +4399,8 @@ FROM staged s LEFT JOIN keepers k USING (tkey)
 #      normalization, graph/pagerank, the size-guarded brute-force twins);
 #   3. everything already green in CORRECTNESS_r02.json, old order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- 0. new this round (never driver-recorded) -------------------------
+    "crawl_budget": q_crawl_budget,
     # --- 1. not yet in a driver CORRECTNESS artifact -----------------------
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -4552,6 +4598,7 @@ ORACLES: dict[str, str] = {
     "caption_filter": ORACLE_CAPTION_FILTER,
     "anchor_topk": ORACLE_ANCHOR_TOPK,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
+    "crawl_budget": ORACLE_CRAWL_BUDGET,
     "image_validate": ORACLE_IMAGE_VALIDATE,
     "image_features": ORACLE_IMAGE_FEATURES,
     # image_exif / crawl_end_to_end: rows-only (IFD walking / BSP loop)

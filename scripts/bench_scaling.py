@@ -218,26 +218,28 @@ this VM cannot quadruple.
   the last wave of tasks cannot stall a stage (biggest win at high
   parallelism).
 
-## Integration-tier correctness at scale (FIXTURES.md tier 2)
-
-Round-1 evidence run (local[16]): 5,000-page / 50-host Zipf corpus, 25
-seeds → 12 supersteps, 3,115 successful fetches, 4,564-key final URL-seen
-set; engine crawl order AND URL-seen set bit-identical to the pure-Python
-simulator. Re-verified on the round-2 engine via the /verify drive
-(frontier seeds/resume/politeness + engine-vs-simulator parity, VERIFY-OK)
-after the normalize rewrite, the distributed crawl-delay dim, and the
-request-field additions.
+<!-- bench_scaling: generated content above; manual sections below are preserved -->
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # Regenerating the measured sections must not drop manually appended
-    # sections (the per-round headline snapshot lives after this marker).
+    # Regenerating the measured sections must not drop the manual sections
+    # (commit-cost soak, per-round headline snapshots, ...): everything at
+    # or after the preservation marker — or, for files written before the
+    # marker existed, from the first manual section heading — is kept.
+    MARK = "<!-- bench_scaling: generated content above"
     tail = ""
     if os.path.exists(path):
         with open(path) as f:
             old = f.read()
-        idx = old.find("\n## Round-2 headline snapshot")
+        idx = old.find(MARK)
         if idx >= 0:
-            tail = old[idx:]
+            tail = old[old.find("\n", idx) + 1:]
+        else:
+            for h in ("\n## Commit-cost soak", "\n## Integration-tier",
+                      "\n## Round-"):
+                idx = old.find(h)
+                if idx >= 0:
+                    tail = old[idx + 1:]
+                    break
     with open(path, "w") as f:
         f.write(md + tail)
     print(json.dumps({"levels": res,
