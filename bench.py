@@ -81,6 +81,7 @@ HEADLINE = [
     "warc_read_plan",
     "image_header_sniff",
     "crawl_capacity",
+    "crawl_budget",
     "trap_detection",
     "adaptive_backoff",
     "caption_filter",
