@@ -206,6 +206,13 @@ class CrawlConfig:
     # commit in the frontier lineage raises unless this is set (the caller
     # accepting e.g. a raw maintenance commit as their own)
     allow_foreign_writers: bool = False
+    # ErrorSnapshotter (statistics/error_snapshotter.ts, saveErrorSnapshots):
+    # capture the page state of the FIRST occurrence of each unique error
+    # signature into the error_snapshots table — set-based: per-superstep
+    # min_by representative per signature, anti-joined against the
+    # already-captured signature set (the table itself is the "seen" state,
+    # O(unique signatures) rows)
+    save_error_snapshots: bool = False
     # anti-starvation (beyond-reference, off by default): a continuous
     # forefront stream can starve normal-band pending rows forever under a
     # tight per-host budget (forefront always sorts first). When set,
@@ -261,6 +268,11 @@ class CrawlEngine:
         # segments must share one schema per directory)
         self.failed_requests = AppendTable(
             spark, os.path.join(workdir, "failed_requests")
+        )
+        # first-occurrence-per-error-signature page captures
+        # (error_snapshotter.ts; written only when cfg.save_error_snapshots)
+        self.error_snapshots = AppendTable(
+            spark, os.path.join(workdir, "error_snapshots")
         )
         self.state_path = os.path.join(workdir, "crawl_state.json")
         self.step = 0
@@ -440,7 +452,8 @@ class CrawlEngine:
                 else:
                     dim.rollback(dsid)
         for log in (self.fetch_log, self.metrics, self.results,
-                    self.router_results, self.failed_requests):
+                    self.router_results, self.failed_requests,
+                    self.error_snapshots):
             if log.exists():
                 log.rollback(self._chain_snapshot_at(log.history(), step))
         with open(hist_path) as f:
@@ -768,6 +781,37 @@ class CrawlEngine:
 
             successes = fetched.filter(F.col("_success"))
             failures = fetched.filter(~F.col("_success"))
+
+            # ErrorSnapshotter (error_snapshotter.ts): page capture for the
+            # FIRST occurrence of each unique error signature — one grouped
+            # min_by per superstep, anti-joined against already-captured
+            # signatures (the table IS the seen-set; O(unique signatures))
+            if cfg.save_error_snapshots:
+                from crawlee_spark.operators.sessions import error_signature
+
+                snaps = failures.select(
+                    error_signature(F.col("_err")).alias("signature"),
+                    F.col("_err").alias("error"),
+                    "url", "url_hash",
+                    F.col("_status_code").alias("status_code"),
+                    F.substring(F.coalesce(F.col("_html"), F.lit("")),
+                                1, 4096).alias("html_snapshot"),
+                )
+                first = snaps.groupBy("signature").agg(
+                    F.min_by(
+                        F.struct("error", "url", "url_hash", "status_code",
+                                 "html_snapshot"),
+                        F.col("url_hash"),
+                    ).alias("s")
+                ).select("signature", "s.error", "s.url", "s.url_hash",
+                         "s.status_code", "s.html_snapshot")
+                if self.error_snapshots.exists():
+                    seen_sigs = self.error_snapshots.read() \
+                        .select("signature").distinct()
+                    first = first.join(seen_sigs, "signature", "left_anti")
+                self.error_snapshots.append(
+                    first.withColumn("step", F.lit(step)),
+                    {"step": step}, coalesce=1)
 
             # 4. extract + enqueueLinks on successes (stateless stage — the
             # one place hot-host salting is allowed, SURVEY.md §7(c));

@@ -2515,6 +2515,65 @@ FROM r
 """
 
 
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type + charset resolution (``functions/http.py`` — the
+    http-crawler encoding pipeline: header charset param → body BOM →
+    meta tag → utf-8 default, with alias canonicalization). The corpus
+    synthesizes headers/BOMs/meta tags closed-form from ``doc_id``
+    residues; the oracle derives the EXPECTED answer from the same
+    residues alone (no regex on the oracle side), so green proves the
+    whole JVM parsing chain — priority order included — independently."""
+    from crawlee_spark.functions.http import detect_charset, parse_mime
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    d5, d3, d4 = doc % 5, doc % 3, doc % 4
+    ct = (
+        F.when(d5 == 0, F.lit("text/html; charset=ISO8859-1"))
+        .when(d5 == 1, F.lit("text/html"))
+        .when(d5 == 2, F.lit('application/json; charset="UTF8"'))
+        .when(d5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("text/plain; CHARSET=Windows1252"))
+    )
+    body = F.unhex(
+        F.when(d3 == 0, F.lit("EFBBBF41"))
+        .when(d3 == 1, F.lit("FFFE41"))
+        .otherwise(F.lit("41"))
+    )
+    hp = (
+        F.when(d4 == 0, F.lit('<head><meta charset="shift_jis"></head>'))
+        .when(d4 == 1, F.lit('<meta http-equiv="Content-Type" '
+                             'content="text/html; charset=gb2312">'))
+        .when(d4 == 2, F.lit("<head><title>x</title></head>"))
+        .otherwise(F.lit("<META CHARSET=BIG5>"))
+    )
+    return d.select(
+        "doc_id",
+        parse_mime(ct).alias("mime"),
+        detect_charset(ct, body, hp).alias("charset"),
+    )
+
+
+ORACLE_CHARSET_DETECT = """
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+       WHEN 2 THEN 'application/json' WHEN 3 THEN NULL
+       ELSE 'text/plain' END AS mime,
+  CASE
+    WHEN doc_id % 5 = 0 THEN 'iso-8859-1'
+    WHEN doc_id % 5 = 2 THEN 'utf-8'
+    WHEN doc_id % 5 = 4 THEN 'windows-1252'
+    WHEN doc_id % 3 = 0 THEN 'utf-8'
+    WHEN doc_id % 3 = 1 THEN 'utf-16le'
+    WHEN doc_id % 4 = 0 THEN 'shift_jis'
+    WHEN doc_id % 4 = 1 THEN 'gb2312'
+    WHEN doc_id % 4 = 3 THEN 'big5'
+    ELSE 'utf-8'
+  END AS charset
+FROM documents
+"""
+
+
 def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection (``operators/traps.py::detect_traps``):
     hosts whose URL space explodes into many URLs over few path templates
@@ -4401,6 +4460,7 @@ FROM staged s LEFT JOIN keepers k USING (tkey)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 0. new this round (never driver-recorded) -------------------------
     "crawl_budget": q_crawl_budget,
+    "charset_detect": q_charset_detect,
     # --- 1. not yet in a driver CORRECTNESS artifact -----------------------
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -4599,6 +4659,7 @@ ORACLES: dict[str, str] = {
     "anchor_topk": ORACLE_ANCHOR_TOPK,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
     "crawl_budget": ORACLE_CRAWL_BUDGET,
+    "charset_detect": ORACLE_CHARSET_DETECT,
     "image_validate": ORACLE_IMAGE_VALIDATE,
     "image_features": ORACLE_IMAGE_FEATURES,
     # image_exif / crawl_end_to_end: rows-only (IFD walking / BSP loop)
