@@ -1199,6 +1199,14 @@ class CrawlEngine:
             self._emit("persistState", {"isMigrating":
                                         self._interrupt == "migrating",
                                         "step": self.step})
+            # systemInfo (event_manager.ts enum; the reference's Snapshotter
+            # feeds on this): the superstep's load counters — the
+            # time-weighted overload view lives in operators/autoscaling.py
+            self._emit("systemInfo", {
+                "step": self.step,
+                **{k: st.get(k, 0) for k in
+                   ("fetched", "handled", "failed", "retried")},
+            })
             if st.get("empty"):
                 break
             totals["supersteps"] += 1

@@ -121,3 +121,21 @@ def test_pre_pending_interrupt_reports_is_migrating(spark, tmp_path):
     per = [p for e, p in bus.emitted if e == "persistState"]
     assert per and per[0]["isMigrating"] is True
     assert totals["interrupted"] == "migrating" and totals["supersteps"] == 1
+
+
+def test_system_info_emitted_per_superstep(spark, tmp_path):
+    """systemInfo (event_manager.ts enum) fires once per superstep with the
+    committed load counters — the Snapshotter's feed."""
+    _, _, corpus_df, seeds_df = _fixture(spark, seed=9)
+    bus = EventManager()
+    eng = CrawlEngine(spark, str(tmp_path / "si"),
+                      CrawlConfig(num_buckets=4, events=bus))
+    eng.add_seeds(seeds_df)
+    totals = eng.run(corpus_df)
+    si = [p for e, p in bus.emitted if e == "systemInfo"]
+    # one per run_superstep call: every counted superstep, plus possibly
+    # the final empty-frontier probe that ends the crawl
+    assert totals["supersteps"] <= len(si) <= totals["supersteps"] + 1
+    assert sum(p["handled"] for p in si) == totals["handled"]
+    assert all(set(p) == {"step", "fetched", "handled", "failed", "retried"}
+               for p in si)
