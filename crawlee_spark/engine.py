@@ -1246,3 +1246,82 @@ class CrawlEngine:
 
     def url_seen(self) -> set[str]:
         return {r["unique_key"] for r in self.frontier.read().select("unique_key").collect()}
+
+    def statistics(self, persist: bool = False) -> dict[str, Any]:
+        """``Statistics.calculate()`` analog (``packages/core/src/crawlers/
+        statistics.ts:222-266``), computed set-based from the fetch log.
+
+        The reference's wall-clock fields map onto this engine's logical
+        step clock (the determinism spec): durations become ATTEMPTS per
+        request (1 = finished first try), ``crawlerRuntimeMillis`` becomes
+        ``crawler_runtime_steps``, and per-minute rates become per-step
+        rates. ``retry_histogram[i]`` = requests whose FINAL attempt
+        carried ``retry_count == i`` (statistics.ts requestRetryHistogram).
+
+        One grouped aggregate per request + one tiny histogram aggregate;
+        the only driver-side rows are the histogram (≤ max_retries + 1
+        entries) and the scalar summary. ``persist=True`` writes the dict
+        under ``SDK_CRAWLER_STATISTICS_0`` in the workdir's KeyValueStore
+        (statistics.ts persistState contract).
+
+        End-of-crawl semantics: a request with attempts but no ``ok`` row
+        counts as failed — exact once the crawl has drained (the usual
+        call site); mid-crawl it includes still-retrying requests in the
+        failed bucket (the reference's counters, incremented only at
+        terminal outcomes, would not).
+        """
+        stats: dict[str, Any] = {
+            "requests_finished": 0, "requests_failed": 0,
+            "requests_total": 0, "retry_histogram": [],
+            "request_avg_finished_attempts": None,
+            "request_avg_failed_attempts": None,
+            "requests_finished_per_step": 0.0,
+            "crawler_runtime_steps": self.step,
+        }
+        if self.fetch_log.exists():
+            log = self.fetch_log.read()
+            # final attempt per request: max (step, order-of-attempt) row.
+            # 'ok' rows are terminal; a request is FAILED iff it never got
+            # an ok row (dead letters stop appearing in later steps).
+            per_req = log.groupBy("url_hash").agg(
+                F.count(F.lit(1)).alias("attempts"),
+                F.max(F.when(F.col("status") == "ok", 1).otherwise(0))
+                .alias("finished"),
+                F.max_by("retry_count", F.struct("step", "retry_count"))
+                .alias("final_retry_count"),
+            )
+            agg = per_req.agg(
+                F.sum("finished").alias("fin"),
+                F.sum(1 - F.col("finished")).alias("fail"),
+                F.sum(F.when(F.col("finished") == 1, F.col("attempts")))
+                .alias("fin_attempts"),
+                F.sum(F.when(F.col("finished") == 0, F.col("attempts")))
+                .alias("fail_attempts"),
+            ).first()
+            fin = int(agg["fin"] or 0)
+            fail = int(agg["fail"] or 0)
+            hist_rows = per_req.groupBy("final_retry_count").count().collect()
+            hist_map = {int(r["final_retry_count"]): int(r["count"])
+                        for r in hist_rows}
+            hist = [hist_map.get(i, 0)
+                    for i in range(max(hist_map, default=-1) + 1)]
+            stats.update(
+                requests_finished=fin,
+                requests_failed=fail,
+                requests_total=fin + fail,
+                retry_histogram=hist,
+                request_avg_finished_attempts=(
+                    round(int(agg["fin_attempts"] or 0) / fin, 6)
+                    if fin else None),
+                request_avg_failed_attempts=(
+                    round(int(agg["fail_attempts"] or 0) / fail, 6)
+                    if fail else None),
+                requests_finished_per_step=(
+                    round(fin / self.step, 6) if self.step else 0.0),
+            )
+        if persist:
+            from crawlee_spark.store.dataset import KeyValueStore
+
+            kvs = KeyValueStore(os.path.join(self.workdir, "key_value_store"))
+            kvs.set_value("SDK_CRAWLER_STATISTICS_0", stats)
+        return stats

@@ -148,3 +148,43 @@ def test_create_session_function_shapes_pool(spark, tmp_path, corpus):
     # default pool starts at 0.0), proving the hook's rows seeded the tracker
     unused = [s for s in state if s["usage_count"] == 0]
     assert unused and all(s["error_score"] == 0.5 for s in unused)
+
+
+def test_statistics_calculate_and_persist(spark, tmp_path):
+    """Statistics.calculate analog (statistics.ts:222-266) on the step
+    clock: finished/failed splits, final-retry histogram, attempt
+    averages, and the SDK_CRAWLER_STATISTICS persistState contract."""
+    import os
+
+    from crawlee_spark import datagen
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine, FailureModelConf
+    from crawlee_spark.store.dataset import KeyValueStore
+
+    rows = list(datagen.gen_corpus_rows(40, 4, seed=17, with_bytes=False))
+    seeds = datagen.gen_seed_rows(40, 4, seed=17, n_seeds=4)
+    corpus_df = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string")
+    seeds_df = spark.createDataFrame(
+        seeds, "url string, forefront boolean, depth int, label string")
+    eng = CrawlEngine(
+        spark, str(tmp_path / "stats"),
+        CrawlConfig(num_buckets=4,
+                    failures=FailureModelConf(fail_mod=5, fail_attempts=2,
+                                              dead_mod=17)))
+    eng.add_seeds(seeds_df)
+    totals = eng.run(corpus_df)
+    st = eng.statistics(persist=True)
+
+    assert st["requests_finished"] == totals["handled"]
+    assert st["requests_failed"] == totals["failed"]
+    assert st["requests_total"] == totals["handled"] + totals["failed"]
+    assert sum(st["retry_histogram"]) == st["requests_total"]
+    # the failure model retries transients twice -> histogram has tail mass
+    assert len(st["retry_histogram"]) >= 2 and st["retry_histogram"][0] > 0
+    assert st["request_avg_finished_attempts"] >= 1.0
+    assert st["crawler_runtime_steps"] == eng.step
+    # persistState contract: round-trips through the workdir KVS
+    kvs = KeyValueStore(os.path.join(str(tmp_path / "stats"),
+                                     "key_value_store"))
+    assert kvs.get_value("SDK_CRAWLER_STATISTICS_0") == st
