@@ -645,7 +645,11 @@ class CrawlEngine:
             if cfg.politeness.key_by_domain:
                 from crawlee_spark.functions import psl
 
-                candidates = psl.attach_registrable_domain(allowed, "host", "_domain")
+                # build on `candidates`, not `allowed` — rebuilding from
+                # `allowed` would silently drop the starvation-boost
+                # order_no rewrite above (review r3 finding #1)
+                candidates = psl.attach_registrable_domain(
+                    candidates, "host", "_domain")
                 domain_col = "_domain"
             fetch_set = pol.select_fetch_set(
                 candidates, step, cfg.politeness,
@@ -786,6 +790,7 @@ class CrawlEngine:
             # FIRST occurrence of each unique error signature — one grouped
             # min_by per superstep, anti-joined against already-captured
             # signatures (the table IS the seen-set; O(unique signatures))
+            snap_batch = None
             if cfg.save_error_snapshots:
                 from crawlee_spark.operators.sessions import error_signature
 
@@ -797,7 +802,7 @@ class CrawlEngine:
                     F.substring(F.coalesce(F.col("_html"), F.lit("")),
                                 1, 4096).alias("html_snapshot"),
                 )
-                first = snaps.groupBy("signature").agg(
+                snap_batch = snaps.groupBy("signature").agg(
                     F.min_by(
                         F.struct("error", "url", "url_hash", "status_code",
                                  "html_snapshot"),
@@ -805,13 +810,8 @@ class CrawlEngine:
                     ).alias("s")
                 ).select("signature", "s.error", "s.url", "s.url_hash",
                          "s.status_code", "s.html_snapshot")
-                if self.error_snapshots.exists():
-                    seen_sigs = self.error_snapshots.read() \
-                        .select("signature").distinct()
-                    first = first.join(seen_sigs, "signature", "left_anti")
-                self.error_snapshots.append(
-                    first.withColumn("step", F.lit(step)),
-                    {"step": step}, coalesce=1)
+                # APPENDED AFTER the frontier commit (torn-superstep heal
+                # invariant: the frontier commits first — see stage 6b)
 
             # 4. extract + enqueueLinks on successes (stateless stage — the
             # one place hot-host salting is allowed, SURVEY.md §7(c));
@@ -853,7 +853,12 @@ class CrawlEngine:
                     "url_hash", F.col("user_data").alias("_new_ud")
                 )
             # failedRequestHandler: dead rows -> dead-letter table
-            # (basic-crawler.ts:160-167)
+            # (basic-crawler.ts:160-167); the APPEND is deferred until
+            # after the frontier commit (stage 6b) — appending first would
+            # open a torn window the heal cannot detect (a crash between
+            # this append and the commit leaves the frontier NOT ahead, so
+            # the re-run would append the same dead rows twice)
+            handled_dead = None
             if cfg.failed_request_handler is not None:
                 dead_in = failures.filter(~can_retry).select(
                     F.lit(step).alias("step"), "url", "url_hash", "host",
@@ -861,12 +866,6 @@ class CrawlEngine:
                     "user_data",
                 )
                 handled_dead = cfg.failed_request_handler(dead_in)
-                if handled_dead is not None:
-                    # append unconditionally: an isEmpty() probe would run
-                    # the user handler's whole plan once for the probe and
-                    # again for the write
-                    self.failed_requests.append(
-                        handled_dead, {"step": step}, coalesce=2)
 
             # 6. ONE combined frontier commit for all touched buckets
             handled_keys = successes.select("url_hash")
@@ -976,6 +975,31 @@ class CrawlEngine:
                     self.frontier.read(buckets=touched).select("bucket", "url_hash"),
                     frontier_snapshot=self.frontier.table.current_snapshot_id(),
                 )
+
+            # 6b. dead-letter + error-snapshot appends — strictly AFTER the
+            # frontier commit so every pre-commit crash leaves the frontier
+            # NOT ahead and re-runs cleanly, and every post-commit crash IS
+            # detected by the torn-superstep heal and rolled back
+            if handled_dead is not None:
+                # append unconditionally: an isEmpty() probe would run the
+                # user handler's whole plan once for the probe and again
+                # for the write
+                self.failed_requests.append(
+                    handled_dead, {"step": step}, coalesce=2)
+            if snap_batch is not None:
+                if self.error_snapshots.exists():
+                    seen_sigs = self.error_snapshots.read() \
+                        .select("signature").distinct()
+                    snap_batch = snap_batch.join(
+                        seen_sigs, "signature", "left_anti")
+                # pin the (signature-sized) batch so the emptiness probe and
+                # the append share ONE evaluation of the regex/agg/anti-join
+                # plan; skip the append when no NEW signature appeared
+                snap_batch = snap_batch.localCheckpoint(eager=True)
+                if not snap_batch.isEmpty():
+                    self.error_snapshots.append(
+                        snap_batch.withColumn("step", F.lit(step)),
+                        {"step": step}, coalesce=1)
 
             # 7. fetch log + metrics (per-partition metrics per north_rule)
             if cfg.proxies is not None:
@@ -1207,16 +1231,21 @@ class CrawlEngine:
                 **{k: st.get(k, 0) for k in
                    ("fetched", "handled", "failed", "retried")},
             })
-            if st.get("empty"):
-                break
-            totals["supersteps"] += 1
-            for k in ("handled", "failed", "retried", "robots_dead", "enqueued"):
-                totals[k] += st[k]
+            if not st.get("empty"):
+                totals["supersteps"] += 1
+                for k in ("handled", "failed", "retried", "robots_dead",
+                          "enqueued"):
+                    totals[k] += st[k]
             if self._interrupt is not None:
-                # stop AFTER the commit: resume picks up from this superstep
+                # stop AFTER the commit: resume picks up from this
+                # superstep. Checked BEFORE the empty-break so an interrupt
+                # requested on an empty tick is still emitted, recorded,
+                # and cleared (never left stale for a later run())
                 self._emit(self._interrupt, {"step": self.step})
                 totals["interrupted"] = self._interrupt
                 self._interrupt = None
+                break
+            if st.get("empty"):
                 break
             if st["fetched"] == 0 and st["robots_dead"] == 0:
                 # nothing eligible: keep ticking only while a politeness
@@ -1283,13 +1312,16 @@ class CrawlEngine:
             # final attempt per request: max (step, order-of-attempt) row.
             # 'ok' rows are terminal; a request is FAILED iff it never got
             # an ok row (dead letters stop appearing in later steps).
+            # persisted: the scalar aggregate and the histogram both read
+            # this requests-sized dim — without the pin each would re-scan
+            # and re-shuffle the full attempt log
             per_req = log.groupBy("url_hash").agg(
                 F.count(F.lit(1)).alias("attempts"),
                 F.max(F.when(F.col("status") == "ok", 1).otherwise(0))
                 .alias("finished"),
                 F.max_by("retry_count", F.struct("step", "retry_count"))
                 .alias("final_retry_count"),
-            )
+            ).persist()
             agg = per_req.agg(
                 F.sum("finished").alias("fin"),
                 F.sum(1 - F.col("finished")).alias("fail"),
@@ -1300,7 +1332,10 @@ class CrawlEngine:
             ).first()
             fin = int(agg["fin"] or 0)
             fail = int(agg["fail"] or 0)
-            hist_rows = per_req.groupBy("final_retry_count").count().collect()
+            try:
+                hist_rows = per_req.groupBy("final_retry_count").count().collect()
+            finally:
+                per_req.unpersist()
             hist_map = {int(r["final_retry_count"]): int(r["count"])
                         for r in hist_rows}
             hist = [hist_map.get(i, 0)

@@ -53,15 +53,26 @@ def apportion_budget(
     """
     w = weights.select(F.col(key_col).alias("key"),
                        F.col(weight_col).cast("long").alias("weight"))
-    tot = w.agg(F.greatest(F.sum("weight"), F.lit(1)).cast("long").alias("_tw"))
+    tot = w.agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long")
+                .alias("_tw"))
+    # W == 0: Hamilton is undefined — every budget is 0 (base and rem both
+    # 0 below, and K is forced to 0 so no extra seats are dealt); keeps the
+    # Spark operator and the Python twin in exact agreement on the edge
     q = w.crossJoin(F.broadcast(tot)).select(
-        "key", "weight",
-        F.expr(f"CAST({int(total)} AS BIGINT) * weight div _tw").alias("base"),
-        (F.lit(int(total)).cast("long") * F.col("weight") % F.col("_tw"))
-        .alias("rem"),
+        "key", "weight", "_tw",
+        F.when(F.col("_tw") > 0,
+               F.expr(f"CAST({int(total)} AS BIGINT) * weight div _tw"))
+        .otherwise(F.lit(0)).cast("long").alias("base"),
+        F.when(F.col("_tw") > 0,
+               F.lit(int(total)).cast("long") * F.col("weight")
+               % F.col("_tw"))
+        .otherwise(F.lit(0)).cast("long").alias("rem"),
     )
-    used = q.agg((F.lit(int(total)).cast("long") - F.sum("base"))
-                 .alias("_k"))
+    used = q.agg(
+        F.when(F.max("_tw") > 0,
+               F.lit(int(total)).cast("long") - F.sum("base"))
+        .otherwise(F.lit(0)).cast("long").alias("_k"))
+    q = q.drop("_tw")
     # threshold from the remainder histogram: smallest t with
     # count(rem > t) <= K — i.e. rank remainders desc, running count
     hist = q.groupBy("rem").agg(F.count(F.lit(1)).alias("n"))
@@ -98,7 +109,9 @@ def apportion_budget(
 
 def apportion_budget_py(weights: dict, total: int) -> dict:
     """Python twin for tests: key -> budget."""
-    tw = max(sum(weights.values()), 1)
+    tw = sum(weights.values())
+    if tw <= 0:
+        return {k: 0 for k in weights}  # undefined quotas: all-zero
     base = {k: total * w // tw for k, w in weights.items()}
     rem = {k: (total * w) % tw for k, w in weights.items()}
     k_left = total - sum(base.values())

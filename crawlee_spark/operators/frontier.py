@@ -547,16 +547,24 @@ class FrontierTable:
         )
         return removed
 
+    # SnapshotTable's own maintenance commits (written through the table
+    # layer, which knows nothing about clients) are not foreign writers
+    MAINTENANCE_OPS = frozenset({"compact", "expire_snapshots"})
+
     def had_multiple_clients(self) -> bool:
         """``hadMultipleClients`` analog (``packages/memory-storage/src/
         resource-clients/request-queue.ts:493-507``): True when the commit
         lineage shows a writer other than this client — a foreign commit is
         any manifest whose summary lacks this table's client stamp or
-        carries a different one. The engine's single-writer lineage
-        authority assumes exclusivity; this surfaces the violation instead
-        of silently trusting it (``CrawlEngine.resume`` refuses when it
+        carries a different one, except the SnapshotTable maintenance
+        operations (compact / expire), which the storage layer itself
+        writes unstamped. The engine's single-writer lineage authority
+        assumes exclusivity; this surfaces the violation instead of
+        silently trusting it (``CrawlEngine.resume`` refuses when it
         trips). Walks the manifest chain (driver-side JSON, O(commits))."""
         for m in self.table.history():
+            if m.get("operation") in self.MAINTENANCE_OPS:
+                continue
             writer = m.get("summary", {}).get("client")
             if writer != self.client_id:
                 return True

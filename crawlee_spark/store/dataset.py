@@ -277,12 +277,19 @@ def get_input(config=None) -> Any:
 
 
 def open_request_queue(spark: SparkSession, queue_id: str | None = None,
-                       config=None):
-    """``RequestQueue.open`` analog: a ``FrontierTable`` handle rooted at
+                       config=None, num_buckets: int = 32):
+    """``RequestQueue.open`` analog: a ``FrontierTable`` rooted at
     ``{storage_dir}/request_queues/{id}`` (``CRAWLEE_DEFAULT_REQUEST_QUEUE_ID``
-    resolves the unnamed default; same purge contract as the other stores)."""
+    resolves the unnamed default; same purge contract as the other stores).
+    Creates the empty table when absent — the reference's ``open`` creates
+    the storage, and a bare handle would FileNotFoundError on first use.
+    ``num_buckets`` applies only at creation (an existing table's stored
+    bucket count is the authority)."""
     from crawlee_spark.operators.frontier import FrontierTable
 
-    return FrontierTable(
-        spark, _resolve_root("request_queues", queue_id,
-                             "default_request_queue_id", config))
+    root = _resolve_root("request_queues", queue_id,
+                         "default_request_queue_id", config)
+    ft = FrontierTable(spark, root, num_buckets)
+    if not ft.exists():
+        return FrontierTable.create(spark, root, num_buckets)
+    return ft

@@ -65,3 +65,13 @@ def test_randomized_twin_parity(spark):
         assert got == apportion_budget_py(w, total), (w, total)
         if sum(w.values()) > 0:
             assert sum(got.values()) == total
+
+
+def test_all_zero_weights_agree_with_twin_even_when_hosts_exceed_total(spark):
+    """Review r3 #5: W == 0 is all-zero budgets on BOTH sides, for
+    #hosts < total and #hosts > total alike."""
+    for n, total in ((3, 10), (12, 5)):
+        w = {f"h{i}": 0 for i in range(n)}
+        got = _run(spark, w, total)
+        assert got == apportion_budget_py(w, total)
+        assert set(got.values()) == {0}

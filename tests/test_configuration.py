@@ -129,9 +129,18 @@ def test_open_storages_resolution_and_purge(spark, tmp_path):
 
 
 def test_open_request_queue_resolution(spark, tmp_path):
+    """open() CREATES the storage (RequestQueue.open contract) — the
+    returned handle must be immediately usable, and re-opening adopts the
+    existing table instead of recreating it."""
     from crawlee_spark.store import dataset as ds
 
     c = Configuration({"storage_dir": str(tmp_path / "s")}, env={})
-    q = ds.open_request_queue(spark, "main", config=c)
+    q = ds.open_request_queue(spark, "main", config=c, num_buckets=8)
     assert q.table.root == str(tmp_path / "s/request_queues/main")
-    assert not q.exists()
+    assert q.exists()
+    batch = spark.createDataFrame(
+        [("http://a.test/1", False, 0)],
+        "url string, forefront boolean, depth int")
+    assert q.add_requests(batch, step=0)["added"] == 1
+    q2 = ds.open_request_queue(spark, "main", config=c)
+    assert q2.counters()["total"] == 1 and q2.num_buckets == 8

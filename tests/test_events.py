@@ -139,3 +139,22 @@ def test_system_info_emitted_per_superstep(spark, tmp_path):
     assert sum(p["handled"] for p in si) == totals["handled"]
     assert all(set(p) == {"step", "fetched", "handled", "failed", "retried"}
                for p in si)
+
+
+def test_interrupt_on_empty_tick_still_emitted_and_cleared(spark, tmp_path):
+    """Regression (review r3 #4): an interrupt requested on the tick whose
+    superstep came back EMPTY must still emit, be recorded in totals, and
+    be cleared (not left stale for a later run())."""
+    _, _, corpus_df, seeds_df = _fixture(spark, seed=3)
+    bus = EventManager()
+    eng = CrawlEngine(spark, str(tmp_path / "emp"),
+                      CrawlConfig(num_buckets=4, events=bus))
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)  # drain fully: next superstep is empty
+
+    bus.emitted.clear()
+    bus.on("persistState", lambda p: eng.request_interrupt("migrating"))
+    totals = eng.run(corpus_df)  # first superstep is empty
+    assert totals["interrupted"] == "migrating"
+    assert [e for e, _ in bus.emitted].count("migrating") == 1
+    assert eng._interrupt is None

@@ -315,3 +315,15 @@ def test_resume_refuses_foreign_writer_unless_allowed(spark, tmp_path):
     eng2 = CrawlEngine.resume(
         spark, wd, CrawlConfig(num_buckets=4, allow_foreign_writers=True))
     assert eng2.frontier.had_multiple_clients() is True
+
+
+def test_maintenance_commits_are_not_foreign(spark, ft):
+    """SnapshotTable's own compact() writes no client stamp; it must not
+    trip had_multiple_clients (review r3 #2)."""
+    ft.add_requests(_urls(spark, ["http://a.test/1", "http://b.test/2"]),
+                    step=0)
+    ft.table.compact()
+    assert ft.had_multiple_clients() is False
+    # a genuinely foreign non-maintenance commit still trips
+    ft.table.commit_buckets(ft.read().limit(0), "external", {})
+    assert ft.had_multiple_clients() is True

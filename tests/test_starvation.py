@@ -60,3 +60,27 @@ def test_boost_lifts_starved_row_over_forefront(spark, tmp_path):
         eng.fetch_log.read().filter("status='ok'")
         .groupBy("step").count().select("count").toPandas()["count"]
     ) == [1, 1, 1, 1, 1]
+
+
+def test_boost_survives_domain_keyed_politeness(spark, tmp_path):
+    """Regression (review r3 #1): with key_by_domain politeness the
+    candidate frame is rebuilt with the PSL domain attached — the boost's
+    order_no rewrite must survive that step."""
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        num_buckets=4,
+        politeness=PolitenessConfig(same_domain_delay_secs=1.0,
+                                    step_secs=1.0, key_by_domain=True),
+        starvation_boost_steps=2,
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "dom"), cfg)
+    seeds = spark.createDataFrame(
+        [("https://h0.test/slow", False, 0, None)],
+        "url string, forefront boolean, depth int, label string")
+    eng.add_seeds(seeds)
+    corpus_rows = [(f"https://h0.test/{p}", "<html><body>x</body></html>")
+                   for p in ["slow"] + [f"ff{i}" for i in range(10)]]
+    corpus = spark.createDataFrame(corpus_rows, "url string, html string")
+    got = _drive(spark, eng, corpus, steps=5)
+    assert got.get("https://h0.test/slow") == 3, got
