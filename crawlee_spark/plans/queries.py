@@ -2220,18 +2220,18 @@ WITH pages AS (
     lag(digest) OVER (PARTITION BY url ORDER BY ts) AS prev
   FROM caps
 ), hist AS (
-  SELECT url, count(*) AS n_obs,
-    sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END)
-      AS n_changes,
+  SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_changes,
     min(ts) AS first_ts, max(ts) AS last_ts
   FROM lagged GROUP BY url
 )
 SELECT url, n_obs, n_changes, first_ts, last_ts,
   date_diff('day', CAST(strptime(substr(last_ts, 1, 8), '%Y%m%d') AS DATE),
             DATE '2027-01-01') AS age_days,
-  n_changes * date_diff('day',
+  CAST(n_changes * date_diff('day',
     CAST(strptime(substr(last_ts, 1, 8), '%Y%m%d') AS DATE),
-    DATE '2027-01-01') AS priority
+    DATE '2027-01-01') AS BIGINT) AS priority
 FROM hist
 """
 
@@ -2350,12 +2350,15 @@ WITH recs AS (
               THEN 1 ELSE 0 END AS new_grp
   FROM recs WINDOW w AS (PARTITION BY filename ORDER BY "offset")
 ), grouped AS (
-  SELECT *, sum(new_grp) OVER (PARTITION BY filename ORDER BY "offset") AS grp
+  SELECT *, CAST(sum(new_grp) OVER (PARTITION BY filename ORDER BY "offset")
+                 AS BIGINT) AS grp
   FROM flagged
 )
 SELECT filename, grp, min("offset") AS range_start,
-  max("offset" + length) AS range_end, count(*) AS n_records,
-  max("offset" + length) - min("offset") - sum(length) AS waste_bytes
+  max("offset" + length) AS range_end,
+  CAST(count(*) AS BIGINT) AS n_records,
+  CAST(max("offset" + length) - min("offset") - sum(length) AS BIGINT)
+    AS waste_bytes
 FROM grouped GROUP BY filename, grp
 """
 
@@ -4457,61 +4460,20 @@ FROM staged s LEFT JOIN keepers k USING (tkey)
 #   2. queries whose implementation changed this round (trustrank teleport
 #      normalization, graph/pagerank, the size-guarded brute-force twins);
 #   3. everything already green in CORRECTNESS_r02.json, old order.
+# Ordering contract: the driver's CORRECTNESS artifact records only the
+# FIRST ~50 entries, in dict order. Sections, head-first priority:
+#   0. red in the newest artifact, fixed this round (must re-record green)
+#   1. new this round (never driver-recorded)
+#   2. newest driver record is two artifacts old (r02) — rotate back in
+#   3. green in CORRECTNESS_r03.json, unchanged — keep last
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- 0. new this round (never driver-recorded) -------------------------
-    "crawl_budget": q_crawl_budget,
-    "charset_detect": q_charset_detect,
-    # --- 1. not yet in a driver CORRECTNESS artifact -----------------------
-    "heavy_hitters": q_heavy_hitters,
-    "weighted_sample": q_weighted_sample,
-    "sequence_pack": q_sequence_pack,
-    "domain_cap": q_domain_cap,
-    "image_batch_pack": q_image_batch_pack,
-    "token_mix": q_token_mix,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dup_span_removal": q_dup_span_removal,
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "quality_classifier": q_quality_classifier,
-    "gopher_quality": q_gopher_quality,
-    "curation_pipeline": q_curation_pipeline,
-    "lsh_recall": q_lsh_recall,
-    "corpus_summary": q_corpus_summary,
-    "pricing_summary": q_pricing_summary,
-    "topk_per_group": q_topk_per_group,
-    "revenue_join": q_revenue_join,
-    "sessionize": q_sessionize,
-    "crawl_reachability": q_crawl_reachability,
-    "boilerplate": q_boilerplate,
-    "image_caption_pairs": q_image_caption_pairs,
-    "cdx_select": q_cdx_select,
+    # --- 0. r03-red (oracle type artifact), fixed this round ---------------
     "recrawl_priority": q_recrawl_priority,
-    "conditional_fetch": q_conditional_fetch,
     "warc_read_plan": q_warc_read_plan,
-    "image_header_sniff": q_image_header_sniff,
-    "crawl_capacity": q_crawl_capacity,
-    "trap_detection": q_trap_detection,
-    "adaptive_backoff": q_adaptive_backoff,
-    "caption_filter": q_caption_filter,
-    "anchor_topk": q_anchor_topk,
-    "shard_manifest": q_shard_manifest,
-    "image_validate": q_image_validate,
-    "image_features": q_image_features,
+    # --- 1. new this round (never driver-recorded) -------------------------
     "image_exif": q_image_exif,
     "crawl_end_to_end": q_crawl_end_to_end,
-    # --- 2. implementation touched this round ------------------------------
-    "trustrank": q_trustrank,
-    "pagerank": q_pagerank,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "text_fingerprint": q_text_fingerprint,
-    "text_langid": q_text_langid,
-    # --- 3. green in CORRECTNESS_r02.json, unchanged -----------------------
-    "url_canonicalize": q_url_canonicalize,
-    "url_dedup": q_url_dedup,
-    "frontier_head_select": q_frontier_head_select,
-    "frontier_health": q_frontier_health,
-    "politeness_budget": q_politeness_budget,
+    # --- 2. newest driver record is r02 — rotate into the r04 window -------
     "rate_window": q_rate_window,
     "stats_histogram": q_stats_histogram,
     "url_extract": q_url_extract,
@@ -4551,6 +4513,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_remove": q_semantic_dedup_remove,
     "line_dedup": q_line_dedup,
     "hll_distinct": q_hll_distinct,
+    # --- 3. green in CORRECTNESS_r03.json, unchanged -----------------------
+    "crawl_budget": q_crawl_budget,
+    "charset_detect": q_charset_detect,
+    "heavy_hitters": q_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "sequence_pack": q_sequence_pack,
+    "domain_cap": q_domain_cap,
+    "image_batch_pack": q_image_batch_pack,
+    "token_mix": q_token_mix,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dup_span_removal": q_dup_span_removal,
+    "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "quality_classifier": q_quality_classifier,
+    "gopher_quality": q_gopher_quality,
+    "curation_pipeline": q_curation_pipeline,
+    "lsh_recall": q_lsh_recall,
+    "corpus_summary": q_corpus_summary,
+    "pricing_summary": q_pricing_summary,
+    "topk_per_group": q_topk_per_group,
+    "revenue_join": q_revenue_join,
+    "sessionize": q_sessionize,
+    "crawl_reachability": q_crawl_reachability,
+    "boilerplate": q_boilerplate,
+    "image_caption_pairs": q_image_caption_pairs,
+    "cdx_select": q_cdx_select,
+    "conditional_fetch": q_conditional_fetch,
+    "image_header_sniff": q_image_header_sniff,
+    "crawl_capacity": q_crawl_capacity,
+    "trap_detection": q_trap_detection,
+    "adaptive_backoff": q_adaptive_backoff,
+    "caption_filter": q_caption_filter,
+    "anchor_topk": q_anchor_topk,
+    "shard_manifest": q_shard_manifest,
+    "image_validate": q_image_validate,
+    "image_features": q_image_features,
+    "trustrank": q_trustrank,
+    "pagerank": q_pagerank,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_fingerprint": q_text_fingerprint,
+    "text_langid": q_text_langid,
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup": q_url_dedup,
+    "frontier_head_select": q_frontier_head_select,
+    "frontier_health": q_frontier_health,
+    "politeness_budget": q_politeness_budget,
 }
 
 # Ground truth for the oracle-checked end-to-end crawl: reachability closure
