@@ -593,6 +593,10 @@ class CrawlEngine:
         """
         cfg = self.cfg
         step = self.step + 1
+        # context for the send_request helper (non-navigation exchanges
+        # resolved against this superstep's corpus, logged under this step)
+        self._last_corpus = corpus
+        self._inflight_step = step
         self._check_corpus_unique(corpus)
         stats = {"step": step, "fetched": 0, "handled": 0, "failed": 0,
                  "retried": 0, "robots_dead": 0, "enqueued": 0}
@@ -947,18 +951,12 @@ class CrawlEngine:
                 )
                 .drop("_mark", "_err")
             )
-            if self.urlseen is not None and self.urlseen.shards:
-                if self.cfg.urlseen_kind == "cuckoo":
-                    from crawlee_spark.operators.cuckoo import (
-                        merge_with_cuckoo as _merge_filtered,
-                    )
-                else:
-                    from crawlee_spark.operators.urlseen import (
-                        merge_with_bloom as _merge_filtered,
-                    )
-
+            if self.urlseen is not None and self.urlseen.has_shards():
+                # store-partitioned split: the mark UDF ships a
+                # StoreShardRef (path + per-bucket scalars); each task loads
+                # only its buckets' shard files (SCALE.md §url_seen)
                 self._ensure_urlseen_fresh()
-                fresh = _merge_filtered(existing, new_reqs, self.urlseen.shards)
+                fresh = self.urlseen.merge(existing, new_reqs)
             else:
                 fresh = merge_new_requests(existing, new_reqs)
             new_content = updated.unionByName(fresh.select(*updated.columns))
@@ -1202,6 +1200,101 @@ class CrawlEngine:
         if self.cfg.events is not None:
             self.cfg.events.emit(event, payload)
 
+    def send_request(self, requests: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+        """Deterministic mid-handler HTTP analog of the ``sendRequest``
+        context helper (``basic-crawler.ts:1206-1224``): resolve arbitrary
+        URLs against the SAME fragment-stripped canonical-hash corpus join
+        as navigation, with the status model applied and NO retries (the
+        reference pins ``gotScraping`` ``retry: {limit: 0}``), no link
+        extraction, and nothing enqueued. Each call is recorded in the
+        fetch log with ``skip_navigation``-style semantics: a logged
+        non-navigation exchange, distinguishable by ``order_no IS NULL``
+        (navigation rows always carry their frontier order_no).
+
+        Call from a router handler (stage 8c runs AFTER the superstep's
+        frontier commit, so the log append keeps the torn-superstep-heal
+        invariant) or after ``run``. Returns (url, loaded_url,
+        status_code, html, status) for the caller to join/consume.
+
+        Scale shape: identical to navigation — one hash equi-join against
+        the column-pruned corpus keyed on the canonical-URL hash; the
+        request side is a handler-derived batch (bounded by the superstep's
+        fetch set), so the join inherits the corpus join's broadcast/AQE
+        strategy. Nothing lands on the driver."""
+        corpus = getattr(self, "_last_corpus", None)
+        if corpus is None:
+            raise RuntimeError(
+                "send_request needs a corpus: call during run()/run_superstep "
+                "(router handlers) or after a run on this engine")
+        cfg = self.cfg
+        corpus_cols = [
+            urls.url_hash(urls.unique_key(F.col("url"))).alias("_fetch_hash"),
+            F.col("html").alias("_html"),
+        ]
+        if "redirect_to" in corpus.columns:
+            corpus_cols.append(F.col("redirect_to").alias("_redirect"))
+        corpus_keyed = corpus.select(*corpus_cols)
+        if "redirect_to" not in corpus.columns:
+            corpus_keyed = corpus_keyed.withColumn(
+                "_redirect", F.lit(None).cast("string"))
+
+        canon = urls.unique_key(F.col(url_col))
+        req = requests.select(
+            F.col(url_col).alias("url"),
+            canon.alias("unique_key"),
+            urls.url_hash(canon).alias("url_hash"),
+        )
+        got = req.join(corpus_keyed, req["url_hash"] == corpus_keyed["_fetch_hash"],
+                       "left")
+        got = got.withColumn("_loaded", F.coalesce(F.col("_redirect"), F.col("url")))
+        sm = cfg.status
+        got = got.withColumn(
+            "_status_code",
+            F.when(F.col("_html").isNull(), F.lit(0)).otherwise(sm.status_col()),
+        )
+        # single attempt (retry limit 0): the failure model's attempt-0
+        # transient failures and dead hosts both surface as fetch-failed
+        attempt0_ok = F.lit(True)
+        if cfg.failures.dead_mod:
+            attempt0_ok = attempt0_ok & (
+                F.pmod(F.col("url_hash"), F.lit(cfg.failures.dead_mod)) != 0)
+        if cfg.failures.fail_mod and cfg.failures.fail_attempts > 0:
+            attempt0_ok = attempt0_ok & (
+                F.pmod(F.col("url_hash"), F.lit(cfg.failures.fail_mod)) != 0)
+        status = (
+            F.when(F.col("_html").isNull(), F.lit("404-not-found"))
+            .when(~attempt0_ok, F.lit("fetch-failed"))
+            .otherwise(F.lit("ok"))
+        )
+        got = got.withColumn("_sr_status", status)
+
+        step = int(getattr(self, "_inflight_step", None) or self.step)
+        host = F.regexp_extract(
+            F.col("unique_key"), r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+        log = got.select(
+            F.lit(step).alias("step"), "url", "unique_key", "url_hash",
+            host.alias("host"),
+            urls.host_hash(host, cfg.num_buckets).alias("bucket"),
+            F.lit(None).cast("long").alias("order_no"),
+            F.lit(None).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.col("_sr_status").alias("status"),
+            F.col("_status_code").alias("status_code"),
+            F.col("_loaded").alias("loaded_url"),
+            F.lit(None).cast("string").alias("proxy_url"),
+            F.lit(None).cast("int").alias("header_profile_id"),
+            F.lit(None).cast("string").alias("user_agent"),
+        )
+        self.fetch_log.append(log, {"step": step, "send_request": True},
+                              coalesce=2)
+        return got.select(
+            "url", F.col("_loaded").alias("loaded_url"),
+            F.col("_status_code").alias("status_code"),
+            F.col("_html").alias("html"),
+            F.col("_sr_status").alias("status"),
+        )
+
     def run(self, corpus: DataFrame, robots: DataFrame | None = None,
             seeds: DataFrame | None = None) -> dict[str, Any]:
         cfg = self.cfg
@@ -1266,7 +1359,9 @@ class CrawlEngine:
             return []
         rows = (
             self.fetch_log.read()
-            .filter(F.col("status") == "ok")
+            # order_no NULL rows are send_request side exchanges, not
+            # navigations — they never participate in crawl ordering
+            .filter((F.col("status") == "ok") & F.col("order_no").isNotNull())
             .select("step", "unique_key", "order_no", "depth", "url_hash")
             .orderBy("step", "order_no", "depth", "url_hash")
             .collect()
@@ -1308,7 +1403,9 @@ class CrawlEngine:
             "crawler_runtime_steps": self.step,
         }
         if self.fetch_log.exists():
-            log = self.fetch_log.read()
+            # navigations only: send_request side exchanges (order_no NULL)
+            # are outside the reference's Statistics counters
+            log = self.fetch_log.read().filter(F.col("order_no").isNotNull())
             # final attempt per request: max (step, order-of-attempt) row.
             # 'ok' rows are terminal; a request is FAILED iff it never got
             # an ok row (dead letters stop appearing in later steps).

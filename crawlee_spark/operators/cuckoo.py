@@ -180,30 +180,54 @@ class CuckooShard:
         return removed
 
 
-class CuckooShardSet:
-    """bucket -> CuckooShard with the same batch-membership surface as the
-    Bloom ``_ShardSet`` (missing shard == definitely unseen)."""
+# the in-memory shard-set protocol is shared with the Bloom path
+from crawlee_spark.operators.urlseen import InMemoryShardSet as CuckooShardSet  # noqa: E402
 
-    def __init__(self, shards: dict[int, CuckooShard]):
-        self.shards = shards
 
-    def might_contain(self, buckets: np.ndarray, keys: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(keys), dtype=bool)
-        for b in np.unique(buckets):
-            shard = self.shards.get(int(b))
-            if shard is None:
-                continue
-            sel = buckets == b
-            out[sel] = shard.contains_vec(keys[sel].astype(np.int64))
-        return out
+def build_cuckoo_shards_to_store(
+    frontier_keys: DataFrame, root: str
+) -> dict[int, dict]:
+    """Distributed per-bucket build straight into the shard store: each
+    bucket's keys stay where Spark groups them; the task builds the filter
+    AND writes ``b{bucket}.npy`` executor-side (shared filesystem, same
+    assumption as the SnapshotTable). Only per-bucket scalars (rows,
+    saturated, byte size) come back to the driver — never the table, never
+    the keys. Keys are sorted before insertion so retried tasks write
+    byte-identical files."""
+    from crawlee_spark.operators.urlseen import write_shard_file
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        keys = np.sort(pdf["url_hash"].to_numpy(dtype=np.int64))
+        shard = CuckooShard.sized_for(len(keys))
+        shard.insert_many(keys)
+        size = write_shard_file(root, b, shard.table)
+        return pd.DataFrame({
+            "bucket": [b],
+            "nrows": [shard.rows],
+            "saturated": [shard.saturated],
+            "nbytes": [size],
+        })
+
+    rows = (
+        frontier_keys.select("bucket", "url_hash")
+        .groupBy("bucket")
+        .applyInPandas(_build, "bucket int, nrows long, saturated boolean, nbytes long")
+        .collect()
+    )
+    return {
+        int(r["bucket"]): {"saturated": bool(r["saturated"]),
+                           "nbytes": int(r["nbytes"])}
+        for r in rows
+    }
 
 
 def build_cuckoo_shards(frontier_keys: DataFrame) -> dict[int, CuckooShard]:
-    """Distributed per-bucket build: each bucket's keys stay where Spark
-    groups them; only (bucket, rows, saturated, table-bytes) comes back —
-    ~2.4 bytes per key, never the keys themselves."""
+    """In-memory per-bucket build — for BOUNDED key sets (tests, small
+    dims); the engine path is ``build_cuckoo_shards_to_store``, which
+    leaves each table in the store instead of a driver dict."""
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        keys = np.sort(pdf["url_hash"].to_numpy(dtype=np.int64))
         shard = CuckooShard.sized_for(len(keys))
         shard.insert_many(keys)
         return pd.DataFrame({
@@ -258,78 +282,152 @@ def merge_with_cuckoo(
 
 class CuckooUrlSeen:
     """Persisted per-bucket cuckoo shards — drop-in for ``UrlSeenShards``
-    (same load/save/rebuild/refresh/frontier_snapshot surface, engine picks
-    via ``CrawlConfig.urlseen_kind``) plus ``insert``/``delete`` deltas that
-    Bloom cannot do without a rebuild."""
+    (same load/save/rebuild/refresh/split/merge/frontier_snapshot surface,
+    engine picks via ``CrawlConfig.urlseen_kind``) plus ``insert``/
+    ``delete`` deltas that Bloom cannot do without a rebuild.
+
+    Store layout under ``root`` mirrors the Bloom store: one
+    ``shards/b{bucket}.npy`` table per bucket written executor-side during
+    builds, plus a ``cuckoo.json`` commit point (bucket list, per-bucket
+    saturation + byte size, frontier snapshot). The driver holds only the
+    json-sized meta; splits ship a ``StoreShardRef`` and each task loads
+    just its buckets' files. The delta ops touch only the DELTA's buckets
+    (read-modify-write of those files), so their driver-side footprint is
+    bounded by the batch, not the frontier."""
 
     def __init__(self, root: str, **_ignored):
         self.root = root
-        self.shards: dict[int, CuckooShard] = {}
+        self._meta: dict[int, dict] = {}
         self.frontier_snapshot: int | None = None
 
+    @property
+    def shards_dir(self) -> str:
+        return os.path.join(self.root, "shards")
+
+    def has_shards(self) -> bool:
+        return bool(self._meta)
+
+    def ref(self):
+        from crawlee_spark.operators.urlseen import StoreShardRef
+
+        return StoreShardRef("cuckoo", self.shards_dir, dict(self._meta))
+
+    @property
+    def shards(self) -> dict[int, CuckooShard]:
+        """Driver-side materialization of EVERY shard — introspection and
+        tests only; the engine path ships a ``StoreShardRef`` instead."""
+        return {b: self.ref().load_shard(b) for b in self._meta}
+
     def load(self) -> bool:
-        path = os.path.join(self.root, "cuckoo.npz")
         meta_path = os.path.join(self.root, "cuckoo.json")
-        if not (os.path.exists(path) and os.path.exists(meta_path)):
+        if not os.path.exists(meta_path):
             return False
-        with open(meta_path) as f:
-            meta = json.load(f)
-        data = np.load(path)
-        self.shards = {
-            int(b): CuckooShard(
-                data[f"b{b}"].copy(), saturated=bool(meta["saturated"][str(b)])
-            )
-            for b in meta["buckets"]
-        }
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            per_bucket = meta["per_bucket"]  # npz-era json lacks this -> rebuild
+            loaded = {}
+            for b, info in per_bucket.items():
+                path = os.path.join(self.shards_dir, f"b{int(b)}.npy")
+                if os.path.getsize(path) != int(info["nbytes"]):
+                    raise OSError(f"shard {path} size mismatch")
+                loaded[int(b)] = {"saturated": bool(info["saturated"]),
+                                  "nbytes": int(info["nbytes"])}
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cuckoo url-seen state at %s is unreadable; resume will "
+                "rebuild shards from the frontier", self.root, exc_info=True)
+            self._meta = {}
+            self.frontier_snapshot = None
+            return False
+        self._meta = loaded
         self.frontier_snapshot = meta.get("frontier_snapshot")
         return True
 
     def save(self, frontier_snapshot: int | None = None) -> None:
+        """Write the json commit point (bucket files already in place)."""
         if frontier_snapshot is not None:
             self.frontier_snapshot = frontier_snapshot
         os.makedirs(self.root, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(self.root, "cuckoo.npz"),
-            **{f"b{b}": s.table for b, s in self.shards.items()},
-        )
         _atomic_write(
             os.path.join(self.root, "cuckoo.json"),
             json.dumps({
-                "buckets": sorted(self.shards),
-                "saturated": {str(b): s.saturated for b, s in self.shards.items()},
+                "per_bucket": {str(b): info for b, info in sorted(self._meta.items())},
                 "frontier_snapshot": self.frontier_snapshot,
             }),
         )
 
     def rebuild(self, frontier_keys: DataFrame,
                 frontier_snapshot: int | None = None) -> None:
-        self.shards = build_cuckoo_shards(frontier_keys)
+        self._meta = build_cuckoo_shards_to_store(frontier_keys, self.shards_dir)
         self.save(frontier_snapshot)
+        try:
+            for name in os.listdir(self.shards_dir):
+                if name.startswith("b") and name.endswith(".npy"):
+                    b = name[1:-4]
+                    if b.isdigit() and int(b) not in self._meta:
+                        os.remove(os.path.join(self.shards_dir, name))
+        except OSError:
+            pass
 
     def refresh_buckets(self, touched_keys: DataFrame,
                         frontier_snapshot: int | None = None) -> None:
-        """Rebuild only the touched buckets (touched_keys = the FULL key set
-        of those buckets); untouched shards are kept."""
-        new = build_cuckoo_shards(touched_keys)
-        self.shards.update(new)
+        """Rebuild only the touched buckets' files (touched_keys = the FULL
+        key set of those buckets); untouched shards are kept."""
+        new = build_cuckoo_shards_to_store(touched_keys, self.shards_dir)
+        self._meta.update(new)
         self.save(frontier_snapshot)
+
+    def split(self, batch: DataFrame):
+        from crawlee_spark.operators.urlseen import split_by_filter_store
+
+        if not self._meta:
+            return batch, batch.filter(F.lit(False))
+        return split_by_filter_store(batch, self.ref())
+
+    def merge(self, existing: DataFrame, batch: DataFrame) -> DataFrame:
+        """Filter-accelerated MERGE-NOT-MATCHED (engine path) — semantics
+        identical to ``frontier.merge_new_requests``."""
+        if not self._meta:
+            from crawlee_spark.operators.frontier import merge_new_requests
+
+            return merge_new_requests(existing, batch)
+        unseen, maybe = self.split(batch)
+        really_new = maybe.join(
+            existing.select("url_hash"), on="url_hash", how="left_anti")
+        return unseen.unionByName(really_new)
 
     # ---- the deltas Bloom can't do ----
 
+    def _load_one(self, b: int) -> CuckooShard | None:
+        try:
+            return self.ref().load_shard(b)
+        except Exception:
+            return None
+
+    def _store_one(self, b: int, shard: CuckooShard) -> None:
+        from crawlee_spark.operators.urlseen import write_shard_file
+
+        size = write_shard_file(self.shards_dir, b, shard.table)
+        self._meta[b] = {"saturated": shard.saturated, "nbytes": size}
+
     def insert_keys(self, pairs: list[tuple[int, int]],
                     frontier_snapshot: int | None = None) -> None:
-        """Insert (bucket, url_hash) deltas in place. A missing shard is
-        created sized for its delta; an overflowing shard saturates (exact
-        backstop takes over for that bucket)."""
+        """Insert (bucket, url_hash) deltas via read-modify-write of ONLY
+        the touched bucket files. A missing shard is created sized for its
+        delta; an overflowing shard saturates (exact backstop takes over
+        for that bucket)."""
         by_bucket: dict[int, list[int]] = {}
         for b, k in pairs:
             by_bucket.setdefault(int(b), []).append(int(k))
         for b, ks in by_bucket.items():
-            shard = self.shards.get(b)
+            shard = self._load_one(b) if b in self._meta else None
             if shard is None:
                 shard = CuckooShard.sized_for(max(1024, len(ks)))
-                self.shards[b] = shard
             shard.insert_many(np.array(ks, dtype=np.int64))
+            self._store_one(b, shard)
         self.save(frontier_snapshot)
 
     def delete_keys(self, pairs: list[tuple[int, int]],
@@ -341,8 +439,12 @@ class CuckooUrlSeen:
         for b, k in pairs:
             by_bucket.setdefault(int(b), []).append(int(k))
         for b, ks in by_bucket.items():
-            shard = self.shards.get(b)
-            if shard is not None and not shard.saturated:
-                removed += shard.delete_many(np.array(ks, dtype=np.int64))
+            if b not in self._meta or self._meta[b]["saturated"]:
+                continue
+            shard = self._load_one(b)
+            if shard is None or shard.saturated:
+                continue
+            removed += shard.delete_many(np.array(ks, dtype=np.int64))
+            self._store_one(b, shard)
         self.save(frontier_snapshot)
         return removed

@@ -13,7 +13,7 @@ storage PK check. Same discipline here (SURVEY.md §7 hard part (b)):
 - a Bloom shard per bucket answers "definitely-unseen" with ZERO false
   negatives, so definitely-unseen rows skip the anti-join against the
   frontier key set (at 10^10 URLs that key set is ~80 GB of parquet longs —
-  the shards are ~10 bits/key and each executor only needs its buckets');
+  the shards are ~10 bits/key);
 - "maybe-seen" rows (Bloom positives) still pass through the exact
   ``left_anti`` join — a false positive costs work, never drops an unseen URL.
 
@@ -23,10 +23,27 @@ so the filter is built natively and scalably:
 - BUILD: probe positions are computed JVM-side (``xxhash64(url_hash, i)``,
   whole-stage codegen), packed to (bucket, word_index, bit_mask) and reduced
   with ``bit_or`` — a map-side-combined aggregation whose output is exactly
-  the set bit-words (sparse). No driver pass over the keys.
-- MEMBERSHIP: a vectorized numpy XXH64 inside an Arrow-batched pandas UDF
-  tests k probes per key against the broadcast shard (numpy bit ops over the
-  whole batch; no per-row Python).
+  the set bit-words (sparse). The dense shard arrays are then assembled and
+  written PER BUCKET by the executors (``applyInPandas`` over
+  ``groupBy(bucket)`` → one ``b{bucket}.npy`` file each in the shard store,
+  which lives on the same shared filesystem as the SnapshotTable); the
+  driver receives only per-bucket scalars (bucket id, byte size) for the
+  meta json. No shard bits ever sit on the driver.
+- MEMBERSHIP: the batch is repartitioned by bucket and marked by an
+  Arrow-batched ``mapInPandas`` whose closure carries only a
+  ``StoreShardRef`` (store path + per-bucket scalar meta). Each task lazily
+  ``np.load``s exactly the bucket files its slice of the batch touches, so
+  each executor holds only its buckets' shards (SCALE.md §url_seen) — at
+  10^10 URLs the ~12 GB shard set is spread across the cluster, never
+  resident on any single node. The probe math is a vectorized numpy XXH64
+  mirror of the JVM build (numpy bit ops over the whole batch; no per-row
+  Python). An unreadable shard file degrades that bucket to "maybe seen"
+  (the exact join decides) — never to a false negative.
+
+The dict-based helpers (``build_shards``/``prefilter_batch``/
+``merge_with_bloom``) remain as the in-memory variant for bounded dims and
+unit tests of the probe math; the engine path is the store-partitioned one
+(``UrlSeenShards.merge``).
 """
 
 from __future__ import annotations
@@ -34,6 +51,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -95,6 +113,23 @@ class BloomShard:
     def m(self) -> int:
         return len(self.bits) * 64
 
+    def contains_vec(self, keys: np.ndarray) -> np.ndarray:
+        """Batch membership — the numpy mirror of ``probe_positions``."""
+        res = np.ones(len(keys), dtype=bool)
+        m = np.int64(self.m)
+        with np.errstate(over="ignore"):
+            h1 = np.mod(xxhash64_long_vec(keys, SPARK_SEED), m)  # pmod
+            h2c = xxhash64_long_vec(
+                keys, xxhash64_long_vec(keys, SPARK_SEED).view(np.uint64)
+            )
+            h2 = np.mod(h2c, m)
+            for i in range(self.k):
+                pos = np.mod(h1 + np.int64(i) * h2, m).astype(np.uint64)
+                word = (pos >> np.uint64(6)).astype(np.int64)
+                mask = np.uint64(1) << (pos & np.uint64(63))
+                res &= (self.bits[word] & mask) != 0
+        return res
+
 
 def probe_positions(key_col, i: int, m: int):
     """JVM-side probe position i via the double-hash scheme
@@ -108,35 +143,174 @@ def probe_positions(key_col, i: int, m: int):
     return F.pmod(h1 + F.lit(i) * h2, F.lit(m))
 
 
-class _ShardSet:
-    """bucket -> BloomShard, with vectorized batch membership."""
+class InMemoryShardSet:
+    """bucket -> shard (anything with ``contains_vec``), with vectorized
+    batch membership. Bloom and cuckoo shards share this surface; a missing
+    shard means "definitely unseen" (the build saw no keys for it)."""
 
-    def __init__(self, shards: dict[int, BloomShard]):
+    def __init__(self, shards: dict):
         self.shards = shards
 
     def might_contain(self, buckets: np.ndarray, keys: np.ndarray) -> np.ndarray:
         out = np.zeros(len(keys), dtype=bool)
         for b in np.unique(buckets):
-            sel = buckets == b
             shard = self.shards.get(int(b))
             if shard is None:
                 continue  # no shard -> definitely unseen
-            sub = keys[sel]
-            res = np.ones(len(sub), dtype=bool)
-            m = np.int64(shard.m)
-            with np.errstate(over="ignore"):
-                h1 = np.mod(xxhash64_long_vec(sub, SPARK_SEED), m)  # pmod
-                h2c = xxhash64_long_vec(
-                    sub, xxhash64_long_vec(sub, SPARK_SEED).view(np.uint64)
-                )
-                h2 = np.mod(h2c, m)
-                for i in range(shard.k):
-                    pos = np.mod(h1 + np.int64(i) * h2, m).astype(np.uint64)
-                    word = (pos >> np.uint64(6)).astype(np.int64)
-                    mask = np.uint64(1) << (pos & np.uint64(63))
-                    res &= (shard.bits[word] & mask) != 0
-            out[sel] = res
+            sel = buckets == b
+            out[sel] = shard.contains_vec(keys[sel].astype(np.int64))
         return out
+
+
+# backward-compatible name (the Bloom-side alias; cuckoo.py re-exports too)
+_ShardSet = InMemoryShardSet
+
+
+# ---------------------------------------------------------------------------
+# bucket-partitioned shard store (the engine / at-scale path)
+# ---------------------------------------------------------------------------
+
+
+class StoreShardRef:
+    """Lightweight picklable handle to a bucket-partitioned shard store.
+
+    THIS is what ships in the mark-UDF closure — a directory path plus
+    per-bucket scalars (k / saturated / byte size), a few bytes per bucket.
+    The bit arrays stay in the store; each task loads only the bucket files
+    its batch slice touches."""
+
+    __slots__ = ("kind", "root", "meta")
+
+    def __init__(self, kind: str, root: str, meta: dict[int, dict]):
+        self.kind = kind  # "bloom" | "cuckoo"
+        self.root = root
+        self.meta = meta
+
+    def load_shard(self, bucket: int):
+        """np.load ONE bucket's file (raises on missing/corrupt — callers
+        degrade that bucket to maybe-seen)."""
+        arr = np.load(os.path.join(self.root, f"b{bucket}.npy"))
+        if self.kind == "bloom":
+            return BloomShard(arr, int(self.meta[bucket]["k"]))
+        from crawlee_spark.operators.cuckoo import CuckooShard
+
+        return CuckooShard(arr.copy(),
+                           saturated=bool(self.meta[bucket]["saturated"]))
+
+
+def write_shard_file(root: str, bucket: int, arr: np.ndarray) -> int:
+    """Atomic per-bucket array write (tmp + rename); returns byte size.
+    Runs on EXECUTORS during builds — the store root is on the shared
+    filesystem, same assumption the SnapshotTable makes. Task retries get a
+    unique tmp name and converge by last-rename-wins."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"b{bucket}.npy")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def split_by_filter_store(
+    batch: DataFrame, ref: StoreShardRef
+) -> tuple[DataFrame, DataFrame]:
+    """Split (definitely_unseen, maybe_seen) against a store-resident shard
+    set. The batch is repartitioned by bucket first, so each task — and
+    therefore each executor — loads only its own buckets' shard files
+    (lazily, cached per partition). The closure carries ``ref`` (path +
+    per-bucket scalars), never the arrays.
+
+    Degradation is always toward the exact join: a bucket absent from the
+    meta is definitely unseen (its build saw no keys); a bucket whose file
+    cannot be read marks its rows maybe-seen so the anti-join backstop
+    decides."""
+
+    def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, object] = {}
+
+        def shard_for(b: int):
+            if b not in cache:
+                try:
+                    cache[b] = ref.load_shard(b)
+                except Exception:
+                    cache[b] = None  # unreadable -> conservative maybe-seen
+            return cache[b]
+
+        for pdf in batches:
+            buckets = pdf["bucket"].to_numpy()
+            keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                ib = int(b)
+                if ib not in ref.meta:
+                    continue  # no shard -> definitely unseen
+                sel = buckets == b
+                shard = shard_for(ib)
+                if shard is None:
+                    maybe[sel] = True
+                else:
+                    maybe[sel] = shard.contains_vec(keys[sel])
+            pdf = pdf.copy()
+            pdf["_maybe"] = maybe
+            yield pdf
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(list(batch.schema.fields) + [StructField("_maybe", BooleanType())])
+    marked = batch.repartition("bucket").mapInPandas(mark, schema)
+    return (
+        marked.filter(~F.col("_maybe")).drop("_maybe"),
+        marked.filter(F.col("_maybe")).drop("_maybe"),
+    )
+
+
+def build_shards_to_store(
+    frontier_keys: DataFrame,
+    root: str,
+    expected_per_bucket: int = 1_000_000,
+    fpp: float = 0.03,
+) -> dict[int, dict]:
+    """Distributed Bloom build straight into the shard store: explode k
+    probes per key -> (bucket, word, mask) -> ``bit_or`` aggregation
+    (map-side combined) -> per-bucket dense assembly + file write ON THE
+    EXECUTORS (``applyInPandas`` over ``groupBy(bucket)``). The driver
+    receives one scalar row per bucket — never bits, never keys."""
+    m = optimal_bits(expected_per_bucket, fpp)
+    k = optimal_hashes(expected_per_bucket, m)
+    src = frontier_keys.select("bucket", "url_hash")
+    probes = None
+    for i in range(k):
+        p = (
+            src.withColumn("_pos", probe_positions(F.col("url_hash"), i, m))
+            .select(
+                "bucket",
+                F.floor(F.col("_pos") / F.lit(64)).cast("long").alias("word"),
+                F.expr("shiftleft(1L, CAST(pmod(_pos, 64) AS INT))").alias("mask"),
+            )
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    words = probes.groupBy("bucket", "word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        arr = np.zeros(m // 64, dtype=np.uint64)
+        idx = pdf["word"].to_numpy(dtype=np.int64)
+        arr[idx] = pdf["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+        size = write_shard_file(root, b, arr)
+        return pd.DataFrame({"bucket": [b], "nbytes": [size]})
+
+    rows = (
+        words.groupBy("bucket")
+        .applyInPandas(assemble, "bucket int, nbytes long")
+        .collect()
+    )
+    return {int(r["bucket"]): {"k": k, "nbytes": int(r["nbytes"])} for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# in-memory variant (bounded dims / unit tests of the probe math)
+# ---------------------------------------------------------------------------
 
 
 def build_shards(
@@ -144,12 +318,10 @@ def build_shards(
     expected_per_bucket: int = 1_000_000,
     fpp: float = 0.03,
 ) -> dict[int, BloomShard]:
-    """Distributed build: explode k probes per key -> (bucket, word, mask)
-    -> ``bit_or`` aggregation -> sparse words assembled into dense arrays.
-
-    The aggregation is map-side combined; the driver receives only the SET
-    words (<= m/64 per bucket), not the keys.
-    """
+    """In-memory Bloom build: the same probe/bit_or pipeline as
+    ``build_shards_to_store``, collected to a driver dict. For BOUNDED key
+    sets (tests, small dims) only — the engine path writes per-bucket files
+    via the store build instead."""
     m = optimal_bits(expected_per_bucket, fpp)
     k = optimal_hashes(expected_per_bucket, m)
     src = frontier_keys.select("bucket", "url_hash")
@@ -179,14 +351,11 @@ def build_shards(
 
 
 def split_by_filter(batch: DataFrame, shard_set) -> tuple[DataFrame, DataFrame]:
-    """Split (definitely_unseen, maybe_seen) with a vectorized Arrow UDF,
-    over ANY shard set exposing ``might_contain(buckets, keys) -> bool
-    ndarray`` — the protocol both Bloom (``_ShardSet``) and cuckoo
-    (``cuckoo.CuckooShardSet``) implement, so the mark pass and the split
-    live in exactly one place.
-
-    numpy bit-tests over the whole batch; shards ship once per executor via
-    closure serialization (Spark broadcast of the pickled UDF)."""
+    """In-memory split over ANY shard set exposing
+    ``might_contain(buckets, keys) -> bool ndarray`` — the protocol both
+    Bloom and cuckoo ``InMemoryShardSet`` wrap. The shard set ships via
+    closure, so this variant is for BOUNDED sets (tests, small dims); the
+    engine path is ``split_by_filter_store``."""
 
     def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,7 +396,7 @@ def prefilter_batch(
     """Bloom split — see ``split_by_filter``."""
     if not shards:
         return batch, batch.filter(F.lit(False))
-    return split_by_filter(batch, _ShardSet(shards))
+    return split_by_filter(batch, InMemoryShardSet(shards))
 
 
 def merge_with_bloom(
@@ -240,19 +409,31 @@ def merge_with_bloom(
         from crawlee_spark.operators.frontier import merge_new_requests
 
         return merge_new_requests(existing, batch)
-    return merge_with_filter(existing, batch, _ShardSet(shards))
+    return merge_with_filter(existing, batch, InMemoryShardSet(shards))
 
 
 class UrlSeenShards:
     """Persisted per-bucket Bloom shards with resume — the durable analog of
     the reference's in-process LRU, rebuilt from the frontier on resume
-    (SURVEY.md §2.3 'rebuilt from Iceberg url-seen table on resume')."""
+    (SURVEY.md §2.3 'rebuilt from Iceberg url-seen table on resume').
+
+    Store layout under ``root``:
+
+      shards/b{bucket}.npy   one dense uint64 word array per bucket,
+                             written by the executors during builds
+      shards.json            the COMMIT POINT (written last, atomically):
+                             bucket list, per-bucket k + byte size, m, and
+                             the frontier snapshot the shards reflect
+
+    The driver holds only the json-sized meta; splits ship a
+    ``StoreShardRef`` and each executor task loads just its buckets' files
+    (``split_by_filter_store``)."""
 
     def __init__(self, root: str, expected_per_bucket: int = 1_000_000, fpp: float = 0.03):
         self.root = root
         self.expected = expected_per_bucket
         self.fpp = fpp
-        self.shards: dict[int, BloomShard] = {}
+        self._meta: dict[int, dict] = {}
         # frontier snapshot id the persisted shards reflect. A crash between
         # the frontier commit and the shard save leaves this stale; callers
         # (engine) compare it against the live snapshot id on resume and
@@ -261,70 +442,113 @@ class UrlSeenShards:
         # anti-join backstop and breaking the no-false-negative guarantee.
         self.frontier_snapshot: int | None = None
 
+    @property
+    def shards_dir(self) -> str:
+        return os.path.join(self.root, "shards")
+
+    def has_shards(self) -> bool:
+        return bool(self._meta)
+
+    def ref(self) -> StoreShardRef:
+        return StoreShardRef("bloom", self.shards_dir, dict(self._meta))
+
+    @property
+    def shards(self) -> dict[int, BloomShard]:
+        """Driver-side materialization of EVERY shard — introspection and
+        tests only. The engine path never calls this; it ships a
+        ``StoreShardRef`` so arrays stay executor-local."""
+        return {b: self.ref().load_shard(b) for b in self._meta}
+
     def load(self) -> bool:
-        """False (-> caller rebuilds) on missing OR unreadable state: a
-        crash mid-save may leave a truncated npz or a json referencing
-        shards the npz doesn't carry — both must route to the rebuild
-        path, never crash the resume."""
-        path = os.path.join(self.root, "shards.npz")
+        """False (-> caller rebuilds) on missing OR inconsistent state: a
+        crash mid-save may leave bucket files whose sizes disagree with the
+        json (the commit point), or an older npz-era layout — all route to
+        the rebuild path, never crash the resume."""
         meta_path = os.path.join(self.root, "shards.json")
-        if not (os.path.exists(path) and os.path.exists(meta_path)):
+        if not os.path.exists(meta_path):
             return False
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
-            data = np.load(path)
-            self.shards = {
-                int(b): BloomShard(data[f"b{b}"], meta["k"][str(b)])
-                for b in meta["buckets"]
-            }
+            per_bucket = meta["per_bucket"]  # npz-era json lacks this -> rebuild
+            loaded = {}
+            for b, info in per_bucket.items():
+                path = os.path.join(self.shards_dir, f"b{int(b)}.npy")
+                if os.path.getsize(path) != int(info["nbytes"]):
+                    raise OSError(f"shard {path} size mismatch")
+                loaded[int(b)] = {"k": int(info["k"]), "nbytes": int(info["nbytes"])}
         except Exception:
-            # visible signal: a PERSISTENT load failure (numpy format
-            # drift, permissions, …) silently costs a full-frontier shard
-            # rebuild on EVERY resume if nobody notices
+            # visible signal: a PERSISTENT load failure (format drift,
+            # permissions, truncation, …) silently costs a full-frontier
+            # shard rebuild on EVERY resume if nobody notices
             import logging
 
             logging.getLogger(__name__).warning(
                 "url-seen shard state at %s is unreadable; resume will "
                 "rebuild shards from the frontier", self.root, exc_info=True)
-            self.shards = {}
+            self._meta = {}
             self.frontier_snapshot = None
             return False
+        self._meta = loaded
         self.frontier_snapshot = meta.get("frontier_snapshot")
         return True
 
     def save(self, frontier_snapshot: int | None = None) -> None:
+        """Write the json commit point. Bucket files are already in place
+        (builds write them executor-side); the json goes last, atomically,
+        so a crash mid-build leaves the old json pointing at the old state
+        (extra new files are ignored; sizes re-checked on load)."""
         if frontier_snapshot is not None:
             self.frontier_snapshot = frontier_snapshot
         os.makedirs(self.root, exist_ok=True)
-        # npz via tmp + rename BEFORE the json: the json is the commit
-        # point (load() reads it first), so a crash between the two leaves
-        # an old-json/new-npz pair, which load() resolves (extra npz keys
-        # are ignored; missing ones fail -> rebuild)
-        npz_path = os.path.join(self.root, "shards.npz")
-        tmp = npz_path + ".tmp"
-        with open(tmp, "wb") as f:
-            np.savez_compressed(
-                f, **{f"b{b}": s.bits for b, s in self.shards.items()})
-        os.replace(tmp, npz_path)
         _atomic_write(
             os.path.join(self.root, "shards.json"),
             json.dumps({
-                "buckets": sorted(self.shards),
-                "k": {str(b): s.k for b, s in self.shards.items()},
+                "per_bucket": {str(b): info for b, info in sorted(self._meta.items())},
                 "frontier_snapshot": self.frontier_snapshot,
             }),
         )
 
     def rebuild(self, frontier_keys: DataFrame,
                 frontier_snapshot: int | None = None) -> None:
-        self.shards = build_shards(frontier_keys, self.expected, self.fpp)
+        self._meta = build_shards_to_store(
+            frontier_keys, self.shards_dir, self.expected, self.fpp)
         self.save(frontier_snapshot)
+        # hygiene: drop files for buckets the rebuild no longer covers
+        try:
+            for name in os.listdir(self.shards_dir):
+                if name.startswith("b") and name.endswith(".npy"):
+                    b = name[1:-4]
+                    if b.isdigit() and int(b) not in self._meta:
+                        os.remove(os.path.join(self.shards_dir, name))
+        except OSError:
+            pass
 
     def refresh_buckets(self, touched_keys: DataFrame,
                         frontier_snapshot: int | None = None) -> None:
-        """Re-aggregate only the touched buckets (touched_keys must be the
-        FULL key set of those buckets); untouched shards are kept."""
-        new = build_shards(touched_keys, self.expected, self.fpp)
-        self.shards.update(new)
+        """Re-build only the touched buckets' files (touched_keys must be
+        the FULL key set of those buckets); untouched shards are kept —
+        O(touched buckets) work and I/O."""
+        new = build_shards_to_store(
+            touched_keys, self.shards_dir, self.expected, self.fpp)
+        self._meta.update(new)
         self.save(frontier_snapshot)
+
+    def split(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(definitely_unseen, maybe_seen) via the store-partitioned split."""
+        if not self._meta:
+            return batch, batch.filter(F.lit(False))
+        return split_by_filter_store(batch, self.ref())
+
+    def merge(self, existing: DataFrame, batch: DataFrame) -> DataFrame:
+        """Filter-accelerated MERGE-NOT-MATCHED (engine path): exact
+        anti-join runs only on maybe-seen rows. Semantics identical to
+        ``frontier.merge_new_requests``."""
+        if not self._meta:
+            from crawlee_spark.operators.frontier import merge_new_requests
+
+            return merge_new_requests(existing, batch)
+        unseen, maybe = self.split(batch)
+        really_new = maybe.join(
+            existing.select("url_hash"), on="url_hash", how="left_anti")
+        return unseen.unionByName(really_new)

@@ -1423,28 +1423,51 @@ FROM range(64) t(i)
 
 def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF orientation/camera/pixel-dims extraction over binary JPEG
-    blobs (``functions/exif.py``, mapInPandas — IFD walking is not
-    SQL-expressible, hence rows-only like image_validate). The corpus is
-    the deterministic pages table with an APP1 injected into every third
-    JPEG (alternating II/MM byte order), so the output exercises
-    present/absent/byte-order paths on every run."""
-    from crawlee_spark import datagen
+    blobs (``functions/exif.py``, mapInPandas IFD walker).
+
+    Oracled closed-form (VERDICT r3 item #4, same technique as
+    image_features): the corpus is 64 real baseline JPEGs with dims
+    ``w = 16 + (i%4)*8, h = 16 + ((i*3)%4)*8``; every third image gets an
+    APP1 injected with ``orientation = 1 + i%8``, ``make = cam{i%5}``,
+    pixel dims = (w, h), alternating II/MM byte order. The DuckDB oracle
+    derives (has_exif, orientation, make, exif_w, exif_h) from the same
+    index arithmetic WITHOUT touching bytes — the two sides agree only if
+    the APP1 framing, TIFF header, and both-endian IFD entry parsing are
+    actually right (independent derivations). Absent-APP1 and both
+    byte-order paths are all exercised on every run."""
+    import numpy as np
+
     from crawlee_spark.functions.exif import build_exif_app1, extract_exif, inject_app1
+    from crawlee_spark.functions.images import encode_image
 
     rows = []
-    for i, r in enumerate(datagen.gen_pages_rows(64, 4, seed=42)):
-        blob = r["bytes"]
-        if r["fmt"] == "jpeg" and i % 3 == 0:
+    for i in range(64):
+        w = 16 + (i % 4) * 8
+        h = 16 + ((i * 3) % 4) * 8
+        px = np.full((h, w, 3), 40 + (i * 7) % 160, dtype=np.uint8)
+        blob = encode_image(px, "jpeg")
+        if i % 3 == 0:
             blob = inject_app1(blob, build_exif_app1(
                 orientation=1 + i % 8,
                 make=f"cam{i % 5}",
-                pixel_w=r["w"], pixel_h=r["h"],
+                pixel_w=w, pixel_h=h,
                 byte_order="II" if i % 2 == 0 else "MM",
             ))
-        rows.append({"image_id": r["image_id"], "bytes": blob})
+        rows.append({"image_id": f"img-{i:012d}", "bytes": blob})
     df = spark.createDataFrame(rows, "image_id string, bytes binary")
     return extract_exif(df).select(
         "image_id", "has_exif", "orientation", "make", "exif_w", "exif_h")
+
+
+ORACLE_IMAGE_EXIF = """
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+  (i % 3 = 0) AS has_exif,
+  CASE WHEN i % 3 = 0 THEN CAST(1 + i % 8 AS INTEGER) END AS orientation,
+  CASE WHEN i % 3 = 0 THEN 'cam' || CAST(i % 5 AS VARCHAR) END AS make,
+  CASE WHEN i % 3 = 0 THEN CAST(16 + (i % 4) * 8 AS BIGINT) END AS exif_w,
+  CASE WHEN i % 3 = 0 THEN CAST(16 + ((i * 3) % 4) * 8 AS BIGINT) END AS exif_h
+FROM range(64) t(i)
+"""
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1788,6 +1811,172 @@ def q_crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def q_stream_cdx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality under the driver contract (VERDICT r3 item
+    #7): CDX-J shard lines ingested through the REAL Structured Streaming
+    path — ``readStream(text) → foreachBatch(parse + select + frontier
+    MERGE)`` (``streaming/stream_cdx.py``), one shard file per micro-batch
+    — returning the final frontier key set. The DuckDB oracle derives the
+    same set closed-form from the synthesis params, so a green row pins
+    that the streaming path lands EXACTLY the batch-semantics result on a
+    frozen corpus: per-batch selection, replay guards, canonical-key MERGE
+    dedup across micro-batches.
+
+    Synthesis is split-robust by construction: digests are globally unique
+    (digest dedup is a no-op under any batch boundary) and every fifth doc
+    has only non-selectable captures (non-200 / text), so the final unique
+    key set is batch-partitioning-independent: DISTINCT canonical(url)
+    over docs with a 200 image capture. Lines are sorted then round-robin
+    sharded into 4 files (deterministic file contents)."""
+    import os
+    import tempfile
+
+    from crawlee_spark.sources import cdx
+    from crawlee_spark.streaming.stream_cdx import StreamingCdxIngest
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    img_no = doc % 97
+    url = F.concat(
+        F.lit("https://WWW.Img"), (img_no % 7).cast("string"), F.lit("."),
+        F.col("source"), F.lit(".COM:8080/Photos/"), img_no.cast("string"),
+        F.lit(".jpg?q="), F.col("lang"),
+    )
+    mm = F.lpad((doc * 7 % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((doc % 28 + 1).cast("string"), 2, "0")
+    surt = cdx.surt_key(url)
+
+    def line(ts, status, mime, digest):
+        return cdx.format_cdxj(surt, ts, {
+            "url": url, "mime": F.lit(mime), "status": status,
+            "digest": digest, "length": (doc + 1000).cast("string"),
+            "offset": (doc * 4096).cast("string"),
+            "filename": F.lit("crawl-00.warc.gz"),
+        })
+
+    selectable = doc % 5 != 0
+    l1 = F.when(selectable, line(
+        F.concat(F.lit("2026"), mm, dd, F.lit("120000")), F.lit("200"),
+        "image/jpeg", F.md5(F.concat(F.lit("a"), doc.cast("string")))))
+    l2 = F.when(selectable, line(
+        F.concat(F.lit("2025"), mm, dd, F.lit("120000")), F.lit("200"),
+        "image/png", F.md5(F.concat(F.lit("b"), doc.cast("string")))))
+    l3 = line(F.concat(F.lit("2026"), mm, dd, F.lit("123000")),
+              F.when(doc % 3 == 0, "301").otherwise("503"), "text/html",
+              F.md5(F.concat(F.lit("c"), doc.cast("string"))))
+    l4 = F.when(doc % 50 == 0, F.lit("cdx-corrupt ### {not json"))
+    rows = (
+        d.select(F.explode(F.array(l1, l2, l3, l4)).alias("line"))
+        .filter(F.col("line").isNotNull())
+        .collect()
+    )
+    lines = sorted(r["line"] for r in rows)
+
+    wd = tempfile.mkdtemp(prefix="stream_cdx_q_")
+    shard_dir = os.path.join(wd, "shards")
+    os.makedirs(shard_dir)
+    for s in range(4):
+        with open(os.path.join(shard_dir, f"part-{s}.cdxj"), "w") as f:
+            f.write("\n".join(lines[s::4]) + "\n")
+    ing = StreamingCdxIngest(spark, wd, mime_prefix="image/",
+                             statuses=("200",), num_buckets=8)
+    ing.drain(shard_dir, os.path.join(wd, "ckpt"))
+    return ing.frontier.read().select("unique_key")
+
+
+ORACLE_STREAM_CDX_INGEST = f"""
+WITH pages AS (
+  SELECT DISTINCT 'https://WWW.Img' || CAST(doc_id % 97 % 7 AS VARCHAR)
+    || '.' || source || '.COM:8080/Photos/' || CAST(doc_id % 97 AS VARCHAR)
+    || '.jpg?q=' || lang AS url
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT DISTINCT ({_CANON_SQL}) AS unique_key FROM pages
+"""
+
+
+def q_crawl_depth_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED crawl ORDERING (VERDICT r3 item #5): per-URL fetch
+    step of the full BSP loop, not just the final seen set.
+
+    Same SQL-expressible DAG corpus as ``crawl_reachability`` (doc i links
+    to {(3i+1)%N, (7i+2)%N, (i+N/2)%N} with t>i, seeds {0,1,2}). Under the
+    default politeness (unlimited per-host budget, no delays) and the
+    default failure/status models (every fetch succeeds, all 200) the
+    engine MUST fetch each URL at exactly ``BFS_min_depth + 1`` (seeds are
+    enqueued at step 0 and fetched at step 1 — simulator.py spec): the
+    superstep schedule IS breadth-first layering. The DuckDB oracle
+    computes min-depth with a recursive closure carrying depth. Any
+    regression that defers or re-fetches a URL — a politeness gate
+    misfiring, a MERGE losing a round, a priority inversion across
+    supersteps, retry spuriously triggered — shifts a step value and breaks
+    the hash, which the seen-set oracle cannot see. Together with the
+    simulator parity suite (which pins intra-step order) this closes the
+    ordering gap driver-visibly."""
+    import tempfile
+
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+    from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc"))
+        n = d.count()
+
+        def _url(doc_col):
+            return F.concat(F.lit("http://h"), (doc_col % 7).cast("string"),
+                            F.lit(".test/doc/"), doc_col.cast("string"))
+
+        def _anchor(t):
+            return F.when(
+                t > F.col("doc"),
+                F.concat(F.lit('<a href="'), _url(t), F.lit('">x</a> ')),
+            ).otherwise(F.lit(""))
+
+        corpus = d.select(
+            _url(F.col("doc")).alias("url"),
+            F.concat(
+                _anchor((3 * F.col("doc") + 1) % n),
+                _anchor((7 * F.col("doc") + 2) % n),
+                _anchor((F.col("doc") + n // 2) % n),
+            ).alias("html"),
+        )
+        seeds = spark.createDataFrame(
+            [(f"http://h{i % 7}.test/doc/{i}", False, 0, None) for i in range(3)],
+            "url string, forefront boolean, depth int, label string",
+        )
+        wd = tempfile.mkdtemp(prefix="crawl_sched_")
+        eng = CrawlEngine(spark, wd, CrawlConfig(
+            num_buckets=4, enqueue=EnqueueLinksOptions(strategy="all")))
+        eng.add_seeds(seeds)
+        eng.run(corpus)
+        return eng.fetch_log.read().select(
+            "unique_key", F.col("step").cast("int").alias("step"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+ORACLE_CRAWL_DEPTH_SCHEDULE = """
+WITH RECURSIVE reach(doc, depth) AS (
+    SELECT CAST(x AS BIGINT), 0 FROM (VALUES (0), (1), (2)) v(x)
+    UNION
+    SELECT e.t, e.depth + 1 FROM (
+        SELECT r.doc AS src, r.depth AS depth,
+               unnest([(3 * r.doc + 1) % c.n,
+                       (7 * r.doc + 2) % c.n,
+                       (r.doc + c.n // 2) % c.n]) AS t
+        FROM reach r, (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) c
+    ) e WHERE e.t > e.src
+)
+SELECT 'http://h' || CAST(doc % 7 AS VARCHAR) || '.test/doc/'
+           || CAST(doc AS VARCHAR) AS unique_key,
+       CAST(min(depth) + 1 AS INTEGER) AS step
+FROM reach GROUP BY doc
+"""
 
 
 def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4472,6 +4661,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_read_plan": q_warc_read_plan,
     # --- 1. new this round (never driver-recorded) -------------------------
     "image_exif": q_image_exif,
+    "crawl_depth_schedule": q_crawl_depth_schedule,
+    "stream_cdx_ingest": q_stream_cdx_ingest,
     "crawl_end_to_end": q_crawl_end_to_end,
     # --- 2. newest driver record is r02 — rotate into the r04 window -------
     "rate_window": q_rate_window,
@@ -4654,6 +4845,8 @@ ORACLES: dict[str, str] = {
     "revenue_join": ORACLE_REVENUE_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "crawl_reachability": ORACLE_CRAWL_REACHABILITY,
+    "crawl_depth_schedule": ORACLE_CRAWL_DEPTH_SCHEDULE,
+    "stream_cdx_ingest": ORACLE_STREAM_CDX_INGEST,
     "boilerplate": ORACLE_BOILERPLATE,
     "image_caption_pairs": ORACLE_IMAGE_CAPTION_PAIRS,
     "cdx_select": ORACLE_CDX_SELECT,
@@ -4671,5 +4864,6 @@ ORACLES: dict[str, str] = {
     "charset_detect": ORACLE_CHARSET_DETECT,
     "image_validate": ORACLE_IMAGE_VALIDATE,
     "image_features": ORACLE_IMAGE_FEATURES,
+    "image_exif": ORACLE_IMAGE_EXIF,
     # image_exif / crawl_end_to_end: rows-only (IFD walking / BSP loop)
 }

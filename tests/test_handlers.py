@@ -188,3 +188,70 @@ def test_statistics_calculate_and_persist(spark, tmp_path):
     kvs = KeyValueStore(os.path.join(str(tmp_path / "stats"),
                                      "key_value_store"))
     assert kvs.get_value("SDK_CRAWLER_STATISTICS_0") == st
+
+
+def test_send_request_context_helper(spark, tmp_path, corpus):
+    """sendRequest analog (engine.send_request; basic-crawler.ts:1206-1224):
+    a router handler fires corpus-keyed side requests; they resolve through
+    the same canonical-hash join as navigation, land in the fetch log with
+    order_no NULL (skip_navigation-style non-navigation exchanges), do NOT
+    enqueue anything, and leave crawl ordering bit-identical to the same
+    crawl without the handler."""
+    from crawlee_spark.operators.router import Router
+
+    corpus_df, seeds_df = corpus
+
+    # baseline crawl: no router
+    base = CrawlEngine(spark, str(tmp_path / "base"), CrawlConfig(num_buckets=4))
+    base.add_seeds(seeds_df)
+    base.run(corpus_df)
+    base_order = base.crawl_order()
+    base_seen = base.url_seen()
+
+    engine_box = {}
+    router = Router()
+    responses = []
+
+    def default(df):
+        # mid-handler side request: re-fetch each handled page's URL plus
+        # one URL that is NOT in the corpus (404 path)
+        eng = engine_box["eng"]
+        reqs = df.select("url").unionByName(
+            df.sparkSession.createDataFrame(
+                [("https://nowhere.invalid/missing",)], "url string"))
+        got = eng.send_request(reqs)
+        responses.append(got.collect())
+        return df.select("url")
+
+    router.add_default_handler(default)
+
+    eng = CrawlEngine(spark, str(tmp_path / "sr"),
+                      CrawlConfig(num_buckets=4, router=router))
+    engine_box["eng"] = eng
+    eng.add_seeds(seeds_df)
+    eng.run(corpus_df)
+
+    # 1. parity-neutral: ordering and seen set unchanged by the helper
+    assert eng.crawl_order() == base_order
+    assert eng.url_seen() == base_seen
+
+    # 2. responses resolved through the corpus join: every handled url got
+    # its html back, the out-of-corpus url got the 404 path
+    assert responses
+    flat = [r for batch in responses for r in batch]
+    miss = [r for r in flat if r["url"] == "https://nowhere.invalid/missing"]
+    assert miss and all(r["status"] == "404-not-found" and r["html"] is None
+                        and r["status_code"] == 0 for r in miss)
+    hits = [r for r in flat if r["url"] != "https://nowhere.invalid/missing"]
+    assert hits and all(r["status"] == "ok" and r["html"] is not None
+                        for r in hits)
+
+    # 3. logged as non-navigation exchanges: order_no NULL rows in the
+    # fetch log, one per side request, never enqueued to the frontier
+    log = eng.fetch_log.read()
+    side = log.filter(F.col("order_no").isNull())
+    nav = log.filter(F.col("order_no").isNotNull())
+    assert side.count() == len(flat)
+    assert nav.filter(F.col("status") == "ok").count() == len(base_order)
+    fr = eng.frontier.read().select("unique_key").collect()
+    assert all("nowhere.invalid" not in r["unique_key"] for r in fr)

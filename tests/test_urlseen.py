@@ -147,19 +147,21 @@ def test_engine_rebuilds_stale_shards_on_resume(spark, tmp_path):
 
 
 
-def test_load_survives_truncated_npz(spark, tmp_path):
-    """A crash mid-save (truncated npz, or json/npz mismatch) must route
-    resume to the rebuild path — load() returns False, never raises."""
+def test_load_survives_truncated_shard_file(spark, tmp_path):
+    """A crash mid-save (truncated bucket file, or json/file mismatch) must
+    route resume to the rebuild path — load() returns False, never raises:
+    the json commit point records each bucket file's byte size and load()
+    re-checks them."""
     import os
 
     df = _keys_df(spark, 100)
     root = str(tmp_path / "seen")
     store = UrlSeenShards(root, expected_per_bucket=50)
     store.rebuild(df, frontier_snapshot=3)
-    # truncate the npz mid-file
-    npz = os.path.join(root, "shards.npz")
-    blob = open(npz, "rb").read()
-    with open(npz, "wb") as f:
+    # truncate one bucket's shard file mid-array
+    b0 = os.path.join(root, "shards", "b0.npy")
+    blob = open(b0, "rb").read()
+    with open(b0, "wb") as f:
         f.write(blob[: len(blob) // 2])
     fresh = UrlSeenShards(root)
     assert fresh.load() is False
@@ -174,3 +176,52 @@ def test_optimal_bits_monotone():
     assert optimal_bits(1000, 0.03) < optimal_bits(10000, 0.03)
     assert optimal_bits(1000, 0.001) > optimal_bits(1000, 0.03)
     assert optimal_bits(1000, 0.03) % 64 == 0
+
+
+def test_store_split_matches_inmemory_and_ships_no_arrays(spark, tmp_path):
+    """The engine path's store-partitioned split must (a) agree with the
+    in-memory split row-for-row, and (b) ship only a StoreShardRef in the
+    mark closure — path + per-bucket scalars, NOT the bit arrays (the
+    100-TB residency claim in SCALE.md §url_seen)."""
+    import pickle
+
+    df = _keys_df(spark, 1200, buckets=6)
+    root = str(tmp_path / "seen")
+    # sized as production would be (dense arrays ~45 KB/bucket), so the
+    # ref-vs-arrays ratio assertion below measures the real closure saving
+    store = UrlSeenShards(root, expected_per_bucket=50_000)
+    store.rebuild(df, frontier_snapshot=1)
+
+    probe = spark.createDataFrame(
+        [(i % 6, i * 7919 if i % 3 == 0 else -(i * 104729 + 7))
+         for i in range(900)],
+        "bucket int, url_hash long",
+    )
+    unseen_s, maybe_s = store.split(probe)
+    unseen_m, maybe_m = prefilter_batch(probe, store.shards)
+    key = lambda df_: sorted((r["bucket"], r["url_hash"]) for r in df_.collect())
+    assert key(unseen_s) == key(unseen_m)
+    assert key(maybe_s) == key(maybe_m)
+
+    # the picklable handle is tiny; the dense arrays for 6 buckets are not
+    ref_bytes = len(pickle.dumps(store.ref()))
+    array_bytes = sum(s.bits.nbytes for s in store.shards.values())
+    assert ref_bytes < 2000
+    assert array_bytes > 10 * ref_bytes
+
+
+def test_store_split_unreadable_shard_degrades_to_maybe(spark, tmp_path):
+    """A bucket whose file vanished/corrupted after the json commit must
+    mark its rows maybe-seen (exact join decides) — never unseen."""
+    import os
+
+    df = _keys_df(spark, 400, buckets=4)
+    root = str(tmp_path / "seen")
+    store = UrlSeenShards(root, expected_per_bucket=100)
+    store.rebuild(df, frontier_snapshot=1)
+    os.remove(os.path.join(root, "shards", "b2.npy"))
+    unseen, maybe = store.split(df)
+    # bucket 2's rows (all inserted keys) must ALL be maybe-seen; so must
+    # every other bucket's (they were inserted and their shards are intact)
+    assert unseen.count() == 0
+    assert maybe.count() == 400
