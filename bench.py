@@ -87,6 +87,7 @@ HEADLINE = [
     "caption_filter",
     "anchor_topk",
     "shard_manifest",
+    "image_exif",
     "pricing_summary",
     "topk_per_group",
     "revenue_join",
