@@ -967,12 +967,29 @@ class CrawlEngine:
                  **{k: v for k, v in stats.items() if k != "step"}},
             )
             if self.urlseen is not None:
-                # refresh shards for the buckets this commit rewrote, stamped
-                # with the snapshot they reflect (crash-consistency marker)
-                self.urlseen.refresh_buckets(
-                    self.frontier.read(buckets=touched).select("bucket", "url_hash"),
-                    frontier_snapshot=self.frontier.table.current_snapshot_id(),
-                )
+                snap = self.frontier.table.current_snapshot_id()
+                if self.urlseen.has_shards():
+                    # refresh shards for the buckets this commit rewrote,
+                    # stamped with the snapshot they reflect
+                    # (crash-consistency marker)
+                    self.urlseen.refresh_buckets(
+                        self.frontier.read(buckets=touched)
+                        .select("bucket", "url_hash"),
+                        frontier_snapshot=snap,
+                    )
+                else:
+                    # empty meta here means the persisted shard state was
+                    # missing/unreadable at resume (load() returned False) —
+                    # a touched-buckets refresh would stamp a PARTIAL shard
+                    # set as fresh, and the UNCOVERED buckets' keys would
+                    # ride the definitely-unseen fast path around the exact
+                    # anti-join backstop (duplicate inserts). Rebuild from
+                    # the full frontier instead (ShardStoreBase coverage
+                    # invariant).
+                    self.urlseen.rebuild(
+                        self.frontier.read().select("bucket", "url_hash"),
+                        frontier_snapshot=snap,
+                    )
 
             # 6b. dead-letter + error-snapshot appends — strictly AFTER the
             # frontier commit so every pre-commit crash leaves the frontier
@@ -1239,13 +1256,31 @@ class CrawlEngine:
             corpus_keyed = corpus_keyed.withColumn(
                 "_redirect", F.lit(None).cast("string"))
 
-        canon = urls.unique_key(F.col(url_col))
+        # two keys, mirroring navigation exactly: the CORPUS join always
+        # goes over the fragment-stripped canonical hash (fragments never
+        # reach the server), while the request IDENTITY — what the status
+        # and failure models key on, and what lands in the log — follows
+        # the engine's uniqueKey rules (keep_fragment / extended form), so
+        # the same URL gets the SAME deterministic outcome whether it is
+        # navigated or side-requested under every config
+        if cfg.use_extended_unique_key:
+            ident = urls.extended_unique_key(
+                F.col(url_col), keep_fragment=cfg.keep_fragment)
+        else:
+            ident = urls.unique_key(F.col(url_col),
+                                    keep_fragment=cfg.keep_fragment)
+        join_key = urls.url_hash(urls.unique_key(F.col(url_col)))
         req = requests.select(
             F.col(url_col).alias("url"),
-            canon.alias("unique_key"),
-            urls.url_hash(canon).alias("url_hash"),
+            ident.alias("unique_key"),
+            urls.url_hash(ident).alias("url_hash"),
+            join_key.alias("_join_hash"),
+            # same parser as the frontier rows (strips userinfo/port) —
+            # NOT a regexp over the canonical string
+            urls.host_of(F.col(url_col)).alias("host"),
         )
-        got = req.join(corpus_keyed, req["url_hash"] == corpus_keyed["_fetch_hash"],
+        got = req.join(corpus_keyed,
+                       req["_join_hash"] == corpus_keyed["_fetch_hash"],
                        "left")
         got = got.withColumn("_loaded", F.coalesce(F.col("_redirect"), F.col("url")))
         sm = cfg.status
@@ -1270,12 +1305,10 @@ class CrawlEngine:
         got = got.withColumn("_sr_status", status)
 
         step = int(getattr(self, "_inflight_step", None) or self.step)
-        host = F.regexp_extract(
-            F.col("unique_key"), r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
         log = got.select(
             F.lit(step).alias("step"), "url", "unique_key", "url_hash",
-            host.alias("host"),
-            urls.host_hash(host, cfg.num_buckets).alias("bucket"),
+            "host",
+            urls.host_hash(F.col("host"), cfg.num_buckets).alias("bucket"),
             F.lit(None).cast("long").alias("order_no"),
             F.lit(None).cast("int").alias("depth"),
             F.lit(0).cast("int").alias("retry_count"),

@@ -48,16 +48,16 @@ delete only keys verified present in the frontier table (the
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawlee_spark.operators.urlseen import SPARK_SEED, xxhash64_long_vec
-from crawlee_spark.store.snapshot_table import _atomic_write
+from crawlee_spark.operators.urlseen import (
+    SPARK_SEED,
+    ShardStoreBase,
+    xxhash64_long_vec,
+)
 
 FP_SEED = 7919          # fingerprint hash seed
 ALT_SEED = 104729       # alt-row hash seed (hashes the fingerprint)
@@ -280,124 +280,27 @@ def merge_with_cuckoo(
     return merge_with_filter(existing, batch, CuckooShardSet(shards))
 
 
-class CuckooUrlSeen:
+class CuckooUrlSeen(ShardStoreBase):
     """Persisted per-bucket cuckoo shards — drop-in for ``UrlSeenShards``
-    (same load/save/rebuild/refresh/split/merge/frontier_snapshot surface,
-    engine picks via ``CrawlConfig.urlseen_kind``) plus ``insert``/
-    ``delete`` deltas that Bloom cannot do without a rebuild.
+    (same load/save/rebuild/refresh/split/merge/frontier_snapshot surface
+    via ``ShardStoreBase``, engine picks via ``CrawlConfig.urlseen_kind``)
+    plus ``insert``/``delete`` deltas that Bloom cannot do without a
+    rebuild. The delta ops touch only the DELTA's buckets (read-modify-
+    write of those files), so their driver-side footprint is bounded by
+    the batch, not the frontier."""
 
-    Store layout under ``root`` mirrors the Bloom store: one
-    ``shards/b{bucket}.npy`` table per bucket written executor-side during
-    builds, plus a ``cuckoo.json`` commit point (bucket list, per-bucket
-    saturation + byte size, frontier snapshot). The driver holds only the
-    json-sized meta; splits ship a ``StoreShardRef`` and each task loads
-    just its buckets' files. The delta ops touch only the DELTA's buckets
-    (read-modify-write of those files), so their driver-side footprint is
-    bounded by the batch, not the frontier."""
+    kind = "cuckoo"
+    meta_filename = "cuckoo.json"
 
     def __init__(self, root: str, **_ignored):
-        self.root = root
-        self._meta: dict[int, dict] = {}
-        self.frontier_snapshot: int | None = None
+        super().__init__(root)
 
-    @property
-    def shards_dir(self) -> str:
-        return os.path.join(self.root, "shards")
+    def _decode_entry(self, info: dict) -> dict:
+        return {"saturated": bool(info["saturated"]),
+                "nbytes": int(info["nbytes"])}
 
-    def has_shards(self) -> bool:
-        return bool(self._meta)
-
-    def ref(self):
-        from crawlee_spark.operators.urlseen import StoreShardRef
-
-        return StoreShardRef("cuckoo", self.shards_dir, dict(self._meta))
-
-    @property
-    def shards(self) -> dict[int, CuckooShard]:
-        """Driver-side materialization of EVERY shard — introspection and
-        tests only; the engine path ships a ``StoreShardRef`` instead."""
-        return {b: self.ref().load_shard(b) for b in self._meta}
-
-    def load(self) -> bool:
-        meta_path = os.path.join(self.root, "cuckoo.json")
-        if not os.path.exists(meta_path):
-            return False
-        try:
-            with open(meta_path) as f:
-                meta = json.load(f)
-            per_bucket = meta["per_bucket"]  # npz-era json lacks this -> rebuild
-            loaded = {}
-            for b, info in per_bucket.items():
-                path = os.path.join(self.shards_dir, f"b{int(b)}.npy")
-                if os.path.getsize(path) != int(info["nbytes"]):
-                    raise OSError(f"shard {path} size mismatch")
-                loaded[int(b)] = {"saturated": bool(info["saturated"]),
-                                  "nbytes": int(info["nbytes"])}
-        except Exception:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "cuckoo url-seen state at %s is unreadable; resume will "
-                "rebuild shards from the frontier", self.root, exc_info=True)
-            self._meta = {}
-            self.frontier_snapshot = None
-            return False
-        self._meta = loaded
-        self.frontier_snapshot = meta.get("frontier_snapshot")
-        return True
-
-    def save(self, frontier_snapshot: int | None = None) -> None:
-        """Write the json commit point (bucket files already in place)."""
-        if frontier_snapshot is not None:
-            self.frontier_snapshot = frontier_snapshot
-        os.makedirs(self.root, exist_ok=True)
-        _atomic_write(
-            os.path.join(self.root, "cuckoo.json"),
-            json.dumps({
-                "per_bucket": {str(b): info for b, info in sorted(self._meta.items())},
-                "frontier_snapshot": self.frontier_snapshot,
-            }),
-        )
-
-    def rebuild(self, frontier_keys: DataFrame,
-                frontier_snapshot: int | None = None) -> None:
-        self._meta = build_cuckoo_shards_to_store(frontier_keys, self.shards_dir)
-        self.save(frontier_snapshot)
-        try:
-            for name in os.listdir(self.shards_dir):
-                if name.startswith("b") and name.endswith(".npy"):
-                    b = name[1:-4]
-                    if b.isdigit() and int(b) not in self._meta:
-                        os.remove(os.path.join(self.shards_dir, name))
-        except OSError:
-            pass
-
-    def refresh_buckets(self, touched_keys: DataFrame,
-                        frontier_snapshot: int | None = None) -> None:
-        """Rebuild only the touched buckets' files (touched_keys = the FULL
-        key set of those buckets); untouched shards are kept."""
-        new = build_cuckoo_shards_to_store(touched_keys, self.shards_dir)
-        self._meta.update(new)
-        self.save(frontier_snapshot)
-
-    def split(self, batch: DataFrame):
-        from crawlee_spark.operators.urlseen import split_by_filter_store
-
-        if not self._meta:
-            return batch, batch.filter(F.lit(False))
-        return split_by_filter_store(batch, self.ref())
-
-    def merge(self, existing: DataFrame, batch: DataFrame) -> DataFrame:
-        """Filter-accelerated MERGE-NOT-MATCHED (engine path) — semantics
-        identical to ``frontier.merge_new_requests``."""
-        if not self._meta:
-            from crawlee_spark.operators.frontier import merge_new_requests
-
-            return merge_new_requests(existing, batch)
-        unseen, maybe = self.split(batch)
-        really_new = maybe.join(
-            existing.select("url_hash"), on="url_hash", how="left_anti")
-        return unseen.unionByName(really_new)
+    def _build_to_store(self, keys: DataFrame) -> dict[int, dict]:
+        return build_cuckoo_shards_to_store(keys, self.shards_dir)
 
     # ---- the deltas Bloom can't do ----
 
@@ -416,15 +319,23 @@ class CuckooUrlSeen:
     def insert_keys(self, pairs: list[tuple[int, int]],
                     frontier_snapshot: int | None = None) -> None:
         """Insert (bucket, url_hash) deltas via read-modify-write of ONLY
-        the touched bucket files. A missing shard is created sized for its
-        delta; an overflowing shard saturates (exact backstop takes over
-        for that bucket)."""
+        the touched bucket files. A bucket with no shard yet gets one sized
+        for its delta; a PREVIOUSLY-KNOWN bucket whose file is unreadable
+        gets a SATURATED placeholder — never a delta-only fresh filter,
+        which would answer definitely-unseen for the bucket's older keys
+        (false negatives); saturation degrades the whole bucket to the
+        exact anti-join backstop instead. An overflowing shard saturates
+        the same way."""
         by_bucket: dict[int, list[int]] = {}
         for b, k in pairs:
             by_bucket.setdefault(int(b), []).append(int(k))
         for b, ks in by_bucket.items():
-            shard = self._load_one(b) if b in self._meta else None
-            if shard is None:
+            if b in self._meta:
+                shard = self._load_one(b)
+                if shard is None:
+                    shard = CuckooShard.sized_for(max(1024, len(ks)))
+                    shard.saturated = True
+            else:
                 shard = CuckooShard.sized_for(max(1024, len(ks)))
             shard.insert_many(np.array(ks, dtype=np.int64))
             self._store_one(b, shard)

@@ -258,7 +258,12 @@ def split_by_filter_store(
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     schema = StructType(list(batch.schema.fields) + [StructField("_maybe", BooleanType())])
-    marked = batch.repartition("bucket").mapInPandas(mark, schema)
+    # persist: both returned branches (and merge's union of them) filter
+    # this same subtree, and only the exchange BELOW the UDF is reused by
+    # Spark — unpersisted, the mark UDF would evaluate twice per merge and
+    # every task would re-np.load its buckets' shard files twice per
+    # superstep (real shared-FS I/O at the 10^10-URL shard-set size)
+    marked = batch.repartition("bucket").mapInPandas(mark, schema).persist()
     return (
         marked.filter(~F.col("_maybe")).drop("_maybe"),
         marked.filter(F.col("_maybe")).drop("_maybe"),
@@ -412,27 +417,37 @@ def merge_with_bloom(
     return merge_with_filter(existing, batch, InMemoryShardSet(shards))
 
 
-class UrlSeenShards:
-    """Persisted per-bucket Bloom shards with resume — the durable analog of
-    the reference's in-process LRU, rebuilt from the frontier on resume
-    (SURVEY.md §2.3 'rebuilt from Iceberg url-seen table on resume').
+class ShardStoreBase:
+    """Shared plumbing for the bucket-partitioned URL-seen shard stores
+    (Bloom subclass below; cuckoo subclass in ``operators/cuckoo.py``).
 
     Store layout under ``root``:
 
-      shards/b{bucket}.npy   one dense uint64 word array per bucket,
-                             written by the executors during builds
-      shards.json            the COMMIT POINT (written last, atomically):
-                             bucket list, per-bucket k + byte size, m, and
-                             the frontier snapshot the shards reflect
+      shards/b{bucket}.npy    one array per bucket, written by the
+                              executors during builds
+      {meta_filename}         the COMMIT POINT (written last, atomically):
+                              per-bucket scalars (+ byte size, re-checked
+                              on load) and the frontier snapshot the
+                              shards reflect
 
     The driver holds only the json-sized meta; splits ship a
     ``StoreShardRef`` and each executor task loads just its buckets' files
-    (``split_by_filter_store``)."""
+    (``split_by_filter_store``).
 
-    def __init__(self, root: str, expected_per_bucket: int = 1_000_000, fpp: float = 0.03):
+    Coverage invariant: a NON-EMPTY meta always covers every bucket that
+    has frontier keys — it starts from a full ``rebuild`` and each
+    ``refresh_buckets`` only adds/replaces buckets. Callers must NOT
+    ``refresh_buckets`` over an empty meta (e.g. after a failed ``load``):
+    stamping a partial set as fresh would route the uncovered buckets'
+    keys down the definitely-unseen fast path, skipping the exact
+    anti-join backstop. The engine rebuilds from the full frontier in that
+    state (``engine.py`` post-commit shard maintenance)."""
+
+    kind: str = ""
+    meta_filename: str = ""
+
+    def __init__(self, root: str):
         self.root = root
-        self.expected = expected_per_bucket
-        self.fpp = fpp
         self._meta: dict[int, dict] = {}
         # frontier snapshot id the persisted shards reflect. A crash between
         # the frontier commit and the shard save leaves this stale; callers
@@ -442,6 +457,19 @@ class UrlSeenShards:
         # anti-join backstop and breaking the no-false-negative guarantee.
         self.frontier_snapshot: int | None = None
 
+    # -- subclass hooks -----------------------------------------------------
+
+    def _decode_entry(self, info: dict) -> dict:
+        """Validate + normalize one per-bucket meta entry (raises on any
+        missing/invalid field -> load() routes to rebuild)."""
+        raise NotImplementedError
+
+    def _build_to_store(self, keys: DataFrame) -> dict[int, dict]:
+        """Distributed build into ``shards_dir``; returns per-bucket meta."""
+        raise NotImplementedError
+
+    # -- shared surface -----------------------------------------------------
+
     @property
     def shards_dir(self) -> str:
         return os.path.join(self.root, "shards")
@@ -450,10 +478,10 @@ class UrlSeenShards:
         return bool(self._meta)
 
     def ref(self) -> StoreShardRef:
-        return StoreShardRef("bloom", self.shards_dir, dict(self._meta))
+        return StoreShardRef(self.kind, self.shards_dir, dict(self._meta))
 
     @property
-    def shards(self) -> dict[int, BloomShard]:
+    def shards(self) -> dict:
         """Driver-side materialization of EVERY shard — introspection and
         tests only. The engine path never calls this; it ships a
         ``StoreShardRef`` so arrays stay executor-local."""
@@ -464,7 +492,7 @@ class UrlSeenShards:
         crash mid-save may leave bucket files whose sizes disagree with the
         json (the commit point), or an older npz-era layout — all route to
         the rebuild path, never crash the resume."""
-        meta_path = os.path.join(self.root, "shards.json")
+        meta_path = os.path.join(self.root, self.meta_filename)
         if not os.path.exists(meta_path):
             return False
         try:
@@ -473,10 +501,11 @@ class UrlSeenShards:
             per_bucket = meta["per_bucket"]  # npz-era json lacks this -> rebuild
             loaded = {}
             for b, info in per_bucket.items():
+                entry = self._decode_entry(info)
                 path = os.path.join(self.shards_dir, f"b{int(b)}.npy")
-                if os.path.getsize(path) != int(info["nbytes"]):
+                if os.path.getsize(path) != entry["nbytes"]:
                     raise OSError(f"shard {path} size mismatch")
-                loaded[int(b)] = {"k": int(info["k"]), "nbytes": int(info["nbytes"])}
+                loaded[int(b)] = entry
         except Exception:
             # visible signal: a PERSISTENT load failure (format drift,
             # permissions, truncation, …) silently costs a full-frontier
@@ -484,8 +513,9 @@ class UrlSeenShards:
             import logging
 
             logging.getLogger(__name__).warning(
-                "url-seen shard state at %s is unreadable; resume will "
-                "rebuild shards from the frontier", self.root, exc_info=True)
+                "%s url-seen shard state at %s is unreadable; resume will "
+                "rebuild shards from the frontier", self.kind, self.root,
+                exc_info=True)
             self._meta = {}
             self.frontier_snapshot = None
             return False
@@ -502,7 +532,7 @@ class UrlSeenShards:
             self.frontier_snapshot = frontier_snapshot
         os.makedirs(self.root, exist_ok=True)
         _atomic_write(
-            os.path.join(self.root, "shards.json"),
+            os.path.join(self.root, self.meta_filename),
             json.dumps({
                 "per_bucket": {str(b): info for b, info in sorted(self._meta.items())},
                 "frontier_snapshot": self.frontier_snapshot,
@@ -511,8 +541,7 @@ class UrlSeenShards:
 
     def rebuild(self, frontier_keys: DataFrame,
                 frontier_snapshot: int | None = None) -> None:
-        self._meta = build_shards_to_store(
-            frontier_keys, self.shards_dir, self.expected, self.fpp)
+        self._meta = self._build_to_store(frontier_keys)
         self.save(frontier_snapshot)
         # hygiene: drop files for buckets the rebuild no longer covers
         try:
@@ -528,9 +557,9 @@ class UrlSeenShards:
                         frontier_snapshot: int | None = None) -> None:
         """Re-build only the touched buckets' files (touched_keys must be
         the FULL key set of those buckets); untouched shards are kept —
-        O(touched buckets) work and I/O."""
-        new = build_shards_to_store(
-            touched_keys, self.shards_dir, self.expected, self.fpp)
+        O(touched buckets) work and I/O. See the class docstring's coverage
+        invariant: only valid over a non-empty meta."""
+        new = self._build_to_store(touched_keys)
         self._meta.update(new)
         self.save(frontier_snapshot)
 
@@ -552,3 +581,24 @@ class UrlSeenShards:
         really_new = maybe.join(
             existing.select("url_hash"), on="url_hash", how="left_anti")
         return unseen.unionByName(really_new)
+
+
+class UrlSeenShards(ShardStoreBase):
+    """Persisted per-bucket Bloom shards with resume — the durable analog of
+    the reference's in-process LRU, rebuilt from the frontier on resume
+    (SURVEY.md §2.3 'rebuilt from Iceberg url-seen table on resume').
+    Store layout + invariants: ``ShardStoreBase``."""
+
+    kind = "bloom"
+    meta_filename = "shards.json"
+
+    def __init__(self, root: str, expected_per_bucket: int = 1_000_000, fpp: float = 0.03):
+        super().__init__(root)
+        self.expected = expected_per_bucket
+        self.fpp = fpp
+
+    def _decode_entry(self, info: dict) -> dict:
+        return {"k": int(info["k"]), "nbytes": int(info["nbytes"])}
+
+    def _build_to_store(self, keys: DataFrame) -> dict[int, dict]:
+        return build_shards_to_store(keys, self.shards_dir, self.expected, self.fpp)

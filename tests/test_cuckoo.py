@@ -121,3 +121,30 @@ def test_tiny_and_empty_shards(n):
     if n:
         assert shard.contains_vec(keys).all()
     assert shard.contains_vec(np.array([], dtype=np.int64)).shape == (0,)
+
+
+def test_insert_into_unreadable_known_bucket_saturates(spark, tmp_path):
+    """insert_keys on a previously-known bucket whose file is unreadable
+    must NOT restart from a delta-only filter (its old keys would test
+    definitely-unseen -> false negatives); it saturates the bucket so every
+    membership answer degrades to the exact anti-join backstop."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    seen = C.CuckooUrlSeen(str(tmp_path / "cuckoo"))
+    df = spark.range(0, 2000).select(
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+        F.xxhash64(F.col("id")).alias("url_hash"),
+    )
+    seen.rebuild(df, frontier_snapshot=1)
+    os.remove(os.path.join(str(tmp_path / "cuckoo"), "shards", "b2.npy"))
+
+    seen.insert_keys([(2, 123456789)], frontier_snapshot=2)
+    assert seen._meta[2]["saturated"] is True
+    # the bucket's OLD keys must still answer maybe-seen via the store split
+    old = df.filter(F.col("bucket") == 2)
+    unseen, maybe = seen.split(old)
+    assert unseen.count() == 0
+    assert maybe.count() == old.count()

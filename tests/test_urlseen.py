@@ -225,3 +225,52 @@ def test_store_split_unreadable_shard_degrades_to_maybe(spark, tmp_path):
     # every other bucket's (they were inserted and their shards are intact)
     assert unseen.count() == 0
     assert maybe.count() == 400
+
+
+def test_lost_shard_state_rebuilds_full_coverage_not_partial(spark, tmp_path):
+    """Resume after the shard state is lost (load() False, meta empty): the
+    post-commit shard maintenance must do a FULL rebuild, never stamp a
+    touched-buckets-only refresh as fresh — a partial set would route the
+    uncovered buckets' enqueued keys down the definitely-unseen fast path,
+    skipping the exact anti-join backstop (duplicate frontier inserts)."""
+    import os
+
+    from crawlee_spark import datagen
+    from crawlee_spark.engine import CrawlConfig, CrawlEngine
+
+    rows = list(datagen.gen_corpus_rows(40, 4, seed=13, with_bytes=False))
+    corpus = spark.createDataFrame(
+        [{"url": r["url"], "html": r["html"]} for r in rows],
+        "url string, html string")
+    seeds = spark.createDataFrame(
+        datagen.gen_seed_rows(40, 4, seed=13, n_seeds=4),
+        "url string, forefront boolean, depth int, label string")
+    cfg = CrawlConfig(num_buckets=4, use_bloom=True,
+                      bloom_expected_per_bucket=100)
+
+    base = CrawlEngine(spark, str(tmp_path / "base"), cfg)
+    base.add_seeds(seeds)
+    base.run(corpus)
+
+    wd = str(tmp_path / "lost")
+    eng = CrawlEngine(spark, wd, cfg)
+    eng.add_seeds(seeds)
+    eng.run_superstep(corpus)
+    # lose the shard state between runs
+    os.remove(os.path.join(wd, "url_seen", "shards.json"))
+    eng2 = CrawlEngine.resume(spark, wd, cfg)
+    assert not eng2.urlseen.has_shards()  # load() refused the state
+    eng2.run(corpus)
+
+    # full coverage restored: every bucket holding frontier keys has a shard
+    frontier_buckets = {r["bucket"] for r in
+                        eng2.frontier.read().select("bucket").distinct().collect()}
+    assert frontier_buckets <= set(eng2.urlseen._meta)
+    # and the crawl is bit-identical to the uninterrupted baseline (no
+    # duplicate inserts, no lost URLs)
+    assert eng2.url_seen() == base.url_seen()
+    assert eng2.crawl_order() == base.crawl_order()
+    # PK invariant: one frontier row per url_hash
+    n = eng2.frontier.read().count()
+    nd = eng2.frontier.read().select("url_hash").distinct().count()
+    assert n == nd
