@@ -22,10 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: end-to-end BSP crawl over a deterministic image+caption
-    corpus — seeds → canonicalize → MERGE dedup → politeness-budgeted head
-    selection → fetch join → enqueueLinks → loop; returns the fetch log
-    (simulator-verified ordering; see tests/test_engine_parity.py)."""
+    """Flagship: end-to-end BSP crawl — seeds → canonicalize → MERGE dedup
+    → politeness-budgeted head selection → fetch join → enqueueLinks →
+    retry/dead-letter → loop to the empty-frontier fixpoint; returns the
+    fetch log (unique_key, step, status, retry_count). ORACLE-CHECKED: the
+    DuckDB oracle reproduces the whole log closed-form (BFS layering +
+    retry schedule); intra-step order is additionally pinned by
+    tests/test_engine_parity.py."""
     from crawlee_spark.plans.queries import q_crawl_end_to_end
 
     return q_crawl_end_to_end(spark, "/root/testdata/sf0.001")

@@ -1718,35 +1718,125 @@ WHERE ca.cap_fp = cb.cap_fp
 
 
 def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BSP crawl on a deterministic synthetic corpus; returns the fetch
-    log (step, unique_key, status). Simulator-verified in
-    tests/test_engine_parity.py; rows-only here (stateful multi-step loop —
-    not one SQL query)."""
+    """ORACLE-CHECKED flagship: the full BSP crawl loop — seeds →
+    canonicalize → MERGE dedup → head selection → fetch join →
+    enqueueLinks → retry/dead-letter → loop to the empty-frontier fixpoint
+    — returning the complete fetch log projection
+    (unique_key, step, status, retry_count).
+
+    The corpus is the same SQL-expressible DAG as ``crawl_reachability`` /
+    ``crawl_depth_schedule`` (doc i links to {(3i+1)%N, (7i+2)%N,
+    (i+N/2)%N} with t>i, seeds {0,1,2}), extended two ways that keep the
+    ground truth closed-form while exercising more of the engine:
+
+    - anchor NOISE: the three outlinks are written as three different raw
+      variants — plain, UPPERCASE scheme+host with a ``#fragment``, and a
+      ``?utm_*``-tracking-params form — all of which MUST collapse to one
+      canonical uniqueKey (``request.ts:361-375`` normalization: lowercase
+      scheme/host, fragment strip, utm_* drop). A canonicalization
+      regression double-fetches or misses a URL and breaks the hash.
+    - a MISSING link per ``doc % 5 == 2`` page (relative href
+      ``/missing/{doc}``, exercising base resolution): not in the corpus,
+      so each fetch 404s → retried at the next 3 supersteps (max_retries=3)
+      → dead-letter. The oracle emits its 4 attempts closed-form:
+      steps ``min_depth+2+r`` with ``retry_count = r``, r ∈ 0..3.
+
+    Corpus docs are fetched once at step ``BFS_min_depth + 1`` with status
+    'ok' and retry_count 0 (the ``crawl_depth_schedule`` invariant). Any
+    scheduling, dedup, retry-budget, or politeness regression shifts a row
+    and breaks the value hash. Intra-step ordering stays pinned by the
+    simulator parity suite (tests/test_engine_parity.py)."""
     import tempfile
 
-    from crawlee_spark import datagen
     from crawlee_spark.engine import CrawlConfig, CrawlEngine
+    from crawlee_spark.operators.enqueue_links import EnqueueLinksOptions
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        rows = list(datagen.gen_corpus_rows(40, 4, seed=42, with_bytes=False))
-        corpus = spark.createDataFrame(
-            [{"url": r["url"], "html": r["html"]} for r in rows], "url string, html string"
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc"))
+        n = d.count()
+
+        def _plain(t):
+            return F.concat(F.lit("http://h"), (t % 7).cast("string"),
+                            F.lit(".test/doc/"), t.cast("string"))
+
+        def _noisy(t, j):
+            if j == 0:
+                return _plain(t)
+            if j == 1:  # uppercase scheme+host + fragment → same canonical
+                return F.concat(F.lit("HTTP://H"), (t % 7).cast("string"),
+                                F.lit(".TEST/doc/"), t.cast("string"),
+                                F.lit("#frag"))
+            # tracking params → stripped by canonicalization
+            return F.concat(_plain(t), F.lit("?utm_source=x&utm_campaign=y"))
+
+        def _anchor(t, j):
+            return F.when(
+                t > F.col("doc"),
+                F.concat(F.lit('<a href="'), _noisy(t, j), F.lit('">x</a> ')),
+            ).otherwise(F.lit(""))
+
+        missing = F.when(
+            F.col("doc") % 5 == 2,
+            F.concat(F.lit('<a href="/missing/'), F.col("doc").cast("string"),
+                     F.lit('">m</a>')),
+        ).otherwise(F.lit(""))
+        corpus = d.select(
+            _plain(F.col("doc")).alias("url"),
+            F.concat(
+                _anchor((3 * F.col("doc") + 1) % n, 0),
+                _anchor((7 * F.col("doc") + 2) % n, 1),
+                _anchor((F.col("doc") + n // 2) % n, 2),
+                missing,
+            ).alias("html"),
         )
         seeds = spark.createDataFrame(
-            datagen.gen_seed_rows(40, 4, seed=42, n_seeds=4),
+            [(f"http://h{i % 7}.test/doc/{i}", False, 0, None) for i in range(3)],
             "url string, forefront boolean, depth int, label string",
         )
         wd = tempfile.mkdtemp(prefix="crawl_q_")
-        eng = CrawlEngine(spark, wd, CrawlConfig(num_buckets=4))
+        eng = CrawlEngine(spark, wd, CrawlConfig(
+            num_buckets=4, enqueue=EnqueueLinksOptions(strategy="all")))
         eng.add_seeds(seeds)
         eng.run(corpus)
         return eng.fetch_log.read().select(
-            F.col("step").cast("int").alias("step"), "unique_key", "status"
+            "unique_key", F.col("step").cast("int").alias("step"),
+            "status", F.col("retry_count").cast("int").alias("retry_count"),
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+ORACLE_CRAWL_END_TO_END = """
+WITH RECURSIVE reach(doc, depth) AS (
+    SELECT CAST(x AS BIGINT), 0 FROM (VALUES (0), (1), (2)) v(x)
+    UNION
+    SELECT e.t, e.depth + 1 FROM (
+        SELECT r.doc AS src, r.depth AS depth,
+               unnest([(3 * r.doc + 1) % c.n,
+                       (7 * r.doc + 2) % c.n,
+                       (r.doc + c.n // 2) % c.n]) AS t
+        FROM reach r, (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) c
+    ) e WHERE e.t > e.src
+),
+mind AS (SELECT doc, min(depth) AS d FROM reach GROUP BY doc)
+SELECT 'http://h' || CAST(doc % 7 AS VARCHAR) || '.test/doc/'
+           || CAST(doc AS VARCHAR) AS unique_key,
+       CAST(d + 1 AS INTEGER) AS step,
+       'ok' AS status,
+       0 AS retry_count
+FROM mind
+UNION ALL
+SELECT 'http://h' || CAST(doc % 7 AS VARCHAR) || '.test/missing/'
+           || CAST(doc AS VARCHAR) AS unique_key,
+       CAST(d + 2 + a.r AS INTEGER) AS step,
+       '404-not-found' AS status,
+       a.r AS retry_count
+FROM mind, (VALUES (0), (1), (2), (3)) a(r)
+WHERE doc % 5 = 2
+"""
 
 
 def q_crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4865,5 +4955,5 @@ ORACLES: dict[str, str] = {
     "image_validate": ORACLE_IMAGE_VALIDATE,
     "image_features": ORACLE_IMAGE_FEATURES,
     "image_exif": ORACLE_IMAGE_EXIF,
-    # image_exif / crawl_end_to_end: rows-only (IFD walking / BSP loop)
+    "crawl_end_to_end": ORACLE_CRAWL_END_TO_END,
 }
