@@ -51,15 +51,40 @@ class Dataset:
     def push_data(self, df: DataFrame) -> int:
         """pushData: append rows; a ``seq`` column records global insertion
         order (per-batch dense, start = previous item_count — the reference's
-        array index semantics without a global shuffle: zipWithIndex is done
-        once per appended batch, not over the table)."""
-        start = self.item_count()
-        from pyspark.sql.types import LongType, StructField, StructType
+        array index semantics without a global shuffle).
 
-        schema = StructType(list(df.schema.fields) + [StructField("seq", LongType())])
-        rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (start + t[1],))
-        with_seq = self.spark.createDataFrame(rdd, schema)
-        n = with_seq.count()
+        The dense index is assigned ALL-JVM: per-partition row counts (one
+        tiny job, #partitions rows on the driver) → cumulative start offsets
+        broadcast back → ``row_number()`` over per-partition windows ordered
+        by ``monotonically_increasing_id()`` (monotone within a partition by
+        construction). No global sort, no row ever crosses into Python —
+        the previous ``rdd.zipWithIndex`` implementation deserialized every
+        result row through the Python worker, a per-row crossing in a sink
+        whose volume grows with corpus size."""
+        from pyspark.sql import Window
+
+        start = self.item_count()
+        staged = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_mid", F.monotonically_increasing_id())
+        )
+        counts = staged.groupBy("_pid").count().collect()
+        acc = start
+        offs = []
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offs.append((int(r["_pid"]), acc))
+            acc += int(r["count"])
+        n = acc - start
+        off_df = self.spark.createDataFrame(offs or [(0, start)],
+                                            "_pid int, _off long")
+        w = Window.partitionBy("_pid").orderBy("_mid")
+        with_seq = (
+            staged.join(F.broadcast(off_df), "_pid")
+            .withColumn("seq",
+                        (F.col("_off") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("_pid", "_mid", "_off")
+        )
         # cumulative per-segment seq bounds (aligned with the manifest's
         # cumulative ``segments`` list): get_data's pruning reads ONE
         # manifest instead of walking the whole history per call
@@ -125,20 +150,48 @@ class Dataset:
         return self.spark.read.parquet(*paths)
 
     def export_to_json(self, path: str) -> None:
-        """exportToJSON (``dataset.ts:332-360``) — single ordered file."""
-        rows = [r.asDict(recursive=True) for r in self.table.read().orderBy("seq").collect()]
-        for r in rows:
-            r.pop("seq", None)
-        _atomic_write(path, json.dumps(rows, indent=2, default=str))
+        """exportToJSON (``dataset.ts:332-360``) — single ordered file, same
+        bytes as ``json.dumps(rows, indent=2)``.
+
+        Memory bound: rows are STREAMED through ``toLocalIterator()`` (the
+        driver holds one partition at a time, never the table — the
+        reference's export is also single-file, ``dataset.ts:332-392``, so
+        single-writer is the semantics; the distributed scale path is
+        ``export_distributed``)."""
+        with _atomic_stream(path) as f:
+            first = True
+            for row in self.table.read().orderBy("seq").toLocalIterator():
+                d = row.asDict(recursive=True)
+                d.pop("seq", None)
+                item = json.dumps(d, indent=2, default=str)
+                head = "[\n" if first else ",\n"
+                f.write(head + "\n".join("  " + ln for ln in item.splitlines()))
+                first = False
+            f.write("[]" if first else "\n]")
 
     def export_to_csv(self, path: str) -> None:
-        """exportToCSV (``dataset.ts:362-392``; header + rows)."""
+        """exportToCSV (``dataset.ts:362-392``; header + rows). Streamed via
+        ``toLocalIterator()`` — bounded driver memory (one partition at a
+        time), single ordered file."""
         df = self.table.read().orderBy("seq").drop("seq")
         cols = df.columns
-        lines = [",".join(cols)]
-        for r in df.collect():
-            lines.append(",".join(_csv_cell(r[c]) for c in cols))
-        _atomic_write(path, "\n".join(lines) + "\n")
+        with _atomic_stream(path) as f:
+            f.write(",".join(cols) + "\n")
+            for r in df.toLocalIterator():
+                f.write(",".join(_csv_cell(r[c]) for c in cols) + "\n")
+
+    def export_distributed(self, path: str, fmt: str = "json") -> None:
+        """Scale-path export: multi-part ``df.write.json/csv`` keyed by seq
+        (one file per partition, executors write in parallel — the variant
+        to use when the table is too large for any single-file export)."""
+        df = self.table.read().repartitionByRange("seq").sortWithinPartitions("seq")
+        writer = df.write.mode("overwrite")
+        if fmt == "json":
+            writer.json(path)
+        elif fmt == "csv":
+            writer.option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")
 
     # map/reduce surface (``dataset.ts:443-518``) — thin DataFrame wrappers
     def map(self, fn: Callable[[DataFrame], DataFrame]) -> DataFrame:
@@ -147,6 +200,26 @@ class Dataset:
     def reduce(self, agg_exprs: list) -> dict[str, Any]:
         row = self.get_data().agg(*agg_exprs).first()
         return row.asDict() if row else {}
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _atomic_stream(path: str):
+    """Streaming counterpart of ``_atomic_write``: write to a tmp file,
+    ``os.replace`` into place on clean exit (readers never see a torn
+    export), clean up the tmp on failure."""
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    try:
+        with open(tmp, "w") as f:
+            yield f
+        os.replace(tmp, path)
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
 
 
 def _csv_cell(v: Any) -> str:

@@ -38,6 +38,49 @@ def test_dataset_export(spark, tmp_path):
     assert lines[2] == '2,"x,y"'
 
 
+def test_dataset_export_json_bytes_and_empty(spark, tmp_path):
+    """The streamed export must produce the SAME bytes as
+    json.dumps(rows, indent=2) (the pre-streaming format), incl. empty."""
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    rows = [(i, f"v{i}") for i in range(7)]
+    ds.push_data(spark.createDataFrame(rows, "k int, v string"))
+    jp = str(tmp_path / "out.json")
+    ds.export_to_json(jp)
+    expect = json.dumps([{"k": k, "v": v} for k, v in rows], indent=2)
+    assert open(jp).read() == expect
+
+    empty = Dataset(spark, str(tmp_path / "ds2"))
+    empty.push_data(spark.createDataFrame([], "k int, v string"))
+    ep = str(tmp_path / "empty.json")
+    empty.export_to_json(ep)
+    assert open(ep).read() == "[]"
+
+
+def test_dataset_export_distributed(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    ds.push_data(spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                                       "k int, v string"))
+    out = str(tmp_path / "parts")
+    ds.export_distributed(out, fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == 20
+    assert {r["k"] for r in back.collect()} == set(range(20))
+
+
+def test_dataset_push_data_seq_dense_across_partitions(spark, tmp_path):
+    """seq must be a dense 0..N-1 insertion index even when the input frame
+    has many partitions (incl. empty ones)."""
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    df = spark.range(0, 13, 1, 8).select(F.col("id").cast("int").alias("k"))
+    assert ds.push_data(df) == 13
+    got = ds.table.read().orderBy("seq").collect()
+    assert [r["seq"] for r in got] == list(range(13))
+    assert sorted(r["k"] for r in got) == list(range(13))
+    # second batch continues the dense index at item_count
+    assert ds.push_data(spark.createDataFrame([(99,)], "k int")) == 1
+    assert ds.table.read().agg(F.max("seq")).first()[0] == 13
+
+
 def test_dataset_reduce(spark, tmp_path):
     ds = Dataset(spark, str(tmp_path / "ds"))
     ds.push_data(spark.createDataFrame([(i,) for i in range(10)], "k int"))
