@@ -185,7 +185,7 @@ from crawlee_spark.operators.urlseen import InMemoryShardSet as CuckooShardSet  
 
 
 def build_cuckoo_shards_to_store(
-    frontier_keys: DataFrame, root: str
+    frontier_keys: DataFrame, root: str, gen: str = ""
 ) -> dict[int, dict]:
     """Distributed per-bucket build straight into the shard store: each
     bucket's keys stay where Spark groups them; the task builds the filter
@@ -201,7 +201,7 @@ def build_cuckoo_shards_to_store(
         keys = np.sort(pdf["url_hash"].to_numpy(dtype=np.int64))
         shard = CuckooShard.sized_for(len(keys))
         shard.insert_many(keys)
-        size = write_shard_file(root, b, shard.table)
+        size = write_shard_file(root, b, shard.table, gen)
         return pd.DataFrame({
             "bucket": [b],
             "nrows": [shard.rows],
@@ -217,7 +217,7 @@ def build_cuckoo_shards_to_store(
     )
     return {
         int(r["bucket"]): {"saturated": bool(r["saturated"]),
-                           "nbytes": int(r["nbytes"])}
+                           "nbytes": int(r["nbytes"]), "gen": gen}
         for r in rows
     }
 
@@ -297,10 +297,11 @@ class CuckooUrlSeen(ShardStoreBase):
 
     def _decode_entry(self, info: dict) -> dict:
         return {"saturated": bool(info["saturated"]),
-                "nbytes": int(info["nbytes"])}
+                "nbytes": int(info["nbytes"]),
+                "gen": str(info.get("gen", ""))}
 
-    def _build_to_store(self, keys: DataFrame) -> dict[int, dict]:
-        return build_cuckoo_shards_to_store(keys, self.shards_dir)
+    def _build_to_store(self, keys: DataFrame, gen: str) -> dict[int, dict]:
+        return build_cuckoo_shards_to_store(keys, self.shards_dir, gen)
 
     # ---- the deltas Bloom can't do ----
 
@@ -311,10 +312,15 @@ class CuckooUrlSeen(ShardStoreBase):
             return None
 
     def _store_one(self, b: int, shard: CuckooShard) -> None:
+        # fresh generation per delta write (driver-side, no task-zombie
+        # risk, but keeps the one-filename-per-write invariant uniform);
+        # the superseded file is swept by the caller's save + gc
         from crawlee_spark.operators.urlseen import write_shard_file
 
-        size = write_shard_file(self.shards_dir, b, shard.table)
-        self._meta[b] = {"saturated": shard.saturated, "nbytes": size}
+        gen = self._new_gen()
+        size = write_shard_file(self.shards_dir, b, shard.table, gen)
+        self._meta[b] = {"saturated": shard.saturated, "nbytes": size,
+                         "gen": gen}
 
     def insert_keys(self, pairs: list[tuple[int, int]],
                     frontier_snapshot: int | None = None) -> None:
@@ -340,6 +346,7 @@ class CuckooUrlSeen(ShardStoreBase):
             shard.insert_many(np.array(ks, dtype=np.int64))
             self._store_one(b, shard)
         self.save(frontier_snapshot)
+        self._gc_unreferenced()
 
     def delete_keys(self, pairs: list[tuple[int, int]],
                     frontier_snapshot: int | None = None) -> int:
@@ -358,4 +365,5 @@ class CuckooUrlSeen(ShardStoreBase):
             removed += shard.delete_many(np.array(ks, dtype=np.int64))
             self._store_one(b, shard)
         self.save(frontier_snapshot)
+        self._gc_unreferenced()
         return removed

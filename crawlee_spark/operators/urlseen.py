@@ -189,22 +189,36 @@ class StoreShardRef:
     def load_shard(self, bucket: int):
         """np.load ONE bucket's file (raises on missing/corrupt — callers
         degrade that bucket to maybe-seen)."""
-        arr = np.load(os.path.join(self.root, f"b{bucket}.npy"))
+        info = self.meta[bucket]
+        arr = np.load(os.path.join(
+            self.root, shard_filename(bucket, info.get("gen", ""))))
         if self.kind == "bloom":
-            return BloomShard(arr, int(self.meta[bucket]["k"]))
+            return BloomShard(arr, int(info["k"]))
         from crawlee_spark.operators.cuckoo import CuckooShard
 
-        return CuckooShard(arr.copy(),
-                           saturated=bool(self.meta[bucket]["saturated"]))
+        return CuckooShard(arr.copy(), saturated=bool(info["saturated"]))
 
 
-def write_shard_file(root: str, bucket: int, arr: np.ndarray) -> int:
+def shard_filename(bucket: int, gen: str = "") -> str:
+    """Per-bucket shard file name. ``gen`` is a per-BUILD token (random hex,
+    minted once per rebuild/refresh and referenced from the json commit
+    point): two builds never share a filename, so a zombie/speculative task
+    attempt from an OLDER build can never ``os.replace`` over a NEWER
+    committed generation — the stale-bits clobber that a size check cannot
+    detect on size-constant Bloom files. Empty ``gen`` = the legacy
+    un-suffixed name (pre-generation stores stay loadable)."""
+    return f"b{bucket}.{gen}.npy" if gen else f"b{bucket}.npy"
+
+
+def write_shard_file(root: str, bucket: int, arr: np.ndarray,
+                     gen: str = "") -> int:
     """Atomic per-bucket array write (tmp + rename); returns byte size.
     Runs on EXECUTORS during builds — the store root is on the shared
     filesystem, same assumption the SnapshotTable makes. Task retries get a
-    unique tmp name and converge by last-rename-wins."""
+    unique tmp name and converge by last-rename-wins WITHIN a build; across
+    builds the generation-suffixed name makes clobbering impossible."""
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"b{bucket}.npy")
+    path = os.path.join(root, shard_filename(bucket, gen))
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
     with open(tmp, "wb") as f:
         np.save(f, arr)
@@ -214,7 +228,7 @@ def write_shard_file(root: str, bucket: int, arr: np.ndarray) -> int:
 
 def split_by_filter_store(
     batch: DataFrame, ref: StoreShardRef
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Split (definitely_unseen, maybe_seen) against a store-resident shard
     set. The batch is repartitioned by bucket first, so each task — and
     therefore each executor — loads only its own buckets' shard files
@@ -262,11 +276,17 @@ def split_by_filter_store(
     # this same subtree, and only the exchange BELOW the UDF is reused by
     # Spark — unpersisted, the mark UDF would evaluate twice per merge and
     # every task would re-np.load its buckets' shard files twice per
-    # superstep (real shared-FS I/O at the 10^10-URL shard-set size)
+    # superstep (real shared-FS I/O at the 10^10-URL shard-set size).
+    # The persisted handle is RETURNED (third element) so the caller can
+    # unpersist once its consumers are evaluated — without that, every
+    # superstep leaks one cached DataFrame for the life of the app
+    # (ShardStoreBase.split stashes it; the engine releases it in the
+    # superstep's finally block).
     marked = batch.repartition("bucket").mapInPandas(mark, schema).persist()
     return (
         marked.filter(~F.col("_maybe")).drop("_maybe"),
         marked.filter(F.col("_maybe")).drop("_maybe"),
+        marked,
     )
 
 
@@ -275,12 +295,14 @@ def build_shards_to_store(
     root: str,
     expected_per_bucket: int = 1_000_000,
     fpp: float = 0.03,
+    gen: str = "",
 ) -> dict[int, dict]:
     """Distributed Bloom build straight into the shard store: explode k
     probes per key -> (bucket, word, mask) -> ``bit_or`` aggregation
     (map-side combined) -> per-bucket dense assembly + file write ON THE
     EXECUTORS (``applyInPandas`` over ``groupBy(bucket)``). The driver
-    receives one scalar row per bucket — never bits, never keys."""
+    receives one scalar row per bucket — never bits, never keys. ``gen``
+    is the build's generation token (``shard_filename``)."""
     m = optimal_bits(expected_per_bucket, fpp)
     k = optimal_hashes(expected_per_bucket, m)
     src = frontier_keys.select("bucket", "url_hash")
@@ -302,7 +324,7 @@ def build_shards_to_store(
         arr = np.zeros(m // 64, dtype=np.uint64)
         idx = pdf["word"].to_numpy(dtype=np.int64)
         arr[idx] = pdf["bits"].to_numpy(dtype=np.int64).view(np.uint64)
-        size = write_shard_file(root, b, arr)
+        size = write_shard_file(root, b, arr, gen)
         return pd.DataFrame({"bucket": [b], "nbytes": [size]})
 
     rows = (
@@ -310,7 +332,8 @@ def build_shards_to_store(
         .applyInPandas(assemble, "bucket int, nbytes long")
         .collect()
     )
-    return {int(r["bucket"]): {"k": k, "nbytes": int(r["nbytes"])} for r in rows}
+    return {int(r["bucket"]): {"k": k, "nbytes": int(r["nbytes"]), "gen": gen}
+            for r in rows}
 
 
 # ---------------------------------------------------------------------------
@@ -449,6 +472,9 @@ class ShardStoreBase:
     def __init__(self, root: str):
         self.root = root
         self._meta: dict[int, dict] = {}
+        # persisted marked frames from split() awaiting release (engine
+        # unpersists after the frontier commit via release_pinned())
+        self._pinned: list[DataFrame] = []
         # frontier snapshot id the persisted shards reflect. A crash between
         # the frontier commit and the shard save leaves this stale; callers
         # (engine) compare it against the live snapshot id on resume and
@@ -464,8 +490,9 @@ class ShardStoreBase:
         missing/invalid field -> load() routes to rebuild)."""
         raise NotImplementedError
 
-    def _build_to_store(self, keys: DataFrame) -> dict[int, dict]:
-        """Distributed build into ``shards_dir``; returns per-bucket meta."""
+    def _build_to_store(self, keys: DataFrame, gen: str) -> dict[int, dict]:
+        """Distributed build into ``shards_dir`` under generation ``gen``;
+        returns per-bucket meta (each entry carrying that ``gen``)."""
         raise NotImplementedError
 
     # -- shared surface -----------------------------------------------------
@@ -476,6 +503,13 @@ class ShardStoreBase:
 
     def has_shards(self) -> bool:
         return bool(self._meta)
+
+    def shard_path(self, bucket: int) -> str:
+        """Current on-disk path of a bucket's shard file (generation-aware;
+        introspection/tests)."""
+        return os.path.join(
+            self.shards_dir,
+            shard_filename(bucket, self._meta[bucket].get("gen", "")))
 
     def ref(self) -> StoreShardRef:
         return StoreShardRef(self.kind, self.shards_dir, dict(self._meta))
@@ -502,7 +536,9 @@ class ShardStoreBase:
             loaded = {}
             for b, info in per_bucket.items():
                 entry = self._decode_entry(info)
-                path = os.path.join(self.shards_dir, f"b{int(b)}.npy")
+                path = os.path.join(
+                    self.shards_dir,
+                    shard_filename(int(b), entry.get("gen", "")))
                 if os.path.getsize(path) != entry["nbytes"]:
                     raise OSError(f"shard {path} size mismatch")
                 loaded[int(b)] = entry
@@ -539,19 +575,33 @@ class ShardStoreBase:
             }),
         )
 
-    def rebuild(self, frontier_keys: DataFrame,
-                frontier_snapshot: int | None = None) -> None:
-        self._meta = self._build_to_store(frontier_keys)
-        self.save(frontier_snapshot)
-        # hygiene: drop files for buckets the rebuild no longer covers
+    @staticmethod
+    def _new_gen() -> str:
+        """Fresh per-build generation token (``shard_filename``): random,
+        so no two builds — including builds after a lost/corrupt meta,
+        where a counter would restart — ever share a filename."""
+        return uuid.uuid4().hex[:12]
+
+    def _gc_unreferenced(self) -> None:
+        """Drop shard files the CURRENT meta does not reference: buckets a
+        rebuild no longer covers and superseded generations. A zombie task
+        writing its (old-generation) file after this sweep leaves an orphan
+        that is never loaded and is removed by the next build's sweep."""
+        referenced = {shard_filename(b, e.get("gen", ""))
+                      for b, e in self._meta.items()}
         try:
             for name in os.listdir(self.shards_dir):
-                if name.startswith("b") and name.endswith(".npy"):
-                    b = name[1:-4]
-                    if b.isdigit() and int(b) not in self._meta:
-                        os.remove(os.path.join(self.shards_dir, name))
+                if (name.startswith("b") and name.endswith(".npy")
+                        and name not in referenced):
+                    os.remove(os.path.join(self.shards_dir, name))
         except OSError:
             pass
+
+    def rebuild(self, frontier_keys: DataFrame,
+                frontier_snapshot: int | None = None) -> None:
+        self._meta = self._build_to_store(frontier_keys, self._new_gen())
+        self.save(frontier_snapshot)
+        self._gc_unreferenced()
 
     def refresh_buckets(self, touched_keys: DataFrame,
                         frontier_snapshot: int | None = None) -> None:
@@ -559,15 +609,31 @@ class ShardStoreBase:
         the FULL key set of those buckets); untouched shards are kept —
         O(touched buckets) work and I/O. See the class docstring's coverage
         invariant: only valid over a non-empty meta."""
-        new = self._build_to_store(touched_keys)
+        new = self._build_to_store(touched_keys, self._new_gen())
         self._meta.update(new)
         self.save(frontier_snapshot)
+        self._gc_unreferenced()
 
     def split(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(definitely_unseen, maybe_seen) via the store-partitioned split."""
+        """(definitely_unseen, maybe_seen) via the store-partitioned split.
+        The underlying marked frame is persisted (one mark-UDF pass per
+        merge) and stashed; call :meth:`release_pinned` once the consumers
+        have evaluated (the engine does, after each frontier commit)."""
         if not self._meta:
             return batch, batch.filter(F.lit(False))
-        return split_by_filter_store(batch, self.ref())
+        unseen, maybe, marked = split_by_filter_store(batch, self.ref())
+        self._pinned.append(marked)
+        return unseen, maybe
+
+    def release_pinned(self) -> None:
+        """Unpersist the marked frames stashed by :meth:`split`. Safe to
+        call any time after their consumers evaluated; idempotent."""
+        pinned, self._pinned = self._pinned, []
+        for df in pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def merge(self, existing: DataFrame, batch: DataFrame) -> DataFrame:
         """Filter-accelerated MERGE-NOT-MATCHED (engine path): exact
@@ -598,7 +664,9 @@ class UrlSeenShards(ShardStoreBase):
         self.fpp = fpp
 
     def _decode_entry(self, info: dict) -> dict:
-        return {"k": int(info["k"]), "nbytes": int(info["nbytes"])}
+        return {"k": int(info["k"]), "nbytes": int(info["nbytes"]),
+                "gen": str(info.get("gen", ""))}
 
-    def _build_to_store(self, keys: DataFrame) -> dict[int, dict]:
-        return build_shards_to_store(keys, self.shards_dir, self.expected, self.fpp)
+    def _build_to_store(self, keys: DataFrame, gen: str) -> dict[int, dict]:
+        return build_shards_to_store(keys, self.shards_dir, self.expected,
+                                     self.fpp, gen)

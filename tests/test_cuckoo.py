@@ -139,7 +139,7 @@ def test_insert_into_unreadable_known_bucket_saturates(spark, tmp_path):
         F.xxhash64(F.col("id")).alias("url_hash"),
     )
     seen.rebuild(df, frontier_snapshot=1)
-    os.remove(os.path.join(str(tmp_path / "cuckoo"), "shards", "b2.npy"))
+    os.remove(seen.shard_path(2))
 
     seen.insert_keys([(2, 123456789)], frontier_snapshot=2)
     assert seen._meta[2]["saturated"] is True
