@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time as _time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -565,6 +566,140 @@ class CrawlEngine:
             )
         self._corpus_check_memo = corpus
 
+    def _static_exprs(self) -> dict:
+        """STEP-INDEPENDENT column trees of the superstep, built once per
+        engine (Column objects wrap immutable unresolved expressions, so one
+        build serves every superstep). Rounds 1-4 rebuilt the status/error/
+        retry/probe trees every step — pure driver py4j cost that dominated
+        the fixed per-step latency at toy data sizes (round-5 profile;
+        VERDICT r4 item #7). Everything here references columns by NAME and
+        ``cfg`` fields frozen at engine construction."""
+        sx = getattr(self, "_sx", None)
+        if sx is not None:
+            return sx
+        cfg = self.cfg
+        sm = cfg.status
+        sx = {}
+        sx["fetch_hash"] = urls.url_hash(urls.unique_key(F.col("url")))
+        sx["status_code"] = (
+            F.when(F.col("skip_navigation"), F.lit(0))  # no HTTP request
+            .when(F.col("_html").isNull(), F.lit(0))
+            .otherwise(sm.status_col())
+        )
+        sc = F.col("_status_code")
+        in_ignore = sc.isin(list(sm.ignore_error_codes)) if sm.ignore_error_codes \
+            else F.lit(False)
+        is_5xx = (sc >= 500) & ~in_ignore
+        is_addl = sc.isin(list(sm.additional_error_codes)) \
+            if sm.additional_error_codes else F.lit(False)
+        is_sess = sc.isin(list(sm.session_blocked_codes)) & ~in_ignore \
+            if sm.session_blocked_codes else F.lit(False)
+        sx["err_col"] = (
+            # skipNavigation: handled without navigating (request.ts) —
+            # success regardless of corpus/status, no extraction
+            F.when(F.col("skip_navigation"), F.lit(None).cast("string"))
+            .when(F.col("_html").isNull(), F.lit("404-not-found"))
+            .when(~cfg.failures.success_col(), F.lit("fetch-failed"))
+            .when(F.col("_blocked"), F.lit("session-blocked"))
+            .when(is_5xx, F.lit("http-5xx"))
+            .when(is_addl, F.lit("http-error"))
+            .when(is_sess, F.lit("session-blocked"))
+            .when(sc == 406, F.lit("unsupported-content-type"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        sx["rot_col"] = F.col("_err") == "session-blocked"
+        sx["can_retry"] = (~F.col("no_retry")) & (
+            F.when(F.col("_rot"),
+                   F.col("rotation_count") < sm.max_session_rotations)
+            .when(F.col("_err") == "unsupported-content-type", F.lit(False))
+            .otherwise(F.col("retry_count") < cfg.max_retries)
+        )
+        can_retry = sx["can_retry"]
+        sx["probe_fetch"] = [
+            F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
+            F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
+            F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
+            F.collect_set("bucket").alias("buckets"),
+        ]
+        sx["probe_count"] = [
+            F.count(F.lit(1)).alias("handled"),
+            F.lit(0).alias("failed"), F.lit(0).alias("retried"),
+            F.collect_set("bucket").alias("buckets"),
+        ]
+        sx["metrics_aggs"] = [
+            F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
+            F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
+            F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
+        ]
+        if cfg.proxies is not None:
+            # session key varies with rotation_count: a rotated
+            # (SessionError) retry gets a fresh egress identity, while
+            # plain retries stay sticky; tiers escalate on retry_count
+            sx["proxy_col"] = cfg.proxies.proxy_col(
+                F.pmod(F.col("url_hash"), F.lit(1 << 31)) + F.col("rotation_count"),
+                F.col("retry_count"),
+            )
+        else:
+            sx["proxy_col"] = F.lit(None).cast("string")
+        # header identity (got-scraping analog, functions/headers.py):
+        # same session key as the proxy pick — fixed across plain
+        # retries, redrawn on SessionError rotation
+        hdr = headers.header_profile_cols(
+            F.pmod(F.col("url_hash"), F.lit(1 << 31))
+            + F.col("rotation_count"))
+        sx["hdr_id"] = hdr["header_profile_id"].alias("header_profile_id")
+        sx["hdr_ua"] = hdr["user_agent"].alias("user_agent")
+        self._sx = sx
+        return sx
+
+    def _corpus_keyed(self, corpus: DataFrame) -> DataFrame:
+        """Canonical-hash-keyed projection of the fetch corpus, memoized AND
+        persisted per corpus frame: the corpus is constant across the whole
+        crawl, but rounds 1-4 rebuilt this expression tree (driver-side
+        py4j/Catalyst cost, measured ~0.3 s/superstep at sf0.1) and
+        re-canonicalized every corpus URL in EVERY superstep's fetch join.
+        One projection, computed once, read from cache thereafter.
+
+        Column-prune discipline unchanged: scheduling never reads bytes
+        (decisive at image scale, SURVEY.md §4) — only html for extraction
+        plus the redirect target (loadedUrl model, http-crawler.ts:480).
+        The memo is keyed by a STRONG frame reference compared with ``is``
+        (same rationale as ``_robots_delays_dim``); the superseded cache
+        entry is unpersisted when the corpus frame changes, and ``run``
+        releases it at crawl end."""
+        memo = getattr(self, "_corpus_keyed_memo", None)
+        if memo is not None and memo[0] is corpus:
+            return memo[1]
+        corpus_cols = [
+            urls.url_hash(F.col("_ck")).alias("_fetch_hash"),
+            F.col("html").alias("_html"),
+        ]
+        if "redirect_to" in corpus.columns:
+            corpus_cols.append(F.col("redirect_to").alias("_redirect"))
+        ck = corpus.withColumn(
+            "_ck", urls.unique_key(F.col("url"))
+        ).select(*corpus_cols)
+        if "redirect_to" not in corpus.columns:
+            ck = ck.withColumn("_redirect", F.lit(None).cast("string"))
+        ck = ck.persist()
+        if memo is not None:
+            try:
+                memo[1].unpersist()
+            except Exception:
+                pass
+        self._corpus_keyed_memo = (corpus, ck)
+        return ck
+
+    def release_corpus_cache(self) -> None:
+        """Unpersist the memoized fetch-corpus projection (crawl end)."""
+        memo = getattr(self, "_corpus_keyed_memo", None)
+        if memo is not None:
+            try:
+                memo[1].unpersist()
+            except Exception:
+                pass
+            self._corpus_keyed_memo = None
+
     def _robots_delays_dim(self, robots: DataFrame | None) -> DataFrame | None:
         """(host, crawl_delay) dim for this robots frame, or None when no
         host has a Crawl-delay line. Fully distributed (no per-host rows on
@@ -586,10 +721,10 @@ class CrawlEngine:
         url, html (+ the input_hint payload columns when validate_images).
 
         Job-count discipline: one superstep runs a fixed handful of Spark
-        jobs — pending check, robots-bucket agg, the fetched-stats agg, the
-        new-request bucket agg, the commit write, and the log/metrics
-        appends. All counters derive from those aggregations; nothing is
-        counted twice.
+        jobs — pending check, ONE combined stats probe (fetch counters +
+        new-request buckets + robots kills in a single collect), the commit
+        write, and the log/metrics appends. All counters derive from that
+        probe; nothing is counted twice.
         """
         cfg = self.cfg
         step = self.step + 1
@@ -601,6 +736,13 @@ class CrawlEngine:
         stats = {"step": step, "fetched": 0, "handled": 0, "failed": 0,
                  "retried": 0, "robots_dead": 0, "enqueued": 0}
 
+        # per-phase wall timings of the LAST superstep (observability: where
+        # the fixed per-step cost goes; read via ``self.last_timings``)
+        tm: dict[str, float] = {}
+        _t = _time.perf_counter
+        self.last_timings = tm
+        t0 = _t()
+
         pending = self.frontier.pending().persist()
         try:
             if pending.isEmpty():
@@ -608,6 +750,8 @@ class CrawlEngine:
                 self._save_state()
                 stats["empty"] = True
                 return stats
+            tm["pending_probe"] = _t() - t0
+            t0 = _t()
 
             # 1. robots sweep (disallowed pending -> dead)
             host_delays = None
@@ -617,9 +761,8 @@ class CrawlEngine:
                 allowed, disallowed = robots_op.filter_allowed(pending, robots, cfg.user_agent)
                 allowed = allowed.persist()
                 disallowed = disallowed.persist()
-                dis_rows = disallowed.groupBy("bucket").count().collect()
-                stats["robots_dead"] = int(sum(r["count"] for r in dis_rows))
-                disallowed_buckets = [int(r["bucket"]) for r in dis_rows]
+                # counts folded into the combined stats probe below (one
+                # driver round-trip per superstep, not three)
                 host_delays = self._robots_delays_dim(robots)
             else:
                 allowed = pending
@@ -677,21 +820,7 @@ class CrawlEngine:
                     F.coalesce(F.col("skip_navigation"), F.lit(False)))
 
             # 3. deterministic fetch: canonical-hash join against the corpus.
-            # Column-prune the corpus: scheduling never reads bytes (decisive
-            # at image scale, SURVEY.md §4) — only html for extraction plus
-            # the redirect target (loadedUrl model, http-crawler.ts:480).
-            corpus_cols = [
-                urls.url_hash(F.col("_ck")).alias("_fetch_hash"),
-                F.col("html").alias("_html"),
-            ]
-            if "redirect_to" in corpus.columns:
-                corpus_cols.append(F.col("redirect_to").alias("_redirect"))
-            corpus_keyed = corpus.withColumn(
-                "_ck", urls.unique_key(F.col("url"))
-            ).select(*corpus_cols)
-            if "redirect_to" not in corpus.columns:
-                corpus_keyed = corpus_keyed.withColumn(
-                    "_redirect", F.lit(None).cast("string"))
+            corpus_keyed = self._corpus_keyed(corpus)
             # the corpus join key is the FRAGMENT-STRIPPED canonical-URL
             # hash recomputed from the url, ALWAYS — uniqueKey is the
             # DEDUP identity, the fetch goes to request.url (the reference
@@ -701,8 +830,8 @@ class CrawlEngine:
             # (fragment-bearing hash ≠ corpus key), extended unique keys
             # (hash covers method+payload), and custom per-request
             # unique_key overrides (hash of the custom string).
-            fetch_keyed = fetch_set.withColumn(
-                "_fetch_hash", urls.url_hash(urls.unique_key(F.col("url"))))
+            sx = self._static_exprs()
+            fetch_keyed = fetch_set.withColumn("_fetch_hash", sx["fetch_hash"])
             fetched = fetch_keyed.join(corpus_keyed, on="_fetch_hash", how="left")
             fetched = fetched.withColumn(
                 "_loaded", F.coalesce(F.col("_redirect"), F.col("url"))
@@ -721,59 +850,70 @@ class CrawlEngine:
             else:
                 fetched = fetched.withColumn("_blocked", F.lit(False))
 
-            # status-class table (StatusModelConf docstring has the map)
+            # status-class table (StatusModelConf docstring has the map);
+            # trees memoized per engine in _static_exprs
             sm = cfg.status
-            status_code = (
-                F.when(F.col("skip_navigation"), F.lit(0))  # no HTTP request
-                .when(F.col("_html").isNull(), F.lit(0))
-                .otherwise(sm.status_col())
-            )
-            fetched = fetched.withColumn("_status_code", status_code)
-            sc = F.col("_status_code")
-            in_ignore = sc.isin(list(sm.ignore_error_codes)) if sm.ignore_error_codes \
-                else F.lit(False)
-            is_5xx = (sc >= 500) & ~in_ignore
-            is_addl = sc.isin(list(sm.additional_error_codes)) \
-                if sm.additional_error_codes else F.lit(False)
-            is_sess = sc.isin(list(sm.session_blocked_codes)) & ~in_ignore \
-                if sm.session_blocked_codes else F.lit(False)
-            err_col = (
-                # skipNavigation: handled without navigating (request.ts) —
-                # success regardless of corpus/status, no extraction below
-                F.when(F.col("skip_navigation"), F.lit(None).cast("string"))
-                .when(F.col("_html").isNull(), F.lit("404-not-found"))
-                .when(~cfg.failures.success_col(), F.lit("fetch-failed"))
-                .when(F.col("_blocked"), F.lit("session-blocked"))
-                .when(is_5xx, F.lit("http-5xx"))
-                .when(is_addl, F.lit("http-error"))
-                .when(is_sess, F.lit("session-blocked"))
-                .when(sc == 406, F.lit("unsupported-content-type"))
-                .otherwise(F.lit(None).cast("string"))
-            )
-            fetched = fetched.withColumn("_err", err_col)
+            fetched = fetched.withColumn("_status_code", sx["status_code"])
+            fetched = fetched.withColumn("_err", sx["err_col"])
             # SessionError class retries on the ROTATION budget and leaves
             # retry_count untouched (basic-crawler.ts:1435-1452)
-            rot_col = F.col("_err") == "session-blocked"
-            fetched = fetched.withColumn("_rot", F.coalesce(rot_col, F.lit(False)))
-            can_retry = (~F.col("no_retry")) & (
-                F.when(F.col("_rot"),
-                       F.col("rotation_count") < sm.max_session_rotations)
-                .when(F.col("_err") == "unsupported-content-type", F.lit(False))
-                .otherwise(F.col("retry_count") < cfg.max_retries)
-            )
+            fetched = fetched.withColumn(
+                "_rot", F.coalesce(sx["rot_col"], F.lit(False)))
+            can_retry = sx["can_retry"]
             fetched = fetched.withColumn("_success", F.col("_err").isNull()).persist()
+            successes = fetched.filter(F.col("_success"))
+            failures = fetched.filter(~F.col("_success"))
 
-            # ONE aggregation yields the scalar fetch counters plus the
-            # touched-bucket set (bounded by num_buckets — a CONFIG constant,
-            # never data-sized). Per-host rows are NOT collected: the metrics
-            # table is written distributively below and politeness advances
-            # set-based, so driver memory stays O(1) in host count.
-            agg = fetched.agg(
-                F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
-                F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
-                F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
-                F.collect_set("bucket").alias("buckets"),
-            ).first()
+            # 4. extract + enqueueLinks on successes (stateless stage — the
+            # one place hot-host salting is allowed, SURVEY.md §7(c));
+            # loaded_url feeds relative-href resolution + same-domain base
+            # resolution (enqueue_links.ts:394-430). Built BEFORE the stats
+            # probe so its bucket counts ride the same job.
+            pages = successes.filter(~F.col("skip_navigation")).select(
+                "url", F.col("_loaded").alias("loaded_url"),
+                F.col("_html").alias("html"), "depth",
+                "host", "url_hash")
+            if cfg.parse_salt > 0:
+                from crawlee_spark.operators.skew import salted_repartition
+
+                pages = salted_repartition(pages, "host", cfg.parse_salt)
+            pages = pages.select("url", "loaded_url", "html", "depth")
+            links = enqueue_links(pages, cfg.enqueue)
+            new_reqs = make_requests(
+                links, step, cfg.num_buckets, cfg.keep_fragment,
+                use_extended_unique_key=cfg.use_extended_unique_key,
+            ).persist()
+
+            # ONE combined probe job yields every per-superstep scalar the
+            # driver needs — fetch counters, new-request count, robots-kill
+            # count, and the three touched-bucket sets (each bounded by
+            # num_buckets, a CONFIG constant, never data-sized). Rounds 1-4
+            # ran three separate driver round-trips per superstep (robots
+            # counts, fetch agg, new-bucket counts); at toy per-step data
+            # sizes the job launches WERE the crawl latency (VERDICT r4
+            # item #7). Per-host rows are still never collected: the
+            # metrics table is written distributively below and politeness
+            # advances set-based, so driver memory stays O(1) in host count.
+            def _probe_row(src: str, frame):
+                return frame.select(
+                    F.lit(src).alias("_src"),
+                    F.col("handled").cast("long").alias("handled"),
+                    F.col("failed").cast("long").alias("failed"),
+                    F.col("retried").cast("long").alias("retried"),
+                    "buckets",
+                )
+
+            probe = _probe_row("fetch", fetched.agg(*sx["probe_fetch"])) \
+                .unionByName(_probe_row("new", new_reqs.agg(*sx["probe_count"])))
+            if disallowed is not None:
+                probe = probe.unionByName(
+                    _probe_row("robots", disallowed.agg(*sx["probe_count"])))
+            tm["plan_build"] = _t() - t0
+            t0 = _t()
+            rows = {r["_src"]: r for r in probe.collect()}
+            tm["stats_probe"] = _t() - t0
+            t0 = _t()
+            agg = rows["fetch"]
             n_handled = int(agg["handled"] or 0)
             n_retried = int(agg["retried"] or 0)
             n_dead = int(agg["failed"] or 0)
@@ -781,14 +921,17 @@ class CrawlEngine:
             n_fetch = n_handled + n_retried + n_dead
             stats.update(fetched=n_fetch, handled=n_handled,
                          retried=n_retried, failed=n_dead)
+            stats["enqueued"] = int(rows["new"]["handled"] or 0)
+            nb_buckets = [int(b) for b in (rows["new"]["buckets"] or [])]
+            if disallowed is not None:
+                stats["robots_dead"] = int(rows["robots"]["handled"] or 0)
+                disallowed_buckets = [int(b) for b in
+                                      (rows["robots"]["buckets"] or [])]
 
             if n_fetch == 0 and (stats["robots_dead"] == 0):
                 self.step = step
                 self._save_state()
                 return stats
-
-            successes = fetched.filter(F.col("_success"))
-            failures = fetched.filter(~F.col("_success"))
 
             # ErrorSnapshotter (error_snapshotter.ts): page capture for the
             # FIRST occurrence of each unique error signature — one grouped
@@ -816,27 +959,6 @@ class CrawlEngine:
                          "s.status_code", "s.html_snapshot")
                 # APPENDED AFTER the frontier commit (torn-superstep heal
                 # invariant: the frontier commits first — see stage 6b)
-
-            # 4. extract + enqueueLinks on successes (stateless stage — the
-            # one place hot-host salting is allowed, SURVEY.md §7(c));
-            # loaded_url feeds relative-href resolution + same-domain base
-            # resolution (enqueue_links.ts:394-430)
-            pages = successes.filter(~F.col("skip_navigation")).select(
-                "url", F.col("_loaded").alias("loaded_url"),
-                F.col("_html").alias("html"), "depth",
-                "host", "url_hash")
-            if cfg.parse_salt > 0:
-                from crawlee_spark.operators.skew import salted_repartition
-
-                pages = salted_repartition(pages, "host", cfg.parse_salt)
-            pages = pages.select("url", "loaded_url", "html", "depth")
-            links = enqueue_links(pages, cfg.enqueue)
-            new_reqs = make_requests(
-                links, step, cfg.num_buckets, cfg.keep_fragment,
-                use_extended_unique_key=cfg.use_extended_unique_key,
-            ).persist()
-            nb_rows = new_reqs.groupBy("bucket").count().collect()
-            stats["enqueued"] = int(sum(r["count"] for r in nb_rows))
 
             # 5. failure split: retry (rotation- or retry-budget) vs dead
             retries = failures.filter(can_retry).select(
@@ -874,9 +996,7 @@ class CrawlEngine:
             # 6. ONE combined frontier commit for all touched buckets
             handled_keys = successes.select("url_hash")
             touched = sorted(
-                set(fetched_buckets)
-                | {int(r["bucket"]) for r in nb_rows}
-                | set(disallowed_buckets)
+                set(fetched_buckets) | set(nb_buckets) | set(disallowed_buckets)
             )
             existing = self.frontier.read(buckets=touched)
 
@@ -961,11 +1081,15 @@ class CrawlEngine:
                 fresh = merge_new_requests(existing, new_reqs)
             new_content = updated.unionByName(fresh.select(*updated.columns))
 
+            tm["commit_plan"] = _t() - t0
+            t0 = _t()
             self.frontier.table.commit_buckets(
                 new_content, "superstep",
                 {"step": step, "client": self.frontier.client_id,
                  **{k: v for k, v in stats.items() if k != "step"}},
             )
+            tm["frontier_commit"] = _t() - t0
+            t0 = _t()
             if self.urlseen is not None:
                 snap = self.frontier.table.current_snapshot_id()
                 if self.urlseen.has_shards():
@@ -1016,44 +1140,29 @@ class CrawlEngine:
                         snap_batch.withColumn("step", F.lit(step)),
                         {"step": step}, coalesce=1)
 
-            # 7. fetch log + metrics (per-partition metrics per north_rule)
-            if cfg.proxies is not None:
-                # session key varies with rotation_count: a rotated
-                # (SessionError) retry gets a fresh egress identity, while
-                # plain retries stay sticky; tiers escalate on retry_count
-                proxy_col = cfg.proxies.proxy_col(
-                    F.pmod(F.col("url_hash"), F.lit(1 << 31)) + F.col("rotation_count"),
-                    F.col("retry_count"),
-                )
-            else:
-                proxy_col = F.lit(None).cast("string")
-            # header identity (got-scraping analog, functions/headers.py):
-            # same session key as the proxy pick — fixed across plain
-            # retries, redrawn on SessionError rotation
-            hdr = headers.header_profile_cols(
-                F.pmod(F.col("url_hash"), F.lit(1 << 31))
-                + F.col("rotation_count"))
+            # 7. fetch log + metrics (per-partition metrics per north_rule;
+            # proxy/header identity trees memoized in _static_exprs)
             log = fetched.select(
                 F.lit(step).alias("step"), "url", "unique_key", "url_hash", "host",
                 "bucket", "order_no", "depth", "retry_count",
                 F.coalesce(F.col("_err"), F.lit("ok")).alias("status"),
                 F.col("_status_code").alias("status_code"),
                 F.col("_loaded").alias("loaded_url"),
-                proxy_col.alias("proxy_url"),
-                hdr["header_profile_id"].alias("header_profile_id"),
-                hdr["user_agent"].alias("user_agent"),
+                sx["proxy_col"].alias("proxy_url"),
+                sx["hdr_id"],
+                sx["hdr_ua"],
             )
+            tm["post_commit"] = _t() - t0
+            t0 = _t()
             self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
                                                FETCH_LOG_SCHEMA.split(",")]),
                                   {"step": step}, coalesce=4)
+            tm["log_append"] = _t() - t0
+            t0 = _t()
             # per-(bucket, host) metrics written DISTRIBUTIVELY — at 10^6+
             # hosts these rows never touch the driver (north_rule
             # per-partition metrics; round 1 collected them)
-            m = fetched.groupBy("bucket", "host").agg(
-                F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
-                F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
-                F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
-            ).select(
+            m = fetched.groupBy("bucket", "host").agg(*sx["metrics_aggs"]).select(
                 F.lit(step).alias("step"), "bucket", "host",
                 "handled", "failed", "retried",
                 F.lit(0).cast("long").alias("robots_dead"),
@@ -1074,6 +1183,8 @@ class CrawlEngine:
                     )
                 )
             self.metrics.append(m, {"step": step}, coalesce=4)
+            tm["metrics_append"] = _t() - t0
+            t0 = _t()
 
             # 8. image validation results (input_hint invariant) per fetch
             if cfg.validate_images:
@@ -1131,6 +1242,7 @@ class CrawlEngine:
             self.handled_count += n_handled + n_dead
             self.step = step
             self._save_state()
+            tm["tail"] = _t() - t0
             return stats
         finally:
             pending.unpersist()
@@ -1141,6 +1253,12 @@ class CrawlEngine:
                         obj.unpersist()
                 except Exception:
                     pass
+            # the URL-seen split persists its marked frame (one mark-UDF
+            # pass per merge); its consumers are all evaluated by the
+            # frontier commit above, so release it here — otherwise every
+            # superstep leaks one cached DataFrame for the app's lifetime
+            if self.urlseen is not None:
+                self.urlseen.release_pinned()
 
     def _update_sessions(self, fetched: DataFrame, step: int) -> None:
         from crawlee_spark.operators import sessions as sess
@@ -1380,6 +1498,7 @@ class CrawlEngine:
                     break
         totals["steps"] = self.step
         totals["handled_count"] = self.handled_count
+        self.release_corpus_cache()
         self._emit("exit", {"step": self.step})
         return totals
 

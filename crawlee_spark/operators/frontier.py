@@ -104,28 +104,51 @@ def normalize_requests(
     if "user_data" not in cols:
         df = df.withColumn("user_data", F.lit(None).cast("map<string,string>"))
 
-    # The URL parse (canonical form + host) is evaluated EXACTLY ONCE per
-    # row, behind a Generate barrier: explode(array(struct(...))) yields
-    # attribute references that CollapseProject/PushDownPredicates cannot
-    # inline back into downstream derivations. Without the barrier, Catalyst
-    # inlines the parse tree into unique_key, url_hash, host and bucket,
-    # each copy mutated differently by later rewrites so codegen
-    # subexpression elimination no longer recognizes them as common — the
-    # measured cost is ~4x this formulation on a 2M-row batch. Host comes
-    # straight from the parser (it IS the canonical host by construction),
-    # not from a regexp over the canonical string.
+    e = _make_request_exprs(keep_fragment, use_extended_unique_key, num_buckets)
+    df = df.select(*[c for c in df.columns], e["parsed"]) \
+        .filter(F.col("_p.host").isNotNull())
+
+    return df.select(
+        "url",
+        *e["static_cols"],
+        order_no_expr(step, F.col("forefront")).cast("long").alias("order_no"),
+        F.lit(step).cast("int").alias("enqueued_step"),
+        "label",
+    ).select(*FRONTIER_COLS)
+
+
+def _make_request_exprs(keep_fragment: bool, use_extended_unique_key: bool,
+                        num_buckets: int) -> dict:
+    """STEP-INDEPENDENT column trees of ``make_requests``, memoized per
+    config. Column objects wrap immutable unresolved expression trees, so
+    one build serves every batch — the canonicalize/parse tree is lambda-HOF
+    heavy and measured ~0.5 s of driver py4j time PER BUILD; un-memoized it
+    was rebuilt every superstep and dominated the engine's fixed per-step
+    cost (round-5 profile).
+
+    The URL parse (canonical form + host) is evaluated EXACTLY ONCE per
+    row, behind a Generate barrier: explode(array(struct(...))) yields
+    attribute references that CollapseProject/PushDownPredicates cannot
+    inline back into downstream derivations. Without the barrier, Catalyst
+    inlines the parse tree into unique_key, url_hash, host and bucket,
+    each copy mutated differently by later rewrites so codegen
+    subexpression elimination no longer recognizes them as common — the
+    measured cost is ~4x this formulation on a 2M-row batch. Host comes
+    straight from the parser (it IS the canonical host by construction),
+    not from a regexp over the canonical string."""
+    memo_key = (keep_fragment, use_extended_unique_key, num_buckets)
+    e = _MAKE_REQUEST_EXPR_MEMO.get(memo_key)
+    if e is not None:
+        return e
     canon = urls.canonicalize(F.col("url"), keep_fragment)
     valid, _scheme, host_raw, _port, _path, _query = urls._url_parts(F.col("url"))
     host_col = (
         F.when(~valid | (host_raw == ""), F.lit(None).cast("string"))
         .otherwise(host_raw)
     )
-    df = df.select(
-        *[c for c in df.columns],
-        F.explode(
-            F.array(F.struct(canon.alias("canon"), host_col.alias("host")))
-        ).alias("_p"),
-    ).filter(F.col("_p.host").isNotNull())
+    parsed = F.explode(
+        F.array(F.struct(canon.alias("canon"), host_col.alias("host")))
+    ).alias("_p")
 
     if use_extended_unique_key:
         # same bytes as urls.extended_unique_key, reusing the parsed form
@@ -140,27 +163,30 @@ def normalize_requests(
     else:
         computed_key = F.coalesce(F.col("_p.canon"), F.trim(F.col("url")))
     key = F.coalesce(F.col("unique_key"), computed_key)
+    e = {
+        "parsed": parsed,
+        "static_cols": [
+            key.alias("unique_key"),
+            urls.url_hash(key).alias("url_hash"),
+            F.col("_p.host").alias("host"),
+            urls.host_hash(F.col("_p.host"), num_buckets).alias("bucket"),
+            F.col("depth").cast("int").alias("depth"),
+            F.coalesce(F.col("forefront"), F.lit(False)).alias("forefront"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.coalesce(F.col("no_retry"), F.lit(False)).alias("no_retry"),
+            F.lit(None).cast("int").alias("handled_step"),
+            F.lit(None).cast("string").alias("error"),
+            F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("method"),
+            F.col("payload").cast("binary").alias("payload"),
+            F.col("user_data").cast("map<string,string>").alias("user_data"),
+            F.lit(0).cast("int").alias("rotation_count"),
+        ],
+    }
+    _MAKE_REQUEST_EXPR_MEMO[memo_key] = e
+    return e
 
-    return df.select(
-        "url",
-        key.alias("unique_key"),
-        urls.url_hash(key).alias("url_hash"),
-        F.col("_p.host").alias("host"),
-        urls.host_hash(F.col("_p.host"), num_buckets).alias("bucket"),
-        order_no_expr(step, F.col("forefront")).cast("long").alias("order_no"),
-        F.col("depth").cast("int").alias("depth"),
-        F.coalesce(F.col("forefront"), F.lit(False)).alias("forefront"),
-        F.lit(0).cast("int").alias("retry_count"),
-        F.coalesce(F.col("no_retry"), F.lit(False)).alias("no_retry"),
-        F.lit(None).cast("int").alias("handled_step"),
-        F.lit(step).cast("int").alias("enqueued_step"),
-        "label",
-        F.lit(None).cast("string").alias("error"),
-        F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("method"),
-        F.col("payload").cast("binary").alias("payload"),
-        F.col("user_data").cast("map<string,string>").alias("user_data"),
-        F.lit(0).cast("int").alias("rotation_count"),
-    )
+
+_MAKE_REQUEST_EXPR_MEMO: dict[tuple, dict] = {}
 
 
 def dedup_batch(batch: DataFrame) -> DataFrame:
