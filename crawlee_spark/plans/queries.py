@@ -1987,6 +1987,150 @@ SELECT DISTINCT ({_CANON_SQL}) AS unique_key FROM pages
 """
 
 
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality for the CURATION pipeline (VERDICT r4 item
+    #5): documents streamed through the REAL ``StreamingCurate`` path —
+    ``readStream(json) → foreachBatch(frozen-dims gate stack)`` with one
+    shard file per micro-batch — returning every per-document verdict
+    (doc_id, reject_stage, kept).
+
+    The gate models are FROZEN dims trained once on the full ``documents``
+    table (the production shape), identical to ``q_curation_pipeline``'s
+    inline training, and each verdict is a pure function of (document,
+    dims) — so the result is batch-partitioning-independent by
+    construction and the DuckDB oracle is the batch curation oracle's
+    stage-1..3 projection (no dedup stage in the streaming gate stack; the
+    downstream dedup twin is ``q_stream_dedup``). A green row pins that
+    micro-batched execution lands EXACTLY the batch verdicts: replay
+    guards, per-batch broadcast joins, the integer LM band."""
+    import json as _json
+    import os
+    import tempfile
+
+    from crawlee_spark.streaming.stream_curate import StreamingCurate
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text").collect()
+    wd = tempfile.mkdtemp(prefix="stream_curate_q_")
+    doc_dir = os.path.join(wd, "docs")
+    os.makedirs(doc_dir)
+    for s in range(4):
+        shard = [r for r in rows if r["doc_id"] % 4 == s]
+        with open(os.path.join(doc_dir, f"part-{s}.json"), "w") as f:
+            for r in sorted(shard, key=lambda r: r["doc_id"]):
+                f.write(_json.dumps(
+                    {"doc_id": int(r["doc_id"]), "text": r["text"]}) + "\n")
+    cur = StreamingCurate(spark, wd, reference_docs=d)
+    cur.drain(doc_dir, os.path.join(wd, "ckpt"))
+    return cur.decisions.read().select(
+        F.col("doc_id").cast("long").alias("doc_id"), "reject_stage", "kept")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-vs-batch equality for INCREMENTAL LSH dedup (VERDICT r4 item
+    #5): synthesized documents streamed through the REAL ``StreamingDedup``
+    path — in-batch keep-first, then LSH match against the persisted corpus
+    signature table, survivors' sigs appended — returning every admission
+    decision (doc_id, action, first_match, n_matches).
+
+    Synthesis keeps the ground truth closed-form: docs with
+    ``doc_id % 10 < 3`` share an IDENTICAL text per group ``doc_id % 17``
+    (identical minhash signature → every band collides → LSH match is
+    CERTAIN, no near-threshold sensitivity); all other docs get tokens
+    embedding their own doc_id (pairwise-disjoint shingle sets → no
+    collisions). Docs are sharded into 4 files by ``doc_id % 4`` with
+    strictly increasing mtimes, one file per micro-batch in that order, so
+    the batch index of doc i is ``i % 4`` and DuckDB reproduces each
+    decision exactly:
+
+      dup-in-batch  ⇔ a smaller same-group id shares the SAME batch
+      dup-of-corpus ⇔ otherwise some same-group id sits in an EARLIER
+                      batch (its group's keeper is already in the corpus
+                      sig table; first_match = that keeper, n_matches = 1)
+      admitted      ⇔ otherwise (the group keeper = argmin (batch, id))
+
+    A green row pins the streaming state machine driver-visibly: commit
+    order (sigs before the decision stamp), replay guards, the self-id
+    exclusion, and batch-vs-corpus join semantics."""
+    import json as _json
+    import os
+    import tempfile
+    import time
+
+    from crawlee_spark.streaming.stream_dedup import StreamingDedup
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id").cast("long")
+    grp = doc % 17
+    dup_text = F.concat_ws(" ", *[
+        F.concat(F.lit("g"), grp.cast("string"), F.lit(f"t{k}"))
+        for k in range(12)
+    ])
+    uniq_text = F.concat_ws(" ", *[
+        F.concat(F.lit("u"), doc.cast("string"), F.lit(f"t{k}"))
+        for k in range(12)
+    ])
+    rows = d.select(
+        doc.alias("doc_id"),
+        F.when(doc % 10 < 3, dup_text).otherwise(uniq_text).alias("text"),
+    ).collect()
+
+    wd = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    doc_dir = os.path.join(wd, "docs")
+    os.makedirs(doc_dir)
+    base = time.time() - 3600
+    for s in range(4):
+        shard = sorted((r for r in rows if r["doc_id"] % 4 == s),
+                       key=lambda r: r["doc_id"])
+        p = os.path.join(doc_dir, f"part-{s}.json")
+        with open(p, "w") as f:
+            for r in shard:
+                f.write(_json.dumps(
+                    {"doc_id": int(r["doc_id"]), "text": r["text"]}) + "\n")
+        # FileStreamSource orders by modification time: pin batch order to
+        # the shard index so the oracle's batch arithmetic (i % 4) holds
+        os.utime(p, (base + 60 * s, base + 60 * s))
+    sd = StreamingDedup(spark, wd, num_perm=8, bands=4, shingle_n=3)
+    sd.drain(doc_dir, os.path.join(wd, "ckpt"))
+    return sd.decisions.read().select(
+        F.col("doc_id").cast("long").alias("doc_id"), "action",
+        F.col("first_match").cast("long").alias("first_match"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i, CAST(doc_id % 4 AS BIGINT) AS b,
+         CASE WHEN doc_id % 10 < 3 THEN CAST(doc_id % 17 AS BIGINT) END AS grp
+  FROM documents
+),
+adm AS (
+  SELECT grp,
+         CAST(min(b * 100000000 + i) % 100000000 AS BIGINT) AS keeper
+  FROM d WHERE grp IS NOT NULL GROUP BY grp
+),
+act AS (
+  SELECT d.i, d.grp,
+    CASE WHEN d.grp IS NOT NULL AND EXISTS (
+               SELECT 1 FROM d j
+               WHERE j.grp = d.grp AND j.b = d.b AND j.i < d.i)
+           THEN 'dup-in-batch'
+         WHEN d.grp IS NOT NULL AND EXISTS (
+               SELECT 1 FROM d j WHERE j.grp = d.grp AND j.b < d.b)
+           THEN 'dup-of-corpus'
+         ELSE 'admitted' END AS action
+  FROM d
+)
+SELECT a.i AS doc_id, a.action,
+  CASE WHEN a.action = 'dup-of-corpus' THEN m.keeper END AS first_match,
+  CAST(CASE WHEN a.action = 'dup-of-corpus' THEN 1 ELSE 0 END AS BIGINT)
+    AS n_matches
+FROM act a LEFT JOIN adm m ON m.grp = a.grp
+"""
+
+
 def q_crawl_depth_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-CHECKED crawl ORDERING (VERDICT r3 item #5): per-URL fetch
     step of the full BSP loop, not just the final seen set.
@@ -4691,6 +4835,29 @@ def q_curation_pipeline(
     return out.withColumn("kept", F.col("reject_stage").isNull())
 
 
+ORACLE_STREAM_CURATE = f"""
+WITH g AS (
+  SELECT doc_id, ({_GOPHER_REASON_SQL}) IS NULL AS g_ok
+  FROM ({_GOPHER_M_SQL}) m
+),
+cls AS (SELECT doc_id, predicted FROM ({ORACLE_QUALITY_CLASSIFIER})),
+lm AS (SELECT doc_id, n_tokens, sum_q16 FROM ({ORACLE_BIGRAM_LOGPROB}))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CASE WHEN NOT g.g_ok THEN 'gopher'
+       WHEN NOT c.predicted THEN 'classifier'
+       WHEN NOT (-l.sum_q16 >= 76 * l.n_tokens
+                 AND -l.sum_q16 <= 79 * l.n_tokens) THEN 'lm-band'
+  END AS reject_stage,
+  CASE WHEN NOT g.g_ok THEN 'gopher'
+       WHEN NOT c.predicted THEN 'classifier'
+       WHEN NOT (-l.sum_q16 >= 76 * l.n_tokens
+                 AND -l.sum_q16 <= 79 * l.n_tokens) THEN 'lm-band'
+  END IS NULL AS kept
+FROM documents d
+JOIN g USING (doc_id) JOIN cls c USING (doc_id) JOIN lm l USING (doc_id)
+"""
+
+
 ORACLE_CURATION_PIPELINE = f"""
 WITH g AS (
   SELECT doc_id, ({_GOPHER_REASON_SQL}) IS NULL AS g_ok
@@ -4741,65 +4908,18 @@ FROM staged s LEFT JOIN keepers k USING (tkey)
 #   3. everything already green in CORRECTNESS_r02.json, old order.
 # Ordering contract: the driver's CORRECTNESS artifact records only the
 # FIRST ~50 entries, in dict order. Sections, head-first priority:
-#   0. red in the newest artifact, fixed this round (must re-record green)
-#   1. new this round (never driver-recorded)
-#   2. newest driver record is two artifacts old (r02) — rotate back in
-#   3. green in CORRECTNESS_r03.json, unchanged — keep last
+#   1. changed/new this round (crawl_end_to_end gained its oracle; the two
+#      streaming twins are new — all three must record green)
+#   2. newest driver record is two artifacts old (r03) — rotate back in so
+#      no entry's newest green row falls more than two artifacts stale
+#   3. r04-green sentinels re-recorded for continuity
+#   4. green in CORRECTNESS_r04.json, unchanged — keep last
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- 0. r03-red (oracle type artifact), fixed this round ---------------
-    "recrawl_priority": q_recrawl_priority,
-    "warc_read_plan": q_warc_read_plan,
-    # --- 1. new this round (never driver-recorded) -------------------------
-    "image_exif": q_image_exif,
-    "crawl_depth_schedule": q_crawl_depth_schedule,
-    "stream_cdx_ingest": q_stream_cdx_ingest,
+    # --- 1. changed/new this round -----------------------------------------
     "crawl_end_to_end": q_crawl_end_to_end,
-    # --- 2. newest driver record is r02 — rotate into the r04 window -------
-    "rate_window": q_rate_window,
-    "stats_histogram": q_stats_histogram,
-    "url_extract": q_url_extract,
-    "sitemap_extract": q_sitemap_extract,
-    "robots_filter": q_robots_filter,
-    "system_status": q_system_status,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_remove": q_dedup_minhash_remove,
-    "dedup_lsh_verified": q_dedup_lsh_verified,
-    "dedup_components": q_dedup_components,
-    "top_terms": q_top_terms,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "ann_topk": q_ann_topk,
-    "ann_topk_int8": q_ann_topk_int8,
-    "ann_lsh": q_ann_lsh,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "ann_ivf": q_ann_ivf,
-    "text_quality": q_text_quality,
-    "text_tokens": q_text_tokens,
-    "text_repetition": q_text_repetition,
-    "pii_scrub": q_pii_scrub,
-    "html_to_text": q_html_to_text,
-    "social_extract": q_social_extract,
-    "extended_unique_key": q_extended_unique_key,
-    "image_phash_neardup": q_image_phash_neardup,
-    "image_phash_remove": q_image_phash_remove,
-    "image_keep_best": q_image_keep_best,
-    "multimodal_dedup": q_multimodal_dedup,
-    "stratified_sample": q_stratified_sample,
-    "hash_split": q_hash_split,
-    "dup_ngram_coverage": q_dup_ngram_coverage,
-    "dedup_incremental": q_dedup_incremental,
-    "contamination": q_contamination,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_remove": q_semantic_dedup_remove,
-    "line_dedup": q_line_dedup,
-    "hll_distinct": q_hll_distinct,
-    # --- 3. green in CORRECTNESS_r03.json, unchanged -----------------------
-    "crawl_budget": q_crawl_budget,
-    "charset_detect": q_charset_detect,
-    "heavy_hitters": q_heavy_hitters,
-    "weighted_sample": q_weighted_sample,
-    "sequence_pack": q_sequence_pack,
+    "stream_curate": q_stream_curate,
+    "stream_dedup": q_stream_dedup,
+    # --- 2. newest driver record is r03 — rotate into the r05 window -------
     "domain_cap": q_domain_cap,
     "image_batch_pack": q_image_batch_pack,
     "token_mix": q_token_mix,
@@ -4841,6 +4961,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_head_select": q_frontier_head_select,
     "frontier_health": q_frontier_health,
     "politeness_budget": q_politeness_budget,
+    # --- 3. r04-green sentinels (bench/oracle continuity) ------------------
+    "crawl_depth_schedule": q_crawl_depth_schedule,
+    "stream_cdx_ingest": q_stream_cdx_ingest,
+    "image_exif": q_image_exif,
+    "recrawl_priority": q_recrawl_priority,
+    "warc_read_plan": q_warc_read_plan,
+    "rate_window": q_rate_window,
+    # --- 4. green in CORRECTNESS_r04.json, unchanged -----------------------
+    "stats_histogram": q_stats_histogram,
+    "url_extract": q_url_extract,
+    "sitemap_extract": q_sitemap_extract,
+    "robots_filter": q_robots_filter,
+    "system_status": q_system_status,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_remove": q_dedup_minhash_remove,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_components": q_dedup_components,
+    "top_terms": q_top_terms,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "ann_topk": q_ann_topk,
+    "ann_topk_int8": q_ann_topk_int8,
+    "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_ivf": q_ann_ivf,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
+    "html_to_text": q_html_to_text,
+    "social_extract": q_social_extract,
+    "extended_unique_key": q_extended_unique_key,
+    "image_phash_neardup": q_image_phash_neardup,
+    "image_phash_remove": q_image_phash_remove,
+    "image_keep_best": q_image_keep_best,
+    "multimodal_dedup": q_multimodal_dedup,
+    "stratified_sample": q_stratified_sample,
+    "hash_split": q_hash_split,
+    "dup_ngram_coverage": q_dup_ngram_coverage,
+    "dedup_incremental": q_dedup_incremental,
+    "contamination": q_contamination,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_remove": q_semantic_dedup_remove,
+    "line_dedup": q_line_dedup,
+    "hll_distinct": q_hll_distinct,
+    "crawl_budget": q_crawl_budget,
+    "charset_detect": q_charset_detect,
+    "heavy_hitters": q_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "sequence_pack": q_sequence_pack,
 }
 
 # Ground truth for the oracle-checked end-to-end crawl: reachability closure
@@ -4956,4 +5127,6 @@ ORACLES: dict[str, str] = {
     "image_features": ORACLE_IMAGE_FEATURES,
     "image_exif": ORACLE_IMAGE_EXIF,
     "crawl_end_to_end": ORACLE_CRAWL_END_TO_END,
+    "stream_curate": ORACLE_STREAM_CURATE,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
 }
