@@ -1363,16 +1363,11 @@ class CrawlEngine:
                 "send_request needs a corpus: call during run()/run_superstep "
                 "(router handlers) or after a run on this engine")
         cfg = self.cfg
-        corpus_cols = [
-            urls.url_hash(urls.unique_key(F.col("url"))).alias("_fetch_hash"),
-            F.col("html").alias("_html"),
-        ]
-        if "redirect_to" in corpus.columns:
-            corpus_cols.append(F.col("redirect_to").alias("_redirect"))
-        corpus_keyed = corpus.select(*corpus_cols)
-        if "redirect_to" not in corpus.columns:
-            corpus_keyed = corpus_keyed.withColumn(
-                "_redirect", F.lit(None).cast("string"))
+        # the SAME memoized+persisted projection navigation joins against
+        # (_corpus_keyed) — one keying definition, and a handler calling
+        # send_request every superstep reads the cache instead of
+        # re-canonicalizing the whole corpus per call
+        corpus_keyed = self._corpus_keyed(corpus)
 
         # two keys, mirroring navigation exactly: the CORPUS join always
         # goes over the fragment-stripped canonical hash (fragments never

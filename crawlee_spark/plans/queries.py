@@ -4841,20 +4841,18 @@ WITH g AS (
   FROM ({_GOPHER_M_SQL}) m
 ),
 cls AS (SELECT doc_id, predicted FROM ({ORACLE_QUALITY_CLASSIFIER})),
-lm AS (SELECT doc_id, n_tokens, sum_q16 FROM ({ORACLE_BIGRAM_LOGPROB}))
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-  CASE WHEN NOT g.g_ok THEN 'gopher'
-       WHEN NOT c.predicted THEN 'classifier'
-       WHEN NOT (-l.sum_q16 >= 76 * l.n_tokens
-                 AND -l.sum_q16 <= 79 * l.n_tokens) THEN 'lm-band'
-  END AS reject_stage,
-  CASE WHEN NOT g.g_ok THEN 'gopher'
-       WHEN NOT c.predicted THEN 'classifier'
-       WHEN NOT (-l.sum_q16 >= 76 * l.n_tokens
-                 AND -l.sum_q16 <= 79 * l.n_tokens) THEN 'lm-band'
-  END IS NULL AS kept
-FROM documents d
-JOIN g USING (doc_id) JOIN cls c USING (doc_id) JOIN lm l USING (doc_id)
+lm AS (SELECT doc_id, n_tokens, sum_q16 FROM ({ORACLE_BIGRAM_LOGPROB})),
+staged AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+    CASE WHEN NOT g.g_ok THEN 'gopher'
+         WHEN NOT c.predicted THEN 'classifier'
+         WHEN NOT (-l.sum_q16 >= 76 * l.n_tokens
+                   AND -l.sum_q16 <= 79 * l.n_tokens) THEN 'lm-band'
+    END AS reject_stage
+  FROM documents d
+  JOIN g USING (doc_id) JOIN cls c USING (doc_id) JOIN lm l USING (doc_id)
+)
+SELECT doc_id, reject_stage, reject_stage IS NULL AS kept FROM staged
 """
 
 

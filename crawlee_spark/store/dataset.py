@@ -64,10 +64,16 @@ class Dataset:
         from pyspark.sql import Window
 
         start = self.item_count()
+        # persist: the frame is evaluated twice (counts job + the append
+        # write) and the per-partition ids MUST agree between the two — an
+        # un-pinned nondeterministic input (limit/sample/AQE re-coalescing)
+        # could land rows in a _pid absent from the offset dim, and the
+        # inner join below would silently drop them while the manifest
+        # counters came from the first evaluation
         staged = (
             df.withColumn("_pid", F.spark_partition_id())
             .withColumn("_mid", F.monotonically_increasing_id())
-        )
+        ).persist()
         counts = staged.groupBy("_pid").count().collect()
         acc = start
         offs = []
@@ -90,9 +96,13 @@ class Dataset:
         # manifest instead of walking the whole history per call
         prev = (self.table.manifest()["summary"].get("seq_bounds", [])
                 if self.table.exists() else [])
-        self.table.append(with_seq, {"item_count": start + n,
-                                     "seq_min": start, "seq_max": start + n - 1,
-                                     "seq_bounds": prev + [[start, start + n - 1]]})
+        try:
+            self.table.append(with_seq, {"item_count": start + n,
+                                         "seq_min": start,
+                                         "seq_max": start + n - 1,
+                                         "seq_bounds": prev + [[start, start + n - 1]]})
+        finally:
+            staged.unpersist()
         return n
 
     def get_data(
@@ -216,6 +226,11 @@ def _atomic_stream(path: str):
     try:
         with open(tmp, "w") as f:
             yield f
+            # flush+fsync BEFORE the rename (same contract as
+            # _atomic_write): otherwise a crash can persist the rename but
+            # not the data blocks — a truncated export in place of the old
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
     finally:
         with contextlib.suppress(OSError):

