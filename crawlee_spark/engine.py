@@ -38,10 +38,11 @@ import json
 import os
 import shutil
 import time as _time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawlee_spark.functions import headers, urls
@@ -306,6 +307,13 @@ class CrawlEngine:
         # pending interrupt kind ("migrating" | "aborting"), set via
         # request_interrupt — checked by run() after each superstep commit
         self._interrupt: str | None = None
+        # (frontier_snapshot_id, pending_count) carried from the previous
+        # superstep's commit: lets the next superstep skip the
+        # pending-emptiness probe job. The snapshot-id guard invalidates the
+        # carry on ANY out-of-band frontier mutation (add_requests,
+        # reprioritize, rollback, foreign writer) — those commit, changing
+        # the id, and the next superstep falls back to the real probe.
+        self._pending_carry: tuple[int, int] | None = None
 
     # -- state / resume -----------------------------------------------------
 
@@ -721,10 +729,15 @@ class CrawlEngine:
         url, html (+ the input_hint payload columns when validate_images).
 
         Job-count discipline: one superstep runs a fixed handful of Spark
-        jobs — pending check, ONE combined stats probe (fetch counters +
-        new-request buckets + robots kills in a single collect), the commit
-        write, and the log/metrics appends. All counters derive from that
-        probe; nothing is counted twice.
+        jobs — ONE combined stats probe (fetch counters + new-request
+        buckets + robots kills + pending counts in a single collect), the
+        commit write (which also observes the committed pending count —
+        ``Observation``, no extra job), and the two observability appends
+        (run concurrently). The pending-emptiness check costs a job only
+        when the snapshot-id-guarded carry from the previous commit is
+        unavailable (first step after construction/resume, or an
+        out-of-band frontier mutation). All counters derive from the probe;
+        nothing is counted twice.
         """
         cfg = self.cfg
         step = self.step + 1
@@ -743,9 +756,21 @@ class CrawlEngine:
         self.last_timings = tm
         t0 = _t()
 
+        # pending-emptiness: trust the count carried from the previous
+        # commit when the frontier snapshot hasn't moved since (see
+        # _pending_carry) — saves one job launch per superstep; any other
+        # writer/mutation changes the snapshot id and forces the real probe
+        carry = self._pending_carry
+        use_carry = (carry is not None
+                     and carry[0] == self.frontier.table.current_snapshot_id())
+        if use_carry and carry[1] == 0:
+            self.step = step
+            self._save_state()
+            stats["empty"] = True
+            return stats
         pending = self.frontier.pending().persist()
         try:
-            if pending.isEmpty():
+            if not use_carry and pending.isEmpty():
                 self.step = step
                 self._save_state()
                 stats["empty"] = True
@@ -843,24 +868,29 @@ class CrawlEngine:
             # simulator mirror only invokes them on real navigations.
             for hook in cfg.post_navigation_hooks:
                 fetched = hook(fetched)
+            # status-class table (StatusModelConf docstring has the map);
+            # trees memoized per engine in _static_exprs. Derived columns
+            # are layered in THREE projections, not six withColumns — each
+            # withColumn re-analyzes the whole fetch-join plan (round-5
+            # profile: ~7 ms per call on this tree); a projection may only
+            # reference columns of the PREVIOUS layer, which forces the
+            # split (_err reads _blocked/_status_code; _rot/_success read
+            # _err). SessionError (_rot) retries on the ROTATION budget and
+            # leaves retry_count untouched (basic-crawler.ts:1435-1452).
             if cfg.detect_blocked:
                 from crawlee_spark.functions.text import is_blocked_page
 
-                fetched = fetched.withColumn("_blocked", is_blocked_page(F.col("_html")))
+                blocked_col = is_blocked_page(F.col("_html"))
             else:
-                fetched = fetched.withColumn("_blocked", F.lit(False))
-
-            # status-class table (StatusModelConf docstring has the map);
-            # trees memoized per engine in _static_exprs
+                blocked_col = F.lit(False)
             sm = cfg.status
-            fetched = fetched.withColumn("_status_code", sx["status_code"])
+            fetched = fetched.withColumns(
+                {"_blocked": blocked_col, "_status_code": sx["status_code"]})
             fetched = fetched.withColumn("_err", sx["err_col"])
-            # SessionError class retries on the ROTATION budget and leaves
-            # retry_count untouched (basic-crawler.ts:1435-1452)
-            fetched = fetched.withColumn(
-                "_rot", F.coalesce(sx["rot_col"], F.lit(False)))
             can_retry = sx["can_retry"]
-            fetched = fetched.withColumn("_success", F.col("_err").isNull()).persist()
+            fetched = fetched.withColumns(
+                {"_rot": F.coalesce(sx["rot_col"], F.lit(False)),
+                 "_success": F.col("_err").isNull()}).persist()
             successes = fetched.filter(F.col("_success"))
             failures = fetched.filter(~F.col("_success"))
 
@@ -894,17 +924,42 @@ class CrawlEngine:
             # item #7). Per-host rows are still never collected: the
             # metrics table is written distributively below and politeness
             # advances set-based, so driver memory stays O(1) in host count.
-            def _probe_row(src: str, frame):
+            _BC_T = "array<struct<bucket:int,n:bigint>>"
+
+            def _probe_row(src: str, frame, has_bucket_counts: bool = False):
+                bc = (F.col("bucket_counts") if has_bucket_counts
+                      else F.lit(None).cast(_BC_T))
                 return frame.select(
                     F.lit(src).alias("_src"),
                     F.col("handled").cast("long").alias("handled"),
                     F.col("failed").cast("long").alias("failed"),
                     F.col("retried").cast("long").alias("retried"),
                     "buckets",
+                    bc.alias("bucket_counts"),
                 )
 
+            # pending branch: total + per-bucket pending counts over the
+            # persisted pending frame (bounded by num_buckets rows) — feeds
+            # the post-commit pending-count carry that replaces the next
+            # superstep's emptiness-probe job
+            pend_counts = (
+                pending.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.sum("n").cast("long").alias("handled"),
+                    F.lit(0).cast("long").alias("failed"),
+                    F.lit(0).cast("long").alias("retried"),
+                    F.collect_set("bucket").alias("buckets"),
+                    F.collect_list(
+                        F.struct(F.col("bucket").cast("int").alias("bucket"),
+                                 F.col("n").cast("long").alias("n"))
+                    ).cast(_BC_T).alias("bucket_counts"),
+                )
+            )
             probe = _probe_row("fetch", fetched.agg(*sx["probe_fetch"])) \
-                .unionByName(_probe_row("new", new_reqs.agg(*sx["probe_count"])))
+                .unionByName(_probe_row("new", new_reqs.agg(*sx["probe_count"]))) \
+                .unionByName(_probe_row("pending", pend_counts,
+                                        has_bucket_counts=True))
             if disallowed is not None:
                 probe = probe.unionByName(
                     _probe_row("robots", disallowed.agg(*sx["probe_count"])))
@@ -927,8 +982,15 @@ class CrawlEngine:
                 stats["robots_dead"] = int(rows["robots"]["handled"] or 0)
                 disallowed_buckets = [int(b) for b in
                                       (rows["robots"]["buckets"] or [])]
+            pend_total = int(rows["pending"]["handled"] or 0)
+            pend_by_bucket = {int(e["bucket"]): int(e["n"])
+                              for e in (rows["pending"]["bucket_counts"] or [])}
 
             if n_fetch == 0 and (stats["robots_dead"] == 0):
+                # no commit: the snapshot id is unchanged, so the probed
+                # total stays valid for the next superstep's carry
+                self._pending_carry = (
+                    self.frontier.table.current_snapshot_id(), pend_total)
                 self.step = step
                 self._save_state()
                 return stats
@@ -1021,56 +1083,47 @@ class CrawlEngine:
                 existing.join(marks, on="url_hash", how="left")
                 .join(errs, on="url_hash", how="left")
             )
-            if ud_updates is not None:
-                updated = updated.join(
-                    ud_updates, on="url_hash", how="left"
-                ).withColumn(
-                    "user_data",
-                    F.when(
-                        F.col("_mark").isin("retry", "rot")
-                        & F.col("_new_ud").isNotNull(),
-                        F.col("_new_ud"),
-                    ).otherwise(F.col("user_data")),
-                ).drop("_new_ud")
-            updated = (
-                updated
-                .withColumn(
-                    "handled_step",
-                    F.when(F.col("_mark").isin("handled", "dead", "robots"), F.lit(step))
+            # all mark-driven rewrites in ONE projection (each rewrite reads
+            # only pre-rewrite columns, so a single withColumns is exact and
+            # avoids re-analyzing the join plan per column — round-5
+            # profile). SessionError rotations are budgeted separately and
+            # do NOT consume the retry budget (basic-crawler.ts:1435-1452).
+            rewrites = {
+                "handled_step":
+                    F.when(F.col("_mark").isin("handled", "dead", "robots"),
+                           F.lit(step))
                     .otherwise(F.col("handled_step")),
-                )
-                .withColumn(
-                    "order_no",
+                "order_no":
                     F.when(F.col("_mark").isin("handled", "dead", "robots"),
                            F.lit(None).cast("long"))
                     .when(F.col("_mark").isin("retry", "rot"), new_order)
                     .otherwise(F.col("order_no")),
-                )
-                .withColumn(
-                    "retry_count",
+                "retry_count":
                     F.when(F.col("_mark") == "retry", F.col("retry_count") + 1)
                     .otherwise(F.col("retry_count")),
-                )
-                .withColumn(
-                    # SessionError rotations are budgeted separately and do
-                    # NOT consume the retry budget (basic-crawler.ts:1435-1452)
-                    "rotation_count",
+                "rotation_count":
                     F.when(F.col("_mark") == "rot", F.col("rotation_count") + 1)
                     .otherwise(F.col("rotation_count")),
-                )
-                .withColumn(
-                    "forefront",
+                "forefront":
                     F.when(F.col("_mark").isin("retry", "rot"), F.lit(False))
                     .otherwise(F.col("forefront")),
-                )
-                .withColumn(
-                    "error",
-                    F.when(F.col("_mark") == "robots", F.lit("robots-disallowed"))
-                    .when(F.col("_mark").isin("retry", "rot", "dead"), F.col("_err"))
+                "error":
+                    F.when(F.col("_mark") == "robots",
+                           F.lit("robots-disallowed"))
+                    .when(F.col("_mark").isin("retry", "rot", "dead"),
+                          F.col("_err"))
                     .otherwise(F.col("error")),
-                )
-                .drop("_mark", "_err")
-            )
+            }
+            drop_cols = ["_mark", "_err"]
+            if ud_updates is not None:
+                updated = updated.join(ud_updates, on="url_hash", how="left")
+                rewrites["user_data"] = F.when(
+                    F.col("_mark").isin("retry", "rot")
+                    & F.col("_new_ud").isNotNull(),
+                    F.col("_new_ud"),
+                ).otherwise(F.col("user_data"))
+                drop_cols.append("_new_ud")
+            updated = updated.withColumns(rewrites).drop(*drop_cols)
             if self.urlseen is not None and self.urlseen.has_shards():
                 # store-partitioned split: the mark UDF ships a
                 # StoreShardRef (path + per-bucket scalars); each task loads
@@ -1080,14 +1133,29 @@ class CrawlEngine:
             else:
                 fresh = merge_new_requests(existing, new_reqs)
             new_content = updated.unionByName(fresh.select(*updated.columns))
+            # observe the committed pending rows during the write itself
+            # (no extra job): pending-after-commit =
+            #   probed total − probed pending in touched buckets
+            #   + observed pending in the rewritten (touched) content.
+            # Carried to the next superstep to replace its emptiness probe.
+            pend_obs = Observation()
+            new_content = new_content.observe(
+                pend_obs,
+                F.sum(F.col("order_no").isNotNull().cast("long"))
+                .alias("pending_after"))
 
             tm["commit_plan"] = _t() - t0
             t0 = _t()
-            self.frontier.table.commit_buckets(
+            commit_sid = self.frontier.table.commit_buckets(
                 new_content, "superstep",
                 {"step": step, "client": self.frontier.client_id,
                  **{k: v for k, v in stats.items() if k != "step"}},
             )
+            pend_touched_before = sum(
+                pend_by_bucket.get(b, 0) for b in touched)
+            pend_after = int(pend_obs.get["pending_after"] or 0)
+            self._pending_carry = (
+                commit_sid, pend_total - pend_touched_before + pend_after)
             tm["frontier_commit"] = _t() - t0
             t0 = _t()
             if self.urlseen is not None:
@@ -1152,13 +1220,6 @@ class CrawlEngine:
                 sx["hdr_id"],
                 sx["hdr_ua"],
             )
-            tm["post_commit"] = _t() - t0
-            t0 = _t()
-            self.fetch_log.append(log.select(*[c.strip().split(" ")[0] for c in
-                                               FETCH_LOG_SCHEMA.split(",")]),
-                                  {"step": step}, coalesce=4)
-            tm["log_append"] = _t() - t0
-            t0 = _t()
             # per-(bucket, host) metrics written DISTRIBUTIVELY — at 10^6+
             # hosts these rows never touch the driver (north_rule
             # per-partition metrics; round 1 collected them)
@@ -1182,8 +1243,24 @@ class CrawlEngine:
                         F.col("robots_dead").cast("long"),
                     )
                 )
-            self.metrics.append(m, {"step": step}, coalesce=4)
-            tm["metrics_append"] = _t() - t0
+            tm["post_commit"] = _t() - t0
+            t0 = _t()
+            # the two observability appends go to DIFFERENT AppendTables
+            # (disjoint manifest state) and both source from the persisted
+            # `fetched` cache, so they run concurrently — two small write
+            # jobs overlap their launch latency instead of paying it twice.
+            # Crash-safety is unchanged: both sit inside the post-commit
+            # torn window, and the heal rolls EVERY table back to the saved
+            # checkpoint regardless of which append (if either) landed.
+            log_cols = [c.strip().split(" ")[0]
+                        for c in FETCH_LOG_SCHEMA.split(",")]
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_log = ex.submit(self.fetch_log.append, log.select(*log_cols),
+                                  {"step": step}, 4)
+                f_met = ex.submit(self.metrics.append, m, {"step": step}, 4)
+                f_log.result()
+                f_met.result()
+            tm["logs_append"] = _t() - t0
             t0 = _t()
 
             # 8. image validation results (input_hint invariant) per fetch

@@ -85,27 +85,25 @@ def normalize_requests(
     ``METHOD(sha256-8(payload)):canonicalUrl`` form (``request.ts:361-384``)
     so e.g. two POSTs to one URL with different payloads dedup separately.
     """
-    cols = raw.columns
-    df = raw
-    if "unique_key" not in cols:
-        df = df.withColumn("unique_key", F.lit(None).cast("string"))
-    if "forefront" not in cols:
-        df = df.withColumn("forefront", F.lit(False))
-    if "depth" not in cols:
-        df = df.withColumn("depth", F.lit(0))
-    if "label" not in cols:
-        df = df.withColumn("label", F.lit(None).cast("string"))
-    if "no_retry" not in cols:
-        df = df.withColumn("no_retry", F.lit(False))
-    if "method" not in cols:
-        df = df.withColumn("method", F.lit("GET"))
-    if "payload" not in cols:
-        df = df.withColumn("payload", F.lit(None).cast("binary"))
-    if "user_data" not in cols:
-        df = df.withColumn("user_data", F.lit(None).cast("map<string,string>"))
+    # defaults for absent optional columns, appended in ONE projection:
+    # chained withColumn re-analyzes the whole plan per call (~O(n²) driver
+    # cost on the per-superstep link batch; round-5 profile)
+    cols = set(raw.columns)
+    defaults = [
+        ("unique_key", F.lit(None).cast("string")),
+        ("forefront", F.lit(False)),
+        ("depth", F.lit(0)),
+        ("label", F.lit(None).cast("string")),
+        ("no_retry", F.lit(False)),
+        ("method", F.lit("GET")),
+        ("payload", F.lit(None).cast("binary")),
+        ("user_data", F.lit(None).cast("map<string,string>")),
+    ]
+    extras = [e.alias(name) for name, e in defaults if name not in cols]
+    df = raw.select("*", *extras) if extras else raw
 
     e = _make_request_exprs(keep_fragment, use_extended_unique_key, num_buckets)
-    df = df.select(*[c for c in df.columns], e["parsed"]) \
+    df = df.select("*", e["parsed"]) \
         .filter(F.col("_p.host").isNotNull())
 
     return df.select(

@@ -325,10 +325,14 @@ def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _synthetic_frontier(spark, sf_dir)
     w = Window.partitionBy("host").orderBy("order_no", "depth", "url_hash")
     per_host = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # global cap as orderBy().limit(): Spark plans TakeOrderedAndProject
+    # (per-partition partial top-k) instead of a single-partition WindowExec
+    # over the O(hosts) per-host winners; the rank window then orders only
+    # the 20 survivors
+    top = per_host.orderBy("order_no", "depth", "url_hash").limit(20)
     wg = Window.orderBy("order_no", "depth", "url_hash")
     return (
-        per_host.withColumn("grank", F.row_number().over(wg))
-        .filter(F.col("grank") <= 20)
+        top.withColumn("grank", F.row_number().over(wg))
         .select("host", "o_orderkey", F.col("grank").cast("long").alias("grank"))
     )
 
