@@ -519,12 +519,29 @@ class CrawlEngine:
         return self.politeness.read().select("host", "next_allowed_step")
 
     def _advance_politeness(self, fetched: DataFrame, step: int,
-                            host_delays: DataFrame | None) -> None:
+                            host_delays: DataFrame | None,
+                            pol_buckets: list[int] | None = None) -> None:
         """Distributed politeness advance (set-based ``advance_politeness``
         over the snapshot table): replaces the round-1 driver dict, which
-        grew O(delayed hosts). Skipped entirely when no delay can apply."""
+        grew O(delayed hosts). Skipped entirely when no delay can apply.
+
+        Touched-bucket commit (same CoW model as the frontier): only the
+        buckets of this step's politeness KEYS (``pol_buckets``, from the
+        stats probe — host-hash of fetched hosts, plus domain keys under
+        domain keying) are rewritten; the rest inherit by manifest pointer.
+        Rounds 1-4 rewrote the WHOLE state table every superstep —
+        O(hosts-in-cooldown) write amplification that a delay window of k
+        steps multiplies by ~k at scale. Expired rows in untouched buckets
+        linger until their bucket is next rewritten; that is safe because
+        every reader already treats ``next_allowed_step <= step`` as
+        no-block (``select_fetch_set``) and ``_max_politeness_wait``
+        compares against the current step."""
         cfg = self.cfg
         if cfg.politeness.same_domain_delay_secs <= 0 and host_delays is None:
+            return
+        if pol_buckets is not None and not pol_buckets:
+            # no fetched rows this step (robots-only commit): no key can
+            # advance, and expiry is lazy — nothing to write
             return
         domain_col = "_domain" if cfg.politeness.key_by_domain else None
         cols = ["host"] + ([domain_col] if domain_col else [])
@@ -534,18 +551,26 @@ class CrawlEngine:
                 F.broadcast(host_delays.select("host", "crawl_delay")),
                 on="host", how="left",
             )
-        new_state = pol.advance_politeness(
-            self._politeness_df(), touched, step, cfg.politeness,
-            domain_col=domain_col,
-        ).withColumn("bucket", urls.host_hash(F.col("host"), cfg.num_buckets))
+        bucket_col = urls.host_hash(F.col("host"), cfg.num_buckets)
         if not self.politeness.exists():
+            new_state = pol.advance_politeness(
+                None, touched, step, cfg.politeness, domain_col=domain_col,
+            ).withColumn("bucket", bucket_col)
             SnapshotTable.create(self.spark, self.politeness.root, new_state,
                                  num_buckets=cfg.num_buckets,
                                  summary={"step": step})
-        else:
-            # full rewrite (state rows expire, so buckets must not inherit)
-            self.politeness._commit_full(new_state, cfg.num_buckets,
-                                         "politeness", {"step": step})
+            return
+        # prior state restricted to the touched buckets: advance_politeness
+        # keeps (non-updated, non-expired) rows and unions the new ones, so
+        # the result is the touched buckets' FULL new content
+        state_touched = self.politeness.read(
+            buckets=pol_buckets).select("host", "next_allowed_step")
+        new_state = pol.advance_politeness(
+            state_touched, touched, step, cfg.politeness,
+            domain_col=domain_col,
+        ).withColumn("bucket", bucket_col)
+        self.politeness.commit_buckets(new_state, "politeness",
+                                       {"step": step}, touched=pol_buckets)
 
     def _max_politeness_wait(self) -> int:
         if not self.politeness.exists():
@@ -623,11 +648,23 @@ class CrawlEngine:
             .otherwise(F.col("retry_count") < cfg.max_retries)
         )
         can_retry = sx["can_retry"]
+        # politeness-state buckets touched by this fetch set: host keys
+        # always; domain keys ("d:<registrable domain>") when domain keying
+        # is on. Feeds the touched-bucket politeness commit (the advance
+        # rewrites only these buckets, not the whole state table).
+        pol_b = F.collect_set(urls.host_hash(F.col("host"), cfg.num_buckets))
+        if cfg.politeness.key_by_domain:
+            pol_b = F.array_union(
+                pol_b,
+                F.collect_set(urls.host_hash(
+                    F.concat(F.lit(pol.DOMAIN_KEY_PREFIX), F.col("_domain")),
+                    cfg.num_buckets)))
         sx["probe_fetch"] = [
             F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
             F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
             F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
             F.collect_set("bucket").alias("buckets"),
+            pol_b.alias("pol_buckets"),
         ]
         sx["probe_count"] = [
             F.count(F.lit(1)).alias("handled"),
@@ -883,7 +920,6 @@ class CrawlEngine:
                 blocked_col = is_blocked_page(F.col("_html"))
             else:
                 blocked_col = F.lit(False)
-            sm = cfg.status
             fetched = fetched.withColumns(
                 {"_blocked": blocked_col, "_status_code": sx["status_code"]})
             fetched = fetched.withColumn("_err", sx["err_col"])
@@ -926,9 +962,12 @@ class CrawlEngine:
             # advances set-based, so driver memory stays O(1) in host count.
             _BC_T = "array<struct<bucket:int,n:bigint>>"
 
-            def _probe_row(src: str, frame, has_bucket_counts: bool = False):
+            def _probe_row(src: str, frame, has_bucket_counts: bool = False,
+                           has_pol: bool = False):
                 bc = (F.col("bucket_counts") if has_bucket_counts
                       else F.lit(None).cast(_BC_T))
+                pb = (F.col("pol_buckets") if has_pol
+                      else F.lit(None).cast("array<int>"))
                 return frame.select(
                     F.lit(src).alias("_src"),
                     F.col("handled").cast("long").alias("handled"),
@@ -936,6 +975,7 @@ class CrawlEngine:
                     F.col("retried").cast("long").alias("retried"),
                     "buckets",
                     bc.alias("bucket_counts"),
+                    pb.alias("pol_buckets"),
                 )
 
             # pending branch: total + per-bucket pending counts over the
@@ -956,7 +996,8 @@ class CrawlEngine:
                     ).cast(_BC_T).alias("bucket_counts"),
                 )
             )
-            probe = _probe_row("fetch", fetched.agg(*sx["probe_fetch"])) \
+            probe = _probe_row("fetch", fetched.agg(*sx["probe_fetch"]),
+                               has_pol=True) \
                 .unionByName(_probe_row("new", new_reqs.agg(*sx["probe_count"]))) \
                 .unionByName(_probe_row("pending", pend_counts,
                                         has_bucket_counts=True))
@@ -973,6 +1014,7 @@ class CrawlEngine:
             n_retried = int(agg["retried"] or 0)
             n_dead = int(agg["failed"] or 0)
             fetched_buckets = [int(b) for b in (agg["buckets"] or [])]
+            pol_buckets = sorted({int(b) for b in (agg["pol_buckets"] or [])})
             n_fetch = n_handled + n_retried + n_dead
             stats.update(fetched=n_fetch, handled=n_handled,
                          retried=n_retried, failed=n_dead)
@@ -1314,7 +1356,8 @@ class CrawlEngine:
             # 9. politeness advance — set-based over the snapshot dim
             # (operators/politeness.py::advance_politeness); no host rows on
             # the driver, state persists + resumes like the frontier
-            self._advance_politeness(fetched, step, host_delays)
+            self._advance_politeness(fetched, step, host_delays,
+                                     pol_buckets=pol_buckets)
 
             self.handled_count += n_handled + n_dead
             self.step = step
