@@ -110,15 +110,22 @@ class SnapshotTable:
                 continue
             owners.setdefault(owner, []).append(b)
         df: DataFrame | None = None
+        # the manifest's stored DDL (which includes the partition column)
+        # skips per-read schema inference — without it every spark.read
+        # eagerly opens parquet footers at DataFrame CONSTRUCTION time
+        # (~0.1 s per owner dir on this box), a cost that grows with the
+        # snapshot-owner count as a crawl ages (round-5 profile)
+        ddl = m["schema_ddl"]
         for owner, bs in sorted(owners.items()):
             base = os.path.join(self.data_dir, owner)
             paths = [os.path.join(base, f"{self.bucket_col}={b}") for b in sorted(bs, key=int)]
-            part = self.spark.read.option("basePath", base).parquet(*paths)
+            part = self.spark.read.schema(ddl).option("basePath", base).parquet(*paths)
             df = part if df is None else df.unionByName(part)
         if df is None:
             # empty table: synthesize from stored schema
             return self.spark.createDataFrame([], m["schema_ddl"])
-        # partition-dir inference may type the bucket col as int — normalize
+        # the stored DDL types the bucket col — cast kept for snapshots
+        # written before the DDL carried it
         return df.withColumn(self.bucket_col, F.col(self.bucket_col).cast("int"))
 
     # -- write --------------------------------------------------------------
@@ -368,4 +375,6 @@ class AppendTable:
             raise FileNotFoundError(f"AppendTable at {self.root} is empty")
         m = self.manifest(snapshot_id)
         paths = [os.path.join(self.data_dir, s) for s in m["segments"]]
-        return self.spark.read.parquet(*paths)
+        # stored DDL skips footer-based schema inference at construction
+        # (the segment list grows one dir per superstep — see SnapshotTable)
+        return self.spark.read.schema(m["schema_ddl"]).parquet(*paths)
