@@ -1200,17 +1200,23 @@ class CrawlEngine:
                 commit_sid, pend_total - pend_touched_before + pend_after)
             tm["frontier_commit"] = _t() - t0
             t0 = _t()
+            refresh_fn = None
             if self.urlseen is not None:
                 snap = self.frontier.table.current_snapshot_id()
                 if self.urlseen.has_shards():
                     # refresh shards for the buckets this commit rewrote,
                     # stamped with the snapshot they reflect
-                    # (crash-consistency marker)
-                    self.urlseen.refresh_buckets(
-                        self.frontier.read(buckets=touched)
-                        .select("bucket", "url_hash"),
-                        frontier_snapshot=snap,
-                    )
+                    # (crash-consistency marker). Deferred into the
+                    # post-commit concurrent pool below: the refresh only
+                    # touches urlseen state + shard files, so it overlaps
+                    # the observability appends; a crash before it lands is
+                    # caught by the stamp check (_ensure_urlseen_fresh).
+                    def refresh_fn(snap=snap):
+                        self.urlseen.refresh_buckets(
+                            self.frontier.read(buckets=touched)
+                            .select("bucket", "url_hash"),
+                            frontier_snapshot=snap,
+                        )
                 else:
                     # empty meta here means the persisted shard state was
                     # missing/unreadable at resume (load() returned False) —
@@ -1296,12 +1302,16 @@ class CrawlEngine:
             # checkpoint regardless of which append (if either) landed.
             log_cols = [c.strip().split(" ")[0]
                         for c in FETCH_LOG_SCHEMA.split(",")]
-            with ThreadPoolExecutor(max_workers=2) as ex:
+            with ThreadPoolExecutor(max_workers=3) as ex:
                 f_log = ex.submit(self.fetch_log.append, log.select(*log_cols),
                                   {"step": step}, 4)
                 f_met = ex.submit(self.metrics.append, m, {"step": step}, 4)
+                f_ref = (ex.submit(refresh_fn)
+                         if refresh_fn is not None else None)
                 f_log.result()
                 f_met.result()
+                if f_ref is not None:
+                    f_ref.result()
             tm["logs_append"] = _t() - t0
             t0 = _t()
 
