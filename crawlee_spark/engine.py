@@ -648,24 +648,28 @@ class CrawlEngine:
             .otherwise(F.col("retry_count") < cfg.max_retries)
         )
         can_retry = sx["can_retry"]
-        # politeness-state buckets touched by this fetch set: host keys
-        # always; domain keys ("d:<registrable domain>") when domain keying
-        # is on. Feeds the touched-bucket politeness commit (the advance
-        # rewrites only these buckets, not the whole state table).
-        pol_b = F.collect_set(urls.host_hash(F.col("host"), cfg.num_buckets))
-        if cfg.politeness.key_by_domain:
-            pol_b = F.array_union(
-                pol_b,
-                F.collect_set(urls.host_hash(
-                    F.concat(F.lit(pol.DOMAIN_KEY_PREFIX), F.col("_domain")),
-                    cfg.num_buckets)))
+        # politeness-state buckets touched by this fetch set, feeding the
+        # touched-bucket politeness commit. HOST keys need no extra work:
+        # the frontier's bucket column IS host_hash(host), so the host-side
+        # bucket set equals the `buckets` collect_set below. Only DOMAIN
+        # keys ("d:<registrable domain>", domain keying on) hash to
+        # different buckets and need their own set; the null-guard keeps a
+        # PSL-miss row (NULL _domain) from contributing hash(NULL)'s bucket.
         sx["probe_fetch"] = [
             F.sum(F.when(F.col("_success"), 1).otherwise(0)).alias("handled"),
             F.sum(F.when(~F.col("_success") & ~can_retry, 1).otherwise(0)).alias("failed"),
             F.sum(F.when(~F.col("_success") & can_retry, 1).otherwise(0)).alias("retried"),
             F.collect_set("bucket").alias("buckets"),
-            pol_b.alias("pol_buckets"),
         ]
+        if cfg.politeness.key_by_domain:
+            sx["probe_fetch"].append(
+                F.collect_set(
+                    F.when(F.col("_domain").isNotNull(),
+                           urls.host_hash(
+                               F.concat(F.lit(pol.DOMAIN_KEY_PREFIX),
+                                        F.col("_domain")),
+                               cfg.num_buckets))
+                ).alias("pol_buckets"))
         sx["probe_count"] = [
             F.count(F.lit(1)).alias("handled"),
             F.lit(0).alias("failed"), F.lit(0).alias("retried"),
@@ -997,7 +1001,7 @@ class CrawlEngine:
                 )
             )
             probe = _probe_row("fetch", fetched.agg(*sx["probe_fetch"]),
-                               has_pol=True) \
+                               has_pol=cfg.politeness.key_by_domain) \
                 .unionByName(_probe_row("new", new_reqs.agg(*sx["probe_count"]))) \
                 .unionByName(_probe_row("pending", pend_counts,
                                         has_bucket_counts=True))
@@ -1014,7 +1018,11 @@ class CrawlEngine:
             n_retried = int(agg["retried"] or 0)
             n_dead = int(agg["failed"] or 0)
             fetched_buckets = [int(b) for b in (agg["buckets"] or [])]
-            pol_buckets = sorted({int(b) for b in (agg["pol_buckets"] or [])})
+            # host-key politeness buckets == frontier buckets (bucket IS
+            # host_hash(host)); domain keys add their own hashed buckets
+            pol_buckets = sorted(
+                set(fetched_buckets)
+                | {int(b) for b in (agg["pol_buckets"] or [])})
             n_fetch = n_handled + n_retried + n_dead
             stats.update(fetched=n_fetch, handled=n_handled,
                          retried=n_retried, failed=n_dead)

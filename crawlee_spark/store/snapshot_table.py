@@ -331,13 +331,27 @@ class AppendTable:
         seg = f"seg-{sid}"
         out = df.coalesce(coalesce) if coalesce else df
         out.write.mode("overwrite").parquet(os.path.join(self.data_dir, seg))
-        segments = (self.manifest()["segments"] if self.exists() else []) + [seg]
+        ddl = _schema_ddl(df)
+        if self.exists():
+            pm = self.manifest()
+            segments = pm["segments"] + [seg]
+            # schema stability is tracked incrementally (O(1) per append):
+            # true iff every segment in the chain shares this DDL. read()
+            # may then skip per-read schema inference; a drifting log
+            # (e.g. a router whose output columns vary by step) falls back
+            # to inference so older segments are never silently null-filled
+            stable = bool(pm.get("schema_stable", False)) \
+                and pm["schema_ddl"] == ddl
+        else:
+            segments = [seg]
+            stable = True
         manifest = {
             "id": sid,
             "parent": parent,
             "committed_at": time.time(),
             "segments": segments,
-            "schema_ddl": _schema_ddl(df),
+            "schema_ddl": ddl,
+            "schema_stable": stable,
             "summary": summary or {},
         }
         _atomic_write(os.path.join(self.manifest_dir, f"snap-{sid}.json"), json.dumps(manifest))
@@ -375,6 +389,13 @@ class AppendTable:
             raise FileNotFoundError(f"AppendTable at {self.root} is empty")
         m = self.manifest(snapshot_id)
         paths = [os.path.join(self.data_dir, s) for s in m["segments"]]
-        # stored DDL skips footer-based schema inference at construction
-        # (the segment list grows one dir per superstep — see SnapshotTable)
-        return self.spark.read.schema(m["schema_ddl"]).parquet(*paths)
+        if m.get("schema_stable", False):
+            # stored DDL skips footer-based schema inference at construction
+            # (the segment list grows one dir per superstep — see
+            # SnapshotTable); only taken when every segment in the chain
+            # shares this DDL (flag maintained incrementally by append)
+            return self.spark.read.schema(m["schema_ddl"]).parquet(*paths)
+        # schema drifted across appends (or pre-flag manifest): infer, so a
+        # mixed-schema log surfaces parquet's merge behavior instead of
+        # silently null-filling older segments against the newest DDL
+        return self.spark.read.parquet(*paths)
