@@ -31,17 +31,28 @@ from crawlee_spark.templates import MANIFEST, get_template, template_names
 PROJECT_MANIFEST = "crawlee.json"
 
 
-def _validate_project_name(name: str) -> None:
-    # CreateProjectCommand.ts:23-26 rejects only the empty string; path
-    # separators additionally make no sense for a directory scaffold
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _validate_project_name(name: str) -> str | None:
+    """Error message, or None when valid. The reference rejects only the
+    empty string (CreateProjectCommand.ts:23-26); a directory scaffold that
+    also substitutes the name into crawlee.json/README additionally needs
+    it shell/JSON/regex-inert, so the charset is pinned to [A-Za-z0-9._-]
+    (the same family the reference's name rewrite regex assumes)."""
     if not name:
-        raise SystemExit("The project name cannot be empty string.")
-    if os.sep in name or (os.altsep and os.altsep in name):
-        raise SystemExit(f"The project name may not contain {os.sep!r}.")
+        return "The project name cannot be empty string."
+    if not _NAME_RE.match(name):
+        return (f"Invalid project name {name!r}: use letters, digits, "
+                f"'.', '_' or '-' (must start alphanumeric).")
+    return None
 
 
 def cmd_create(args: argparse.Namespace) -> int:
-    _validate_project_name(args.project_name)
+    err = _validate_project_name(args.project_name)
+    if err:
+        print(err, file=sys.stderr)
+        return 1
     template = get_template(args.template)
     project_dir = os.path.join(os.getcwd(), args.project_name)
     try:
@@ -59,17 +70,20 @@ def cmd_create(args: argparse.Namespace) -> int:
             f.write(content)
         if rel.endswith(".sh"):
             os.chmod(path, 0o755)
-    # name rewrite, CreateProjectCommand.ts:180 (package.json -> crawlee.json)
+    # name rewrite, CreateProjectCommand.ts:180 (package.json -> crawlee.json).
+    # The name charset is validated above, but go through json anyway so the
+    # manifest can never come out unparseable.
     mpath = os.path.join(project_dir, PROJECT_MANIFEST)
     if os.path.exists(mpath):
         with open(mpath) as f:
-            raw = f.read()
-        raw = re.sub(r'"name": "[\w-]+"',
-                     f'"name": "{args.project_name}"', raw, count=1)
+            manifest = json.load(f)
+        manifest["name"] = args.project_name
         with open(mpath, "w") as f:
-            f.write(raw)
+            json.dump(manifest, f, indent=4)
+            f.write("\n")
+    hint = template.get("run_hint", "python -m crawlee_spark run")
     print(f"Project {args.project_name} was created. To run it, run "
-          f'"cd {args.project_name}" and "python -m crawlee_spark run".')
+          f'"cd {args.project_name}" and "{hint}".')
     return 0
 
 
@@ -78,9 +92,18 @@ def cmd_run(args: argparse.Namespace) -> int:
         print(f"No {PROJECT_MANIFEST} in the current directory — not a "
               f"crawlee_spark project.", file=sys.stderr)
         return 1
-    with open(PROJECT_MANIFEST) as f:
-        manifest = json.load(f)
+    try:
+        with open(PROJECT_MANIFEST) as f:
+            manifest = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"Cannot read {PROJECT_MANIFEST}: {e}", file=sys.stderr)
+        return 1
     scripts = manifest.get("scripts", {})
+    if not isinstance(scripts, dict) or not all(
+            isinstance(v, str) for v in scripts.values()):
+        print(f"{PROJECT_MANIFEST} 'scripts' must map names to command "
+              f"strings.", file=sys.stderr)
+        return 1
     if args.script not in scripts:
         print(f"Script {args.script!r} not found in {PROJECT_MANIFEST} "
               f"(available: {sorted(scripts)}).", file=sys.stderr)

@@ -52,7 +52,10 @@ Dataset (the reference template's "crawl a site, push results" flow,
 re-expressed over the BSP engine)."""
 
 import argparse
+import os
 import shutil
+
+from pyspark.sql import functions as F
 
 from crawlee_spark import datagen
 from crawlee_spark.configuration import Configuration
@@ -78,17 +81,27 @@ def run(spark=None, pages=60, hosts=5, n_seeds=5):
     workdir = config.storage_path("crawls", "default")
     if config.get("purge_on_start"):
         shutil.rmtree(workdir, ignore_errors=True)
-    engine = CrawlEngine(spark, workdir,
-                         config.to_crawl_config(num_buckets=8))
+    cfg = config.to_crawl_config(num_buckets=8)
+    # under --no-purge a previous run's state survives: RESUME it (already
+    # handled requests stay handled; add_seeds MERGE-dedups the seed batch)
+    if os.path.exists(workdir):
+        engine = CrawlEngine.resume(spark, workdir, cfg)
+    else:
+        engine = CrawlEngine(spark, workdir, cfg)
+    step0 = engine.step
     engine.add_seeds(seeds)
     totals = engine.run(corpus)
 
+    # push only THIS run's fetch-log rows — a resumed run must not append
+    # the prior runs' rows to the dataset a second time
     dataset = open_dataset(spark)
-    n = dataset.push_data(
-        engine.fetch_log.read().select("unique_key", "step", "status",
-                                       "retry_count"))
-    print(f"crawl finished: {totals}; {n} fetch-log rows in the default "
-          f"dataset under {config.get('storage_dir')!r}")
+    n = 0
+    if engine.fetch_log.exists():
+        n = dataset.push_data(
+            engine.fetch_log.read().filter(F.col("step") > step0)
+            .select("unique_key", "step", "status", "retry_count"))
+    print(f"crawl finished: {totals}; {n} fetch-log rows appended to the "
+          f"default dataset under {config.get('storage_dir')!r}")
     return totals
 
 
@@ -214,6 +227,7 @@ MANIFEST: dict = {
             "name": "getting-started",
             "description": "Getting started: frontier crawl over a "
                            "synthetic corpus [PySpark]",
+            "run_hint": "python -m crawlee_spark run",
             "files": {
                 "main.py": _GETTING_STARTED_MAIN,
                 "crawlee.json": _crawlee_json("python main.py"),
@@ -226,6 +240,7 @@ MANIFEST: dict = {
             "name": "curation",
             "description": "Training-data curation pipeline "
                            "(quality gate + dedup) [PySpark]",
+            "run_hint": "python main.py --input /path/to/documents.parquet",
             "files": {
                 "main.py": _CURATION_MAIN,
                 "crawlee.json": _crawlee_json(

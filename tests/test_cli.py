@@ -62,12 +62,14 @@ def test_create_existing_dir_refuses(tmp_path, monkeypatch, capsys):
     assert "already exists" in capsys.readouterr().err
 
 
-def test_create_empty_or_pathy_name_rejected(tmp_path, monkeypatch):
+def test_create_bad_names_rejected(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
-    with pytest.raises(SystemExit):
-        main(["create", ""])
-    with pytest.raises(SystemExit):
-        main(["create", f"a{os.sep}b"])
+    # empty, path separators, and JSON/regex-hostile characters all refuse
+    # with exit code 1 (uniform error contract) and scaffold nothing
+    for bad in ["", f"a{os.sep}b", 'a"b', "a\\g", "a b", ".hidden"]:
+        assert main(["create", bad]) == 1, bad
+        assert list(tmp_path.iterdir()) == [], bad
+    capsys.readouterr()
 
 
 def test_create_curation_template(tmp_path, monkeypatch):
@@ -124,6 +126,17 @@ def test_run_propagates_script_exit_code(tmp_path, monkeypatch):
     assert main(["run"]) == 7
 
 
+def test_run_malformed_manifest_is_friendly(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "crawlee.json").write_text("{not json,}")
+    assert main(["run"]) == 1
+    assert "Cannot read crawlee.json" in capsys.readouterr().err
+    (tmp_path / "crawlee.json").write_text(
+        json.dumps({"scripts": ["not", "a", "map"]}))
+    assert main(["run"]) == 1
+    assert "must map names" in capsys.readouterr().err
+
+
 # ---------------------------------------------------------------------------
 # the scaffolded projects run end-to-end
 # ---------------------------------------------------------------------------
@@ -157,6 +170,13 @@ def test_getting_started_project_crawls(tmp_path, monkeypatch, spark):
         assert len(rows) >= totals["handled"] > 0
         assert {"unique_key", "step", "status", "retry_count"} <= set(
             ds.get_data().columns)
+        # a --no-purge rerun RESUMES (nothing left to crawl) and must not
+        # duplicate the first run's dataset rows
+        monkeypatch.setenv("CRAWLEE_PURGE_ON_START", "0")
+        Configuration.reset_global_configuration()
+        totals2 = mod.run(spark=spark, pages=30, hosts=3, n_seeds=3)
+        assert totals2["handled"] == 0
+        assert len(ds.get_data().collect()) == len(rows)
     finally:
         Configuration.reset_global_configuration()
 
