@@ -62,14 +62,24 @@ def cmd_create(args: argparse.Namespace) -> int:
         print(f"Cannot create new project, directory "
               f"{args.project_name!r} already exists.", file=sys.stderr)
         return 1
-    for rel, content in template["files"].items():
-        path = os.path.join(project_dir, rel)
-        os.makedirs(os.path.dirname(path) or project_dir, exist_ok=True)
-        content = content.replace("{project}", args.project_name)
-        with open(path, "w") as f:
-            f.write(content)
-        if rel.endswith(".sh"):
-            os.chmod(path, 0o755)
+    try:
+        for rel, content in template["files"].items():
+            path = os.path.join(project_dir, rel)
+            os.makedirs(os.path.dirname(path) or project_dir, exist_ok=True)
+            content = content.replace("{project}", args.project_name)
+            with open(path, "w") as f:
+                f.write(content)
+            if rel.endswith(".sh"):
+                os.chmod(path, 0o755)
+    except OSError as e:
+        # never leave a half-written scaffold behind: a retry would then
+        # refuse on "directory already exists" for a dir WE created
+        import shutil
+
+        shutil.rmtree(project_dir, ignore_errors=True)
+        print(f"Failed to scaffold {args.project_name!r}: {e}",
+              file=sys.stderr)
+        return 1
     # name rewrite, CreateProjectCommand.ts:180 (package.json -> crawlee.json).
     # The name charset is validated above, but go through json anyway so the
     # manifest can never come out unparseable.

@@ -35,6 +35,7 @@ Scale shape (100 TB / 1000 executors):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time as _time
@@ -314,6 +315,10 @@ class CrawlEngine:
         # reprioritize, rollback, foreign writer) — those commit, changing
         # the id, and the next superstep falls back to the real probe.
         self._pending_carry: tuple[int, int] | None = None
+        # per-phase wall timings of the last superstep (observability;
+        # initialized here so hooks/listeners can read it before the first
+        # superstep without an AttributeError)
+        self.last_timings: dict[str, float] = {}
 
     # -- state / resume -----------------------------------------------------
 
@@ -1311,15 +1316,31 @@ class CrawlEngine:
             log_cols = [c.strip().split(" ")[0]
                         for c in FETCH_LOG_SCHEMA.split(",")]
             with ThreadPoolExecutor(max_workers=3) as ex:
-                f_log = ex.submit(self.fetch_log.append, log.select(*log_cols),
-                                  {"step": step}, 4)
-                f_met = ex.submit(self.metrics.append, m, {"step": step}, 4)
-                f_ref = (ex.submit(refresh_fn)
-                         if refresh_fn is not None else None)
-                f_log.result()
-                f_met.result()
-                if f_ref is not None:
-                    f_ref.result()
+                futures = {
+                    "fetch_log": ex.submit(self.fetch_log.append,
+                                           log.select(*log_cols),
+                                           {"step": step}, 4),
+                    "metrics": ex.submit(self.metrics.append, m,
+                                         {"step": step}, 4),
+                }
+                if refresh_fn is not None:
+                    futures["urlseen_refresh"] = ex.submit(refresh_fn)
+                # drain EVERY future before raising: a sequential
+                # .result() chain would mask the later failures (e.g. a
+                # shared-FS blip failing both the log append and the shard
+                # refresh would surface only the first), leaving no trace
+                # of the others for whoever debugs the crash
+                errors = []
+                for fname, fut in futures.items():
+                    try:
+                        fut.result()
+                    except Exception as e:  # noqa: BLE001 — re-raised below
+                        errors.append((fname, e))
+                if errors:
+                    for fname, e in errors[1:]:
+                        logging.getLogger(__name__).error(
+                            "post-commit %s also failed: %s", fname, e)
+                    raise errors[0][1]
             tm["logs_append"] = _t() - t0
             t0 = _t()
 

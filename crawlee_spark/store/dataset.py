@@ -26,8 +26,10 @@ overlap (segment seq bounds are recorded in each manifest summary).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import uuid
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -212,16 +214,11 @@ class Dataset:
         return row.asDict() if row else {}
 
 
-import contextlib
-
-
 @contextlib.contextmanager
 def _atomic_stream(path: str):
     """Streaming counterpart of ``_atomic_write``: write to a tmp file,
     ``os.replace`` into place on clean exit (readers never see a torn
     export), clean up the tmp on failure."""
-    import uuid
-
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
     try:
         with open(tmp, "w") as f:
