@@ -703,6 +703,39 @@ class CrawlEngine:
             + F.col("rotation_count"))
         sx["hdr_id"] = hdr["header_profile_id"].alias("header_profile_id")
         sx["hdr_ua"] = hdr["user_agent"].alias("user_agent")
+        # STEP-INDEPENDENT commit-rewrite trees (the step-dependent two —
+        # handled_step, order_no — are built per superstep; these four read
+        # only _mark/_err/prior columns and never the step)
+        sx["rewrite_static"] = {
+            "retry_count":
+                F.when(F.col("_mark") == "retry", F.col("retry_count") + 1)
+                .otherwise(F.col("retry_count")),
+            "rotation_count":
+                F.when(F.col("_mark") == "rot", F.col("rotation_count") + 1)
+                .otherwise(F.col("rotation_count")),
+            "forefront":
+                F.when(F.col("_mark").isin("retry", "rot"), F.lit(False))
+                .otherwise(F.col("forefront")),
+            "error":
+                F.when(F.col("_mark") == "robots",
+                       F.lit("robots-disallowed"))
+                .when(F.col("_mark").isin("retry", "rot", "dead"),
+                      F.col("_err"))
+                .otherwise(F.col("error")),
+        }
+        sx["rewrite_user_data"] = F.when(
+            F.col("_mark").isin("retry", "rot")
+            & F.col("_new_ud").isNotNull(),
+            F.col("_new_ud"),
+        ).otherwise(F.col("user_data"))
+        # mark-tag trees for the commit's marks/errs unions
+        sx["mark_handled"] = F.lit("handled").alias("_mark")
+        sx["mark_retry"] = (
+            F.when(F.col("_rot"), F.lit("rot")).otherwise(F.lit("retry"))
+            .alias("_mark"))
+        sx["mark_dead"] = F.lit("dead").alias("_mark")
+        sx["mark_robots"] = F.lit("robots").alias("_mark")
+        sx["err_alias"] = F.col("error").alias("_err")
         self._sx = sx
         return sx
 
@@ -970,40 +1003,54 @@ class CrawlEngine:
             # metrics table is written distributively below and politeness
             # advances set-based, so driver memory stays O(1) in host count.
             _BC_T = "array<struct<bucket:int,n:bigint>>"
+            probe_memo = sx.setdefault("probe_row_memo", {})
 
             def _probe_row(src: str, frame, has_bucket_counts: bool = False,
                            has_pol: bool = False):
-                bc = (F.col("bucket_counts") if has_bucket_counts
-                      else F.lit(None).cast(_BC_T))
-                pb = (F.col("pol_buckets") if has_pol
-                      else F.lit(None).cast("array<int>"))
-                return frame.select(
-                    F.lit(src).alias("_src"),
-                    F.col("handled").cast("long").alias("handled"),
-                    F.col("failed").cast("long").alias("failed"),
-                    F.col("retried").cast("long").alias("retried"),
-                    "buckets",
-                    bc.alias("bucket_counts"),
-                    pb.alias("pol_buckets"),
-                )
+                key = (src, has_bucket_counts, has_pol)
+                sel = probe_memo.get(key)
+                if sel is None:
+                    bc = (F.col("bucket_counts") if has_bucket_counts
+                          else F.lit(None).cast(_BC_T))
+                    pb = (F.col("pol_buckets") if has_pol
+                          else F.lit(None).cast("array<int>"))
+                    sel = [
+                        F.lit(src).alias("_src"),
+                        F.col("handled").cast("long").alias("handled"),
+                        F.col("failed").cast("long").alias("failed"),
+                        F.col("retried").cast("long").alias("retried"),
+                        F.col("buckets"),
+                        bc.alias("bucket_counts"),
+                        pb.alias("pol_buckets"),
+                    ]
+                    probe_memo[key] = sel
+                return frame.select(*sel)
 
             # pending branch: total + per-bucket pending counts over the
             # persisted pending frame (bounded by num_buckets rows) — feeds
             # the post-commit pending-count carry that replaces the next
             # superstep's emptiness-probe job
+            pend_aggs = sx.get("pend_aggs")
+            if pend_aggs is None:
+                pend_aggs = {
+                    "count": F.count(F.lit(1)).alias("n"),
+                    "rollup": [
+                        F.sum("n").cast("long").alias("handled"),
+                        F.lit(0).cast("long").alias("failed"),
+                        F.lit(0).cast("long").alias("retried"),
+                        F.collect_set("bucket").alias("buckets"),
+                        F.collect_list(
+                            F.struct(
+                                F.col("bucket").cast("int").alias("bucket"),
+                                F.col("n").cast("long").alias("n"))
+                        ).cast(_BC_T).alias("bucket_counts"),
+                    ],
+                }
+                sx["pend_aggs"] = pend_aggs
             pend_counts = (
                 pending.groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(
-                    F.sum("n").cast("long").alias("handled"),
-                    F.lit(0).cast("long").alias("failed"),
-                    F.lit(0).cast("long").alias("retried"),
-                    F.collect_set("bucket").alias("buckets"),
-                    F.collect_list(
-                        F.struct(F.col("bucket").cast("int").alias("bucket"),
-                                 F.col("n").cast("long").alias("n"))
-                    ).cast(_BC_T).alias("bucket_counts"),
-                )
+                .agg(pend_aggs["count"])
+                .agg(*pend_aggs["rollup"])
             )
             probe = _probe_row("fetch", fetched.agg(*sx["probe_fetch"]),
                                has_pol=cfg.politeness.key_by_domain) \
@@ -1117,21 +1164,17 @@ class CrawlEngine:
             )
             existing = self.frontier.read(buckets=touched)
 
-            marks = handled_keys.withColumn("_mark", F.lit("handled"))
+            marks = handled_keys.select("url_hash", sx["mark_handled"])
             marks = marks.unionByName(
-                retries.select(
-                    "url_hash",
-                    F.when(F.col("_rot"), F.lit("rot")).otherwise(F.lit("retry"))
-                    .alias("_mark"),
-                )
-            ).unionByName(deads.select("url_hash").withColumn("_mark", F.lit("dead")))
+                retries.select("url_hash", sx["mark_retry"])
+            ).unionByName(deads.select("url_hash", sx["mark_dead"]))
             if disallowed is not None:
                 marks = marks.unionByName(
-                    disallowed.select("url_hash").withColumn("_mark", F.lit("robots"))
+                    disallowed.select("url_hash", sx["mark_robots"])
                 )
-            errs = retries.select("url_hash", "error").unionByName(
-                deads.select("url_hash", "error")
-            ).withColumnRenamed("error", "_err")
+            errs = retries.select("url_hash", sx["err_alias"]).unionByName(
+                deads.select("url_hash", sx["err_alias"])
+            )
 
             new_order = order_no_expr(step, F.lit(False)).cast("long")
             updated = (
@@ -1144,6 +1187,8 @@ class CrawlEngine:
             # profile). SessionError rotations are budgeted separately and
             # do NOT consume the retry budget (basic-crawler.ts:1435-1452).
             rewrites = {
+                # the two step-embedding trees, built per superstep; the
+                # step-independent four come memoized from _static_exprs
                 "handled_step":
                     F.when(F.col("_mark").isin("handled", "dead", "robots"),
                            F.lit(step))
@@ -1153,30 +1198,12 @@ class CrawlEngine:
                            F.lit(None).cast("long"))
                     .when(F.col("_mark").isin("retry", "rot"), new_order)
                     .otherwise(F.col("order_no")),
-                "retry_count":
-                    F.when(F.col("_mark") == "retry", F.col("retry_count") + 1)
-                    .otherwise(F.col("retry_count")),
-                "rotation_count":
-                    F.when(F.col("_mark") == "rot", F.col("rotation_count") + 1)
-                    .otherwise(F.col("rotation_count")),
-                "forefront":
-                    F.when(F.col("_mark").isin("retry", "rot"), F.lit(False))
-                    .otherwise(F.col("forefront")),
-                "error":
-                    F.when(F.col("_mark") == "robots",
-                           F.lit("robots-disallowed"))
-                    .when(F.col("_mark").isin("retry", "rot", "dead"),
-                          F.col("_err"))
-                    .otherwise(F.col("error")),
+                **sx["rewrite_static"],
             }
             drop_cols = ["_mark", "_err"]
             if ud_updates is not None:
                 updated = updated.join(ud_updates, on="url_hash", how="left")
-                rewrites["user_data"] = F.when(
-                    F.col("_mark").isin("retry", "rot")
-                    & F.col("_new_ud").isNotNull(),
-                    F.col("_new_ud"),
-                ).otherwise(F.col("user_data"))
+                rewrites["user_data"] = sx["rewrite_user_data"]
                 drop_cols.append("_new_ud")
             updated = updated.withColumns(rewrites).drop(*drop_cols)
             if self.urlseen is not None and self.urlseen.has_shards():

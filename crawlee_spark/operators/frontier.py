@@ -87,19 +87,25 @@ def normalize_requests(
     """
     # defaults for absent optional columns, appended in ONE projection:
     # chained withColumn re-analyzes the whole plan per call (~O(n²) driver
-    # cost on the per-superstep link batch; round-5 profile)
+    # cost on the per-superstep link batch; round-5 profile). The aliased
+    # default Columns are built once per process (lazy: Column creation
+    # needs the JVM gateway, so not at import time).
     cols = set(raw.columns)
-    defaults = [
-        ("unique_key", F.lit(None).cast("string")),
-        ("forefront", F.lit(False)),
-        ("depth", F.lit(0)),
-        ("label", F.lit(None).cast("string")),
-        ("no_retry", F.lit(False)),
-        ("method", F.lit("GET")),
-        ("payload", F.lit(None).cast("binary")),
-        ("user_data", F.lit(None).cast("map<string,string>")),
-    ]
-    extras = [e.alias(name) for name, e in defaults if name not in cols]
+    defaults = _NORMALIZE_DEFAULT_MEMO.get("defaults")
+    if defaults is None:
+        defaults = [
+            ("unique_key", F.lit(None).cast("string").alias("unique_key")),
+            ("forefront", F.lit(False).alias("forefront")),
+            ("depth", F.lit(0).alias("depth")),
+            ("label", F.lit(None).cast("string").alias("label")),
+            ("no_retry", F.lit(False).alias("no_retry")),
+            ("method", F.lit("GET").alias("method")),
+            ("payload", F.lit(None).cast("binary").alias("payload")),
+            ("user_data",
+             F.lit(None).cast("map<string,string>").alias("user_data")),
+        ]
+        _NORMALIZE_DEFAULT_MEMO["defaults"] = defaults
+    extras = [e for name, e in defaults if name not in cols]
     df = raw.select("*", *extras) if extras else raw
 
     e = _make_request_exprs(keep_fragment, use_extended_unique_key, num_buckets)
@@ -185,6 +191,7 @@ def _make_request_exprs(keep_fragment: bool, use_extended_unique_key: bool,
 
 
 _MAKE_REQUEST_EXPR_MEMO: dict[tuple, dict] = {}
+_NORMALIZE_DEFAULT_MEMO: dict[str, list] = {}
 
 
 def dedup_batch(batch: DataFrame) -> DataFrame:
@@ -208,21 +215,40 @@ def dedup_batch(batch: DataFrame) -> DataFrame:
     # user_data (map) is not orderable; rows identical in every ordered
     # field but user_data are indistinguishable to the queue and either
     # pick is stable under AQE only because the ordered fields tie last.
-    order_fields = [
-        F.col("depth"),
-        F.when(F.col("forefront"), 0).otherwise(1).alias("_ff"),
-        F.col("url"),
-    ]
-    for extra in ("method", "label", "payload"):
-        if extra in cols:
-            order_fields.append(F.col(extra))
-    order = F.struct(*order_fields)
+    #
+    # Trees memoized per column tuple (Column objects wrap immutable
+    # unresolved expressions): the engine calls this every superstep on the
+    # fixed FRONTIER_COLS schema, and the ~40 py4j round-trips per build
+    # were a measurable slice of the fixed per-step driver cost
+    # (round-5 closing profile).
+    memo_key = tuple(cols)
+    e = _DEDUP_BATCH_EXPR_MEMO.get(memo_key)
+    if e is None:
+        order_fields = [
+            F.col("depth"),
+            F.when(F.col("forefront"), 0).otherwise(1).alias("_ff"),
+            F.col("url"),
+        ]
+        for extra in ("method", "label", "payload"):
+            if extra in cols:
+                order_fields.append(F.col(extra))
+        e = {
+            "agg": F.min_by(
+                F.struct(*[c for c in cols if c != "url_hash"]),
+                F.struct(*order_fields)).alias("_r"),
+            "unpack": [F.col(f"_r.{c}").alias(c)
+                       for c in cols if c != "url_hash"],
+        }
+        _DEDUP_BATCH_EXPR_MEMO[memo_key] = e
     return (
         batch.groupBy("url_hash")
-        .agg(F.min_by(F.struct(*[c for c in cols if c != "url_hash"]), order).alias("_r"))
-        .select("url_hash", *[F.col(f"_r.{c}").alias(c) for c in cols if c != "url_hash"])
+        .agg(e["agg"])
+        .select("url_hash", *e["unpack"])
         .select(*cols)
     )
+
+
+_DEDUP_BATCH_EXPR_MEMO: dict[tuple, dict] = {}
 
 
 def make_requests(
